@@ -1,0 +1,89 @@
+"""The named-query catalog: single source of truth for the engine's surface.
+
+Every operator from SURVEY.md §2 (reference parity + mandated extensions)
+registers here as a ``Query``: a Spark DataFrame builder plus — when the
+semantics are SQL-expressible — a DuckDB oracle string with *identical
+column names and types*. ``__spark_entry__`` (the driver contract), the
+bench harness, and the oracle self-test all read this one registry.
+
+Conventions that keep the order-insensitive value-hash comparison honest
+(output order is not a contract, matching the reference — SURVEY §1.4):
+
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round(x, N)``-ed on BOTH sides (both engines then
+  snap to the same nearest-decimal double, erasing summation-order ulps);
+- integer sums are cast to BIGINT in DuckDB (its native sum is HUGEINT);
+- int32-vs-int64 mismatches (e.g. Spark ``year``) are cast to bigint;
+- timestamps are projected as strings or epoch seconds, never raw;
+- any top-k / row_number ordering carries a unique-key tiebreak so float
+  near-ties cannot reorder between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import pin_session_defaults
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in the headline bench set
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in CATALOG:
+            raise ValueError(f"duplicate query name {name!r}")
+
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        pinned.__name__ = fn.__name__
+        pinned.__doc__ = fn.__doc__
+        CATALOG[name] = Query(name=name, fn=pinned, oracle=oracle, doc=doc, tags=tags, bench=bench)
+        return fn
+
+    return wrap
+
+
+def _load_all() -> None:
+    """Import every operator module for its registration side effects."""
+    from ..operators import relational, mapreduce_queries, dedup, similarity, text, multimodal  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in CATALOG.items() if q.bench}

@@ -1,0 +1,91 @@
+"""Sources: table registry + generic readers.
+
+The reference's only source is an in-memory ``InputVec`` handed to
+``startMapReduceJob`` (``MapReduceClient.h:50``,
+``MapReduceFramework.cpp:322-324``) — the client marshals all data itself.
+Our engine's native sources are columnar parquet scans (predicate pushdown +
+column pruning for free), with csv/json readers for parity with ad-hoc
+marshalling, and ``from_rows`` as the literal ``InputVec`` equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor we target;
+# used by operators to hint joins explicitly rather than trusting the
+# size-estimate threshold.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Columnar parquet — Catalyst pushes filters
+    and prunes columns into this scan, which is the whole point of
+    expressing queries declaratively (SURVEY.md §4).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as raw nanos
+    (``nanosAsLong``) and floor to microsecond timestamps — verified
+    lossless on the testdata (no sub-microsecond residue), and identical to
+    how DuckDB surfaces the same column (µs TIMESTAMP).
+    """
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
+    return {name: load_table(spark, sf_dir, name) for name in names or TABLE_NAMES}
+
+
+def read_source(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Generic reader covering the formats the engine supports as sources.
+
+    ``schema`` should be supplied for csv/json in production use — schema
+    inference is a full extra pass over the data.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        return reader.options(**options).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
+    raise ValueError(f"unsupported source format {fmt!r}")
+
+
+def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """The reference's in-memory source (R1): caller-built rows → DataFrame.
+
+    Mirrors ``InputVec`` (``MapReduceClient.h:50``) — any iterable of rows
+    plus an explicit schema; Arrow-backed when rows is a pandas DataFrame.
+    """
+    return spark.createDataFrame(rows, schema=schema)
