@@ -39,6 +39,7 @@ def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("TBMR_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # 64 MiB: dimension tables (region/nation/supplier/customer/part)
         # stay broadcast-able well past sf0.1 so fact-side joins never shuffle
         # the big side.
