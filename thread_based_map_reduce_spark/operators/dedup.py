@@ -1,1 +1,345 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Deduplication operators (mandated extension, SURVEY §2.3).
+
+All variants work on the ``documents`` table and are designed scale-first:
+
+- exact dedup groups on a 60-bit portable hash of the text, never the full
+  text (at 100 TB the shuffle key must be narrow);
+- MinHash-LSH is the classic shingle → signature → band → bucket-join
+  pipeline: candidate generation touches only band-bucket collisions, so
+  the verify join is tiny even when the corpus is huge — never an O(n²)
+  cross join;
+- SimHash provides a constant-width fingerprint for hamming-style near-dup;
+- blocked exact Jaccard is the quadratic fallback, explicitly bounded by a
+  blocking key so the pair space stays per-block;
+- embedding cosine near-dup joins within ``label`` blocks (at scale: an
+  ANN/LSH bucket id takes the label's place).
+
+Shingling uses word trigrams: measured on the testdata, unigram Jaccard
+between unrelated docs is 0.5-0.9 (tiny vocabulary) while trigram Jaccard
+is ~0.0 for unrelated pairs and 0.97-0.99 for the planted near-dups —
+trigrams are what makes LSH candidates ≈ true dups here.
+
+Every hash is the md5-derived portable hash (functions/hashing.py) so the
+DuckDB oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import (
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    minhash_perm,
+    portable_hash64,
+    portable_hash64_sql,
+)
+from ..functions.textfns import token_ngrams, tokens
+from ..functions.vectors import cosine_similarity
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+N_PERMS = 8
+N_BANDS = 4  # bands of 2 perms each: (mh0,mh1) (mh2,mh3) (mh4,mh5) (mh6,mh7)
+JACCARD_THRESHOLD = 0.5
+
+
+# -- shared SQL fragments for the oracles -----------------------------------
+
+_SHINGLES_SQL = """
+    shingles AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)]
+        )) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+"""
+
+_HASHED_SQL = f"""
+    hashed AS (
+        SELECT doc_id, {portable_hash64_sql('s')} % {MINHASH_PRIME} AS h
+        FROM shingles
+    )
+"""
+
+
+def _minhash_sig_sql() -> str:
+    perms = ",\n            ".join(
+        f"CAST(min(({a} * h + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:N_PERMS])
+    )
+    return f"""
+    sig AS (
+        SELECT doc_id,
+            {perms}
+        FROM hashed
+        GROUP BY doc_id
+    )"""
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 8 minhash columns, over distinct word-trigram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams("text", 3))).alias("s"),
+    ).select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("h"), i)).cast("bigint").alias(f"mh{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT
+            {portable_hash64_sql('text')} AS text_hash,
+            CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+            count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact dedup: group on a 60-bit text hash (narrow shuffle key), keep "
+    "min doc_id as canonical",
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(portable_hash64("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+# -- MinHash signatures + LSH pairs ------------------------------------------
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()}
+        SELECT * FROM sig
+    """,
+    doc="8-permutation MinHash signatures over distinct word-trigram shingles "
+    "(universal hashing (a*h+b) mod p over the portable 60-bit hash)",
+    tags=("dedup", "minhash"),
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT s) AS ts FROM shingles GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+        FROM cand
+        JOIN tsets a ON a.doc_id = doc_a
+        JOIN tsets b ON b.doc_id = doc_b
+        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Near-dup pairs via MinHash LSH: 4 bands x 2 rows -> bucket join -> "
+    "exact-Jaccard verify of candidates only (no O(n^2) stage anywhere)",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    # stack signature into (doc_id, band, x, y): one narrow row per band
+    bands = None
+    for band in range(N_BANDS):
+        piece = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.col(f"mh{2 * band}").alias("x"),
+            F.col(f"mh{2 * band + 1}").alias("y"),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b_id"), F.col("band").alias("band2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("x") == F.col("x2"))
+            & (F.col("y") == F.col("y2"))
+            & (F.col("doc_b_id") > F.col("doc_id")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .distinct()
+    )
+    tsets = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(token_ngrams("text", 3)).alias("ts"))
+    )
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("ts_a", "ts_b")))
+    jac = inter / union
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, {portable_hash64_sql('w')} % 65536 AS h
+            FROM tok WHERE w <> ''
+        ),
+        bits AS (
+            SELECT doc_id,
+                {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16))}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+            CAST({" + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash
+        FROM bits
+    """,
+    doc="16-bit SimHash fingerprint per document: per-bit majority vote over "
+    "distinct-token hashes (constant-width sketch; hamming distance ~ similarity)",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    ).select("doc_id", (portable_hash64("w") % 65536).alias("h"))
+    bits = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# -- blocked exact n-gram Jaccard ---------------------------------------------
+
+
+@register(
+    "dedup_jaccard_blocked",
+    oracle=f"""
+        WITH tsets AS (
+            SELECT doc_id, lang, list_distinct(
+                [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)]
+            ) AS ts
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+        FROM tsets a
+        JOIN tsets b ON a.lang = b.lang AND b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+    """,
+    doc="Exact trigram-Jaccard near-dup pairs within lang blocks — the "
+    "bounded-quadratic fallback (pair space is per-block, never global)",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tsets = docs.select(
+        "doc_id", "lang", F.array_distinct(token_ngrams("text", 3)).alias("ts")
+    )
+    a = tsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("ts").alias("ts_a")
+    )
+    b = tsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("ts_a", "ts_b")))
+    jac = inter / union
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_b") > F.col("doc_a")))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# -- embedding-cosine near-dup --------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND b.vec_id > a.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    doc="Embedding near-dup: cosine >= 0.4 within label blocks (JVM-side "
+    "zip_with/aggregate dot products; at scale the block key is an LSH bucket)",
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = cosine_similarity("emb_a", "emb_b")
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_b") > F.col("vec_a")))
+        .where(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )

@@ -1,1 +1,252 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Similarity search over the ``embeddings`` table (mandated extension,
+SURVEY §2.3): brute-force cosine top-k as the exactness baseline, plus two
+scale paths — sign-LSH bucketing and IVF (centroid cells).
+
+Scale design notes (the point of each variant):
+
+- brute force is O(|Q|·N) with the query side broadcast — correct baseline,
+  linear scans of the corpus stay JVM-side (zip_with/aggregate dot
+  products, no Python);
+- sign-LSH buckets the corpus ONCE by the sign pattern of the leading
+  coordinates; search touches a single bucket (≈ N/256 vectors). The
+  bucket id is a plain integer groupBy/join key, so at 100 TB this is one
+  narrow shuffle + a per-bucket local scan;
+- IVF assigns every vector to its nearest centroid (here: per-label means,
+  i.e. k=10 cells, nprobe=1); search scans one cell. Centroids are tiny
+  and broadcast; the corpus-side assignment is a broadcast-join + argmin —
+  no shuffle of the embedding column at all.
+
+Determinism for the oracle: all ranking orders carry ``vec_id`` tiebreaks;
+centroid coordinates are rounded to 6 decimals on both engines before any
+distance math (averaging order differs between engines at the ulp level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+N_QUERIES = 10  # query set: vec_id < 10
+DIMS = 64
+
+_COS_SQL = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_COS_SQL.format(a='q.qe', b='e.embedding')} AS cos
+            FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+        FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for 10 query vectors: broadcast queries x "
+    "full scan + per-query window (the exactness baseline for ANN variants)",
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _sign_bucket_spark(col: str) -> F.Column:
+    bucket = F.lit(0)
+    for i in range(8):
+        bucket = bucket + F.when(F.col(col)[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   CAST({_SIGN_BUCKET_SQL.format(e='embedding')} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_COS_SQL.format(a='q.qe', b='e.embedding')} AS cos
+            FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+        FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+    doc="ANN via sign-LSH: bucket = sign bits of the 8 leading coordinates; "
+    "search scans only the query's bucket (narrow integer join key at scale)",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "ivf_search",
+    oracle=f"""
+        WITH dims AS (
+            SELECT label, i, round(avg(embedding[i]), 6) AS c
+            FROM embeddings, generate_series(1, {DIMS}) AS g(i)
+            GROUP BY label, i
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rc = 1
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe, cell FROM assigned WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_COS_SQL.format(a='q.qe', b='e.embedding')} AS cos
+            FROM q JOIN assigned e ON e.cell = q.cell AND e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+        FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+    doc="IVF search (k=10 cells from per-label centroids, nprobe=1): assign "
+    "each vector to its nearest centroid via broadcast argmin, scan one cell "
+    "per query. Centroids rounded to 6dp for cross-engine determinism.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # per-label mean vector, deterministically rounded: posexplode → avg per
+    # (label, dim) → re-assemble ordered by dim
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("cell"))
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("ce"))
+    )
+    # assign every vector to its nearest centroid (broadcast argmin — the
+    # embedding column itself never shuffles)
+    scored_cells = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_similarity("embedding", "ce").alias("ccos"),
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assigned = (
+        scored_cells.withColumn("rc", F.row_number().over(wc))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+               round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+               round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc="Per-label L2-norm statistics (vector column profiling)",
+    tags=("similarity", "stats"),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

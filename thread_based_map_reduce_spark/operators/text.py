@@ -1,1 +1,227 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Text-analysis operators over ``documents`` (mandated extension, SURVEY
+§2.3): token statistics, frequency ranking, language-ID heuristic, quality
+scoring, fingerprinting, character n-gram profiling.
+
+Everything is built-in expressions (split/filter/transform/aggregate) —
+no Python in the row path — so the same plans scale to a 100 TB corpus
+with ordinary shuffles. The generalization of the reference's flagship
+char-count (SampleClient.cpp:34-65) lives on: word_freq_topn is exactly
+its word-level form with ranking on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.textfns import char_ngrams, tokens
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+# deterministic English-marker stopword list (subset of the corpus vocab)
+EN_MARKERS = ("the", "a", "is", "of")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS total_tokens,
+               round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) AS avg_tokens,
+               round(avg(length(text)), 4) AS avg_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Per-language token counting and document statistics",
+    tags=("text",),
+    bench=True,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "word_freq_topn",
+    oracle="""
+        SELECT word, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT word, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, word) AS rnk
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )
+        WHERE rnk <= 20
+    """,
+    doc="Global top-20 word frequencies with deterministic ranking "
+    "(the flagship char-count generalized to words + top-k)",
+    tags=("text",),
+)
+def q_word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 20)
+        .select("word", "n", "rnk")
+    )
+
+
+@register(
+    "langid_heuristic",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN marker_ratio >= 0.1 THEN 'en' ELSE 'unk' END AS lang_guess,
+               round(marker_ratio, 6) AS marker_ratio
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(toks, w -> w IN ({", ".join(repr(m) for m in EN_MARKERS)})))::DOUBLE
+                   / nullif(len(toks), 0) AS marker_ratio
+            FROM (
+                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents
+            )
+        )
+    """,
+    doc="Language-ID heuristic: marker-stopword ratio -> guess (n-gram/marker "
+    "voting family; deterministic rule shared with the oracle)",
+    tags=("text", "langid"),
+)
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*EN_MARKERS))).cast("double")
+        / F.nullif(F.size(toks), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.1, "en").otherwise("unk").alias("lang_guess"),
+        F.round(ratio, 6).alias("marker_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_uniq AS BIGINT) AS n_uniq,
+               round(0.5 * (n_uniq::DOUBLE / nullif(n_tokens, 0))
+                     + 0.3 * least(n_tokens / 20.0, 1.0)
+                     + 0.2 * least(length_chars / 100.0, 1.0), 6) AS quality
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq,
+                   length(text) AS length_chars
+            FROM documents
+        )
+    """,
+    doc="Quality scoring: lexical diversity + length saturation (the "
+    "length/stopword-ratio scoring family, pure column math)",
+    tags=("text", "quality"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_uniq"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fingerprint
+        FROM documents
+    """,
+    doc="Document fingerprint: md5 over the sorted distinct token set — "
+    "word-order-insensitive dedup key (rolling-hash fingerprint family)",
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")).alias("fingerprint"),
+    )
+
+
+@register(
+    "char_trigram_profile",
+    oracle="""
+        SELECT g, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT g, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, g) AS rnk
+            FROM (
+                SELECT unnest([substring(text, i, 3)
+                               for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+                FROM documents
+            )
+            GROUP BY g
+        )
+        WHERE rnk <= 15
+    """,
+    doc="Corpus char-trigram profile: top-15 trigrams (the n-gram basis that "
+    "a real language-ID model scores against)",
+    tags=("text", "ngram"),
+)
+def q_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(char_ngrams("text", 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("g"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 15)
+        .select("g", "n", "rnk")
+    )
+
+
+@register(
+    "token_regex_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
+        FROM documents
+    """,
+    doc="BPE-ish regex token counting (letter runs / digit runs per doc)",
+    tags=("text", "tokenize"),
+)
+def q_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("bigint").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("bigint").alias("n_num_tokens"),
+    )
