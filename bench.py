@@ -1,0 +1,84 @@
+"""Bench harness: times the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). A warmup pass of the flagship runs first so JVM/codegen startup
+is not attributed to the first query.
+
+    python bench.py                # headline (bench-flagged) queries
+    python bench.py --all          # every catalog query
+    python bench.py q1 q2 ...      # a subset by name
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from thread_based_map_reduce_spark.plans.catalog import CATALOG, bench_queries, queries
+from thread_based_map_reduce_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    args = [a for a in sys.argv[1:]]
+    if "--all" in args:
+        selected = queries()
+    elif args:
+        allq = queries()
+        selected = {name: allq[name] for name in args}
+    else:
+        selected = bench_queries()
+
+    spark = get_spark("tbmr-bench")
+
+    # warmup: spin up executors, codegen, and the parquet reader path on the
+    # smallest scale factor so first-query timings aren't JVM startup
+    materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    try:
+        warm = CATALOG["charcount"].fn
+        materialize(warm(spark, "/root/testdata/sf0.001"))
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in selected.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

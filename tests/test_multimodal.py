@@ -1,0 +1,46 @@
+"""Multimodal plumbing tests: binary payload synthesis, Arrow-batched
+decode kernel shape, frame sampling."""
+
+from __future__ import annotations
+
+from thread_based_map_reduce_spark.operators.multimodal import (
+    decode_images,
+    decode_payload,
+    sample_frames,
+    with_payload,
+)
+from thread_based_map_reduce_spark.sources.registry import load_table
+
+
+def test_payload_schema_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = with_payload(docs)
+    assert [f.name for f in mm.schema.fields] == ["doc_id", "payload", "meta"]
+    rows = {r.doc_id: r for r in mm.collect()}
+    again = {r.doc_id: r for r in with_payload(docs).collect()}
+    for k in rows:
+        assert bytes(rows[k].payload) == bytes(again[k].payload)
+        assert len(bytes(rows[k].payload)) == 16
+        assert 1 <= rows[k].meta.width <= 64 and 1 <= rows[k].meta.height <= 64
+
+
+def test_decode_kernel_matches_local_fake(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    mm = with_payload(docs)
+    decoded = {r.doc_id: r for r in decode_images(mm).collect()}
+    for r in mm.collect():
+        px = decode_payload(bytes(r.payload), r.meta.width, r.meta.height)
+        d = decoded[r.doc_id]
+        assert d.n_pixels == r.meta.width * r.meta.height == len(px)
+        assert abs(d.mean_pixel - sum(px) / len(px)) < 1e-9
+
+
+def test_frame_sampling(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    frames = sample_frames(with_payload(docs), every_nth=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for idxs in by_doc.values():
+        assert sorted(idxs) == [1, 5, 9, 13]  # every 4th of 16 bytes
+    assert all(len(bytes(r.frame)) == 1 for r in frames)

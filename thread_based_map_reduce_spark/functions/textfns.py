@@ -40,10 +40,21 @@ def char_ngrams(text: Column | str, n: int) -> Column:
     return F.transform(_positions(count), lambda i: c.substr(i, F.lit(n)))
 
 
-def token_ngrams(text: Column | str, n: int) -> Column:
-    """Array of word n-grams (space-joined) — shingles for Jaccard/MinHash."""
-    toks = tokens(text)
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-TOKENIZED array column.
+
+    Use this (after projecting ``tokens(text)`` into its own column) rather
+    than :func:`token_ngrams` when the source text is non-trivial: expanding
+    ``tokens(text)`` inline here would re-run split+filter over the full
+    text once per n-gram lambda evaluation — measured ~4× slowdown on the
+    minhash pipeline.
+    """
     count = F.size(toks) - F.lit(n - 1)
-    return F.transform(
-        _positions(count), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    return F.transform(_positions(count), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def token_ngrams(text: Column | str, n: int) -> Column:
+    """Array of word n-grams (space-joined) — shingles for Jaccard/MinHash.
+    Convenience form; prefer tokenize-once + :func:`ngrams_of_tokens` in
+    hot paths (see that function's warning)."""
+    return ngrams_of_tokens(tokens(text), n)

@@ -34,7 +34,7 @@ from ..functions.hashing import (
     portable_hash64,
     portable_hash64_sql,
 )
-from ..functions.textfns import token_ngrams, tokens
+from ..functions.textfns import ngrams_of_tokens, tokens
 from ..functions.vectors import cosine_similarity
 from ..plans.catalog import register
 from ..sources.registry import load_table
@@ -80,9 +80,12 @@ def _minhash_sig_sql() -> str:
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 8 minhash columns, over distinct word-trigram shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
+    # tokenize ONCE into a column; building n-grams straight off text would
+    # re-split the text per lambda evaluation (see ngrams_of_tokens)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    hashed = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(token_ngrams("text", 3))).alias("s"),
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
     ).select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[
@@ -175,34 +178,50 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    # stack signature into (doc_id, band, x, y): one narrow row per band
-    bands = None
-    for band in range(N_BANDS):
-        piece = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.col(f"mh{2 * band}").alias("x"),
-            F.col(f"mh{2 * band + 1}").alias("y"),
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_b_id"), F.col("band").alias("band2"),
-        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    # Stack the signature into one narrow (doc_id, band, x, y) row per band
+    # with a single explode — NOT a 4-way union (which would re-run the whole
+    # shingle→hash→min pipeline once per band), and generate candidate pairs
+    # bucket-locally with groupBy + array expansion — NOT a self-join (which
+    # would run the pipeline twice more and shuffle both sides).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    # bucket-join: docs sharing a (band, x, y) bucket are candidates; pair
+    # expansion happens inside each bucket's sorted id array (buckets are
+    # tiny — near-dups only — so the expansion is O(bucket²) locally, never
+    # a global O(n²) stage)
+    buckets = (
+        bands.groupBy("band", "x", "y")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
     cand = (
-        bands.join(
-            b2,
-            (F.col("band") == F.col("band2"))
-            & (F.col("x") == F.col("x2"))
-            & (F.col("y") == F.col("y2"))
-            & (F.col("doc_b_id") > F.col("doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("doc_id").alias("doc_a"), F.col("doc_b_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     tsets = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.array_distinct(token_ngrams("text", 3)).alias("ts"))
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.array_distinct(ngrams_of_tokens(F.col("toks"), 3)).alias("ts"))
     )
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
@@ -290,8 +309,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tsets = docs.select(
-        "doc_id", "lang", F.array_distinct(token_ngrams("text", 3)).alias("ts")
+    tsets = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
+        "doc_id", "lang", F.array_distinct(ngrams_of_tokens(F.col("toks"), 3)).alias("ts")
     )
     a = tsets.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("ts").alias("ts_a")

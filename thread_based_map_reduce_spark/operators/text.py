@@ -38,7 +38,10 @@ EN_MARKERS = ("the", "a", "is", "of")
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ntok = F.size(tokens("text"))
+    # tokenize once per row; referencing tokens("text") in each aggregate
+    # would re-split the text per reference
+    docs = docs.select("lang", "text", F.size(tokens("text")).alias("_ntok"))
+    ntok = F.col("_ntok")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).cast("bigint").alias("total_tokens"),
@@ -101,7 +104,8 @@ def q_word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = docs.select("doc_id", tokens("text").alias("_toks"))
+    toks = F.col("_toks")
     ratio = (
         F.size(F.filter(toks, lambda w: w.isin(*EN_MARKERS))).cast("double")
         / F.nullif(F.size(toks), F.lit(0))
@@ -136,13 +140,14 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = docs.select("doc_id", F.length("text").alias("_len"), tokens("text").alias("_toks"))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     quality = (
         0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
         + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+        + 0.2 * F.least(F.col("_len") / F.lit(100.0), F.lit(1.0))
     )
     return docs.select(
         "doc_id",

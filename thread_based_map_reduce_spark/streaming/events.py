@@ -1,0 +1,112 @@
+"""Structured Streaming flavor of the event queries.
+
+The reference is strictly batch (one-shot over a fixed vector,
+``MapReduceFramework.cpp:329``); streaming is an engine extension: the SAME
+tumbling-window aggregation as the batch query ``events_tumbling_hour``
+(operators/relational.py), expressed as readStream → watermark → window →
+writeStream. The batch/stream agreement is asserted in
+tests/test_streaming.py.
+
+At scale: the parquet file source is a stand-in for Kafka; the watermark
+bounds state for late data; the window+event_type grouping shuffles only
+aggregated partials per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's file stream source requires a *directory*; the testdata is a
+    # single read-only file. Stage a symlink dir (the real deployment reads
+    # a landing directory or Kafka anyway).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="tbmr-events-stream-")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts with a 2-hour watermark — streaming twin
+    of the batch catalog query ``events_tumbling_hour``."""
+    return (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total carried across triggers (the reference's
+    'reduce with state' has no analog — this is the streaming-native form)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming plan to completion against the memory sink and
+    return the materialized result (local smoke path; real sinks are
+    kafka/parquet/foreachBatch)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
