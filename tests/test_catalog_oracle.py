@@ -1,0 +1,25 @@
+"""The correctness gate as a pytest: every oracle-backed catalog query must
+hash-match DuckDB at sf0.001 (the driver runs the same comparison at
+sf0.01). One test per query so failures localize."""
+
+from __future__ import annotations
+
+import pytest
+
+from thread_based_map_reduce_spark.plans.catalog import CATALOG, queries
+from thread_based_map_reduce_spark.plans.oracle_check import compare_query, duck_connection
+
+_QUERIES = queries()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return duck_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    res = compare_query(spark, duck, name, _QUERIES[name], CATALOG[name].oracle, sf_dir)
+    assert res.ok, res.problems
+    if not res.oracle_checked:
+        assert res.rows >= 0  # rows-only contract

@@ -1,0 +1,216 @@
+"""Extended relational coverage: statistical aggregates, percentiles,
+positional explode, NOT IN, UNION ALL, sessionization, approximate
+aggregates.
+
+Cross-engine parity notes (measured in scripts/parity_probe*):
+percentile (exact interpolated) ≡ DuckDB quantile_cont; stddev/var/corr/
+covar/kurtosis agree at the shown roundings; skewness does NOT (different
+bias normalization) and is deliberately excluded from oracle-checked
+output. Approximate sketches (HLL, KLL) differ by construction → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.textfns import tokens
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+
+@register(
+    "stats_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(stddev_samp(o_totalprice), 4) AS sd_price,
+               round(var_samp(o_totalprice), 2) AS var_price,
+               round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust,
+               round(covar_samp(o_totalprice, o_custkey), 2) AS covar_price_cust
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Statistical aggregates per group: stddev/variance/corr/covar "
+    "(kurtosis/skewness excluded: engines use different bias corrections)",
+    tags=("agg", "stats"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covar_price_cust"),
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+        SELECT c_mktsegment,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Exact interpolated percentiles per segment (Spark percentile ≡ "
+    "DuckDB quantile_cont, verified bit-equal at 4dp)",
+    tags=("agg", "stats"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables = {
+        n: load_table(spark, sf_dir, n) for n in ("orders", "customer")
+    }
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+        SELECT doc_id, CAST(p.i AS BIGINT) AS pos, p.t AS token
+        FROM (
+            SELECT doc_id, unnest([{'i': i, 't': toks[i]} for i in range(1, len(toks) + 1)]) AS p
+            FROM (
+                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents WHERE doc_id < 50
+            )
+        )
+    """,
+    doc="Positional explode (LATERAL VIEW posexplode): token with 1-based position",
+    tags=("projection", "explode"),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
+    )
+
+
+@register(
+    "not_in_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+    doc="NOT IN subquery (anti-join form; keys are non-null so semantics align)",
+    tags=("subquery", "join"),
+)
+def q_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bad = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        o.join(bad, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "union_all_tagged",
+    oracle="""
+        SELECT side, count(*) AS n, round(sum(v), 2) AS total
+        FROM (
+            SELECT 'order' AS side, o_totalprice AS v FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT 'account' AS side, c_acctbal AS v FROM customer WHERE c_acctbal > 0
+        )
+        GROUP BY side
+    """,
+    doc="UNION ALL (bag semantics) of two tagged sources, re-aggregated",
+    tags=("setop",),
+)
+def q_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.lit("order").alias("side"), F.col("o_totalprice").alias("v"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.lit("account").alias("side"), F.col("c_acctbal").alias("v"))
+    )
+    return o.unionAll(c).groupBy("side").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("total")
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id
+    """,
+    doc="Sessionization: lag-gap > 10 min starts a new session; per-user "
+    "session counts (one shuffle by user, two window passes)",
+    tags=("window", "sessionize"),
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 600_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(wsum).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "approx_aggregates",
+    oracle=None,  # sketch algorithms (HLL/KLL) differ per engine by design
+    doc="Approximate aggregates: approx_count_distinct (HLL) and "
+    "percentile_approx (KLL-ish) per returnflag — the 100 TB path where "
+    "exact distinct/percentile would shuffle the world",
+    tags=("agg", "approx"),
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

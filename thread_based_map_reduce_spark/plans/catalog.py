@@ -71,7 +71,15 @@ def register(
 
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
-    from ..operators import relational, mapreduce_queries, dedup, similarity, text, multimodal  # noqa: F401
+    from ..operators import (  # noqa: F401
+        relational,
+        relational_ext,
+        mapreduce_queries,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

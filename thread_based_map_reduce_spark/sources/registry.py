@@ -82,6 +82,36 @@ def read_source(spark: SparkSession, path: str, fmt: str = "parquet", schema=Non
     raise ValueError(f"unsupported source format {fmt!r}")
 
 
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Generic sink covering the engine's output formats.
+
+    The reference's only sink is the shared in-memory ``OutputVec``
+    (``MapReduceFramework.cpp:158-161``); ours are durable columnar files.
+    ``partition_by`` writes hive-style directories so later reads get
+    partition pruning (PartitionFilters in the scan).
+    """
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+
+
 def from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """The reference's in-memory source (R1): caller-built rows → DataFrame.
 
