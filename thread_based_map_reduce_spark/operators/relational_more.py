@@ -1,0 +1,335 @@
+"""Second wave of relational coverage: grouping sets, ranking-window
+family, range frames, higher-order array functions, map columns,
+correlated EXISTS, two TPC-H-shaped bench queries, a salted skew-safe
+aggregation, and latest-row dedup.
+
+All are Catalyst built-ins (SURVEY.md §2.2 "engine plan" column) — no
+Python in the hot path. The salted aggregation and latest-row dedup are
+the 100 TB patterns: two-phase agg that survives single-hot-key skew, and
+the keep-latest compaction every CDC/event pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.textfns import tokens
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() indicators (beyond the "
+    "rollup/cube queries: arbitrary set lists)",
+    tags=("agg", "groupingsets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist()    OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-window family: rank/dense_rank/ntile/percent_rank/cume_dist "
+    "with a unique-key tiebreak so bucket edges are deterministic",
+    tags=("window",),
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_7d
+        FROM orders
+    """,
+    doc="RANGE frame (value-based, not row-based): trailing-7-day revenue "
+    "per status — ties share a frame so the result is order-deterministic",
+    tags=("window", "rangeframe"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
+    )
+
+
+@register(
+    "array_hof",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> len(t) > 5)) AS BIGINT) AS n_long,
+               CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents
+        )
+    """,
+    doc="Higher-order array functions (transform/filter/aggregate lambdas) — "
+    "stay JVM-side, no UDF",
+    tags=("scalar", "array"),
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("bigint").alias("n_long"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("bigint")
+        .alias("sum_len"),
+    )
+
+
+@register(
+    "map_column",
+    oracle="""
+        SELECT doc_id,
+               m['chars'][1] AS chars,
+               m['tokens'][1] AS toks,
+               CAST(cardinality(m) AS BIGINT) AS n_keys
+        FROM (
+            SELECT doc_id,
+                   map(['chars', 'tokens'],
+                       [n_chars, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)]) AS m
+            FROM documents
+        )
+    """,
+    doc="MapType column: construct (map_from_arrays), point lookup "
+    "(element_at), cardinality — DuckDB map extraction yields a list, hence "
+    "the [1] index in the oracle",
+    tags=("scalar", "map"),
+)
+def q_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars"),
+        F.lit("tokens"), F.size(tokens("text")).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "chars").alias("chars"),
+        F.element_at(m, "tokens").alias("toks"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "exists_correlated",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
+        )
+    """,
+    doc="Correlated EXISTS subquery (decorrelates to a left-semi join with a "
+    "compound condition)",
+    tags=("subquery", "join"),
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    return o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "tpch_q6_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate; all four predicates "
+    "reach the parquet reader (PushedFilters), zero shuffle beyond the "
+    "single-row final agg",
+    tags=("agg", "pushdown", "tpch"),
+    bench=True,
+)
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_toporders",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: broadcast dim filter + fact join + agg + "
+    "rounded-revenue top-10 (round before ordering so cross-engine ulps "
+    "cannot reorder near-ties; o_orderkey tiebreak)",
+    tags=("join", "agg", "topk", "tpch"),
+    bench=True,
+)
+def q_tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Skew-safe two-phase aggregation: 3 hot keys are salted 16 ways, "
+    "partially aggregated, then re-reduced — identical result to the plain "
+    "GROUP BY (the oracle), but no single reducer sees a whole hot key. "
+    "(Spark's hash-agg already does map-side partials; the explicit salt is "
+    "the pattern for when the *shuffled* key is still too hot, e.g. "
+    "high-cardinality payloads per key at 100 TB.)",
+    tags=("agg", "skew", "scale"),
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    salted = li.withColumn("_salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(rev).alias("_rev"), F.count("*").alias("_n")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("_rev"), 2).alias("revenue"),
+        F.sum("_n").alias("n"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    doc="Keep-latest compaction (CDC/event-log dedup): row_number over "
+    "(user, ts desc) = 1 — one shuffle by user_id; at scale this is the "
+    "standard upsert-materialization pattern",
+    tags=("window", "dedup"),
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
     from ..operators import (  # noqa: F401
         relational,
         relational_ext,
+        relational_more,
         mapreduce_queries,
         dedup,
         similarity,
