@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: the scale contract, enforced in CI.
+
+Correctness says the query returns the right rows; these tests say it
+returns them with the *plan you'd want on 100 TB*: filters reaching the
+parquet reader, only needed columns scanned, small dimensions broadcast,
+no accidental cartesian/nested-loop joins, hot paths inside whole-stage
+codegen. A regression here is a 100×-at-scale bug even when sf0.001
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from thread_based_map_reduce_spark.plans.catalog import queries
+
+_QS = None
+
+
+def plan_of(spark, sf_dir: str, name: str, execute: bool = False) -> str:
+    global _QS
+    if _QS is None:
+        _QS = queries()
+    df = _QS[name](spark, sf_dir)
+    if execute:
+        # AQE only annotates codegen ids / final exchanges once the plan is
+        # final — run THIS DataFrame's own action (a sink write would execute
+        # a separate QueryExecution and leave this plan non-final).
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_nodes(plan: str, node: str) -> int:
+    # An executed AQE plan repeats the tree as "== Final Plan ==" then
+    # "== Initial Plan ==" — count only the final tree. Without AQE markers,
+    # count detail headers ("(4) Exchange"), one per node.
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+        return len(re.findall(rf"\b{node} \(\d+\)", tree))
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.MULTILINE))
+
+
+def test_q6_filters_pushed_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6_revenue")
+    assert "PushedFilters" in plan
+    assert "PushedFilters: []" not in plan, "no filter reached the parquet scan"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    # Q6 needs 4 of lineitem's 11 columns; the scan must not read the rest.
+    plan = plan_of(spark, sf_dir, "tpch_q6_revenue")
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, "no ReadSchema in plan"
+    schema = " ".join(read_schema_lines)
+    for needed in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert needed in schema
+    for pruned in ("l_orderkey", "l_partkey", "l_returnflag", "l_comment"):
+        assert pruned not in schema, f"scan reads unneeded column {pruned}"
+
+
+@pytest.mark.parametrize("name", ["join_star_revenue", "tpch_q3_toporders", "percentiles"])
+def test_dim_joins_are_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension join is not broadcast"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh_pairs",
+        "dedup_jaccard_blocked",
+        "dedup_embedding_cosine",
+        "ann_bruteforce_topk",
+        "asof_join_signup",
+        "range_join_clicks",
+    ],
+)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    # Pair-generation and as-of/range joins must never degrade to a global
+    # cross product — that is the O(n²) cliff at scale.
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: plan has a cartesian product"
+
+
+@pytest.mark.parametrize("name", ["charcount", "tpch_q1", "filter_pushdown"])
+def test_hot_path_in_codegen(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name, execute=True)
+    assert "codegen id" in plan, f"{name}: no whole-stage codegen span in plan"
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    # hash → groupBy is one exchange; a second exchange would mean the
+    # narrow-key design regressed.
+    plan = plan_of(spark, sf_dir, "dedup_exact", execute=True)
+    assert count_nodes(plan, "Exchange") <= 1

@@ -10,6 +10,7 @@ from thread_based_map_reduce_spark.plans.catalog import queries
 from thread_based_map_reduce_spark.sources.registry import load_table
 from thread_based_map_reduce_spark.streaming.events import (
     run_stream_to_memory,
+    session_counts_stream,
     tumbling_counts_stream,
     user_running_totals_stream,
 )
@@ -25,6 +26,24 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     batch = queries()["events_tumbling_hour"](spark, sf_dir)
     want = {
         (r.hour_start_s, r.event_type): (r.n, r.total_value) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir):
+    # complete mode emits the full merged session set every trigger (session
+    # aggregations support append/complete, not update)
+    stream_out = run_stream_to_memory(
+        session_counts_stream(spark, sf_dir), "t_sessions", "complete"
+    )
+    got = {
+        (r.user_id, r.session_start_us): (r.n_events, r.total_value)
+        for r in stream_out.collect()
+    }
+    batch = queries()["session_window_agg"](spark, sf_dir)
+    want = {
+        (r.user_id, r.session_start_us): (r.n_events, r.total_value)
+        for r in batch.collect()
     }
     assert got == want and len(got) > 0
 

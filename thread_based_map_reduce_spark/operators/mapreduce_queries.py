@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..mapreduce import run_map_reduce
 from ..plans.catalog import register
@@ -122,4 +122,43 @@ def q_mr_lang_source_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         map_schema="lang string, source string",
         out_schema="lang string, source string, n_docs long",
         key_cols=["lang"],
+    )
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+        SELECT doc_id, CAST(p.i AS BIGINT) AS pos, p.t AS token
+        FROM (
+            SELECT doc_id, unnest([{'i': i, 't': toks[i]} for i in range(1, len(toks) + 1)]) AS p
+            FROM (
+                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents WHERE doc_id < 50
+            )
+        )
+    """,
+    doc="Python UDTF (Spark 3.5+ table function) via LATERAL join — the "
+    "reference's map IS a UDTF (1 row → 0..N typed rows, MapReduceClient.h:59); "
+    "this is its first-class SQL expression. Same semantics as "
+    "posexplode_tokens, which is the JVM-side scale path.",
+    tags=("parity", "mapreduce", "udtf"),
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for w in (text or "").split(" "):
+                if w:
+                    pos += 1
+                    yield pos, w
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_tbmr_udtf_docs")
+    spark.udtf.register("tbmr_tokenize", Tokenize)
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _tbmr_udtf_docs d, LATERAL tbmr_tokenize(d.text) t"
     )

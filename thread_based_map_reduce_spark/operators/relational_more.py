@@ -312,6 +312,53 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="Built-in session_window (10-min gap) aggregation — the native "
+    "session operator (vs the two-window-pass 'sessionize' query); merges "
+    "events whose [ts, ts+gap) intervals overlap, so an exactly-600s gap "
+    "starts a new session (oracle uses >=). Streaming twin shares this "
+    "operator via readStream.",
+    tags=("window", "sessionize", "streaming"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "latest_event_per_user",
     oracle="""
         SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type

@@ -95,6 +95,27 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch catalog query ``session_window_agg``:
+    10-minute-gap session windows per user. The watermark bounds how long an
+    open session is kept in state in append mode; the parity test drives it
+    in complete mode (session aggregations support append/complete), where a
+    single microbatch merges all sessions and emits the full final set
+    (asserted in tests/test_streaming.py)."""
+    return (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming plan to completion against the memory sink and
     return the materialized result (local smoke path; real sinks are
