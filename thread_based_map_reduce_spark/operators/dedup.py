@@ -177,6 +177,13 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_verified_pairs(spark, sf_dir)
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH +
+    exact-Jaccard verify. Shared by the pairs query and the clustering
+    query."""
     sig = _minhash_signatures(spark, sf_dir)
     # Stack the signature into one narrow (doc_id, band, x, y) row per band
     # with a single explode — NOT a 4-way union (which would re-run the whole
@@ -234,6 +241,91 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# -- near-dup clusters (connected components over verified LSH pairs) ---------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT s) AS ts FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / len(list_distinct(list_concat(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified
+            UNION SELECT doc_a, doc_a FROM verified
+            UNION SELECT doc_b, doc_b FROM verified
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN sym s ON w.root = s.a
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(root) AS BIGINT) AS cluster
+        FROM walk GROUP BY node
+    """,
+    doc="Near-dup clusters: connected components over the verified LSH pair "
+    "graph via iterative min-label propagation (driver-coordinated rounds of "
+    "join + min-agg, lineage truncated per round; near-dup components have "
+    "tiny diameter so this converges in 2-3 rounds). Oracle: recursive-CTE "
+    "transitive closure. Cluster id = min doc_id in the component — the "
+    "canonical document every other member deduplicates to.",
+    tags=("dedup", "minhash", "lsh", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    while True:
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()  # truncate lineage: each round's plan stays O(1)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
 # -- SimHash -------------------------------------------------------------------

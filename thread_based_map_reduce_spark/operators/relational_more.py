@@ -312,6 +312,128 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_all_variants",
+    oracle="""
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'intersect_all' AS op, o_custkey
+        FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, o_custkey
+        FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    """,
+    doc="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL preserve "
+    "multiplicity, unlike the distinct-flavored set_intersect/set_except)",
+    tags=("setop",),
+)
+def q_setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    ia = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    ea = a.exceptAll(b).select(F.lit("except_all").alias("op"), "o_custkey")
+    return ia.unionAll(ea)
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+    doc="Unpivot (wide → long; inverse of the pivot_status query) — melt two "
+    "part metrics into (metric, val) rows",
+    tags=("projection", "unpivot"),
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "val")
+
+
+@register(
+    "median_by_status",
+    oracle="""
+        SELECT o_orderstatus,
+               round(median(o_totalprice), 4) AS med_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="median() aggregate (exact interpolated; ≡ DuckDB median ≡ "
+    "quantile_cont 0.5) — the percentile family's direct API",
+    tags=("agg", "stats"),
+)
+def q_median_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice)  OVER w, 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc="Window value functions (first/last/nth over a full frame) with a "
+    "unique ordering key",
+    tags=("window",),
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@register(
+    "json_map_explode",
+    oracle="""
+        SELECT k AS key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS total
+        FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        GROUP BY k
+    """,
+    doc="JSON → MapType → explode: parse events.props as map<string,bigint>, "
+    "explode entries, aggregate per key (semi-structured fan-out without a UDF)",
+    tags=("scalar", "json", "explode"),
+)
+def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+    )
+
+
+@register(
     "session_window_agg",
     oracle="""
         WITH flagged AS (
