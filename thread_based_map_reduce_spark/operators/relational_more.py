@@ -282,6 +282,56 @@ def q_tpch_q3_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_region_revenue",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey   = c_custkey
+        JOIN lineitem ON l_orderkey  = o_orderkey
+        JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table join (region→nation→customer→orders→"
+    "lineitem→supplier, customer and supplier co-national). Entity-scaled "
+    "tables (region/nation/customer/supplier) broadcast; the two fact "
+    "tables (orders, lineitem) meet in the one shuffle join.",
+    tags=("join", "agg", "tpch"),
+    bench=True,
+)
+def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "orders", "supplier", "lineitem")}
+    dims = (
+        t["region"].where(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle="""
         SELECT l_returnflag,

@@ -230,3 +230,65 @@ def q_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("bigint").alias("n_word_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("bigint").alias("n_num_tokens"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(n.n::DOUBLE / dfreq.dfreq), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3
+    """,
+    doc="tf-idf top-3 terms per document, fully declarative: tf = per-doc "
+    "term counts, idf = ln(N/df) from a broadcast scalar, top-k via "
+    "row_number on the ROUNDED score (term tiebreak) so cross-engine ulps "
+    "cannot reorder. At 100 TB: two shuffles (tf group, df group) over "
+    "narrow (doc,term) rows — the classic scalable tf-idf shape.",
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
