@@ -35,7 +35,7 @@ from ..functions.hashing import (
     portable_hash64_sql,
 )
 from ..functions.textfns import ngrams_of_tokens, tokens
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot_product, l2_norm
 from ..plans.catalog import register
 from ..sources.registry import load_table
 
@@ -160,19 +160,21 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND b.doc_id > a.doc_id
         ),
         tsets AS (
-            SELECT doc_id, list(DISTINCT s) AS ts FROM shingles GROUP BY doc_id
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
         )
         SELECT doc_a, doc_b,
                round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                     / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
         FROM cand
         JOIN tsets a ON a.doc_id = doc_a
         JOIN tsets b ON b.doc_id = doc_b
         WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-              / len(list_distinct(list_concat(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
     """,
     doc="Near-dup pairs via MinHash LSH: 4 bands x 2 rows -> bucket join -> "
-    "exact-Jaccard verify of candidates only (no O(n^2) stage anywhere)",
+    "exact-Jaccard verify of candidates only (no O(n^2) stage anywhere; "
+    "verify compares 60-bit hashed shingle sets, not strings)",
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
@@ -228,12 +230,17 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", F.array_distinct(ngrams_of_tokens(F.col("toks"), 3)).alias("ts"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
+            ).alias("ts"),
+        )
     )
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("ts_a", "ts_b")))
+    union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / union
     return (
         cand.join(ta, "doc_a")
@@ -265,7 +272,8 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND b.doc_id > a.doc_id
         ),
         tsets AS (
-            SELECT doc_id, list(DISTINCT s) AS ts FROM shingles GROUP BY doc_id
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
         ),
         verified AS (
             SELECT doc_a, doc_b
@@ -273,7 +281,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN tsets a ON a.doc_id = doc_a
             JOIN tsets b ON b.doc_id = doc_b
             WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-                  / len(list_distinct(list_concat(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
         ),
         sym AS (
             SELECT doc_a AS a, doc_b AS b FROM verified
@@ -382,39 +390,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_blocked",
     oracle=f"""
         WITH tsets AS (
-            SELECT doc_id, lang, list_distinct(
-                [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)]
-            ) AS ts
+            SELECT doc_id, lang, list_distinct(list_transform(
+                [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)],
+                s -> {portable_hash64_sql('s')}
+            )) AS ts
             FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                     / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
         FROM tsets a
         JOIN tsets b ON a.lang = b.lang AND b.doc_id > a.doc_id
         WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
     """,
-    doc="Exact trigram-Jaccard near-dup pairs within lang blocks — the "
-    "bounded-quadratic fallback (pair space is per-block, never global)",
+    doc="Trigram-Jaccard near-dup pairs within lang blocks — the "
+    "bounded-quadratic fallback (pair space is per-block, never global). "
+    "Shingles are 60-bit portable hashes, not strings: the per-pair "
+    "intersect compares bigints (collision odds ~2^-60 per pair, the "
+    "standard trade at scale).",
     tags=("dedup", "jaccard"),
 )
 def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-step shape chosen for parallelism: a naive tsets-⋈-tsets join keys
+    # the shuffle on `lang` alone, so with ~7 langs at most 7 tasks do ALL
+    # the quadratic Jaccard work (measured 227 s at sf0.1). Instead:
+    # (1) generate the narrow (doc_a, doc_b) id pairs within blocks,
+    # (2) repartition the pairs across every core,
+    # (3) broadcast-join the (small, block-scale) shingle sets back in.
+    # |union| = |a| + |b| - |inter| since the sets are distinct — no second
+    # array scan. Same rows, same oracle; 32× the parallelism.
     docs = load_table(spark, sf_dir, "documents")
     tsets = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
-        "doc_id", "lang", F.array_distinct(ngrams_of_tokens(F.col("toks"), 3)).alias("ts")
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
+        ).alias("ts"),
     )
-    a = tsets.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("ts").alias("ts_a")
+    ids = tsets.select("doc_id", "lang")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")),
+            (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    b = tsets.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("ts").alias("ts_b")
-    )
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
-    union = F.size(F.array_distinct(F.concat("ts_a", "ts_b")))
+    union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / union
     return (
-        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_b") > F.col("doc_a")))
+        pairs.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         .where(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -441,16 +472,35 @@ def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("embedding").alias("emb_a")
+    # Same parallelism shape as dedup_jaccard_blocked: id pairs first (a
+    # 10-label block join would give at most 10 quadratic tasks — measured
+    # 15 s at sf0.1), repartition, then broadcast the vectors back in WITH
+    # their norms precomputed once per vector — the naive per-pair
+    # cosine recomputes both self-dot-products for every pair (3× the
+    # flops) and was the other half of the cost.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b")
+    ids = emb.select("vec_id", "label")
+    pairs = (
+        ids.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
+        .join(
+            ids.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")),
+            (F.col("label_a") == F.col("label_b")) & (F.col("vec_b") > F.col("vec_a")),
+        )
+        .select("vec_a", "vec_b")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    cos = cosine_similarity("emb_a", "emb_b")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = dot_product("emb_a", "emb_b") / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_b") > F.col("vec_a")))
+        pairs.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
