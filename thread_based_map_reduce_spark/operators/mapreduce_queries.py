@@ -162,3 +162,60 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM _tbmr_udtf_docs d, LATERAL tbmr_tokenize(d.text) t"
     )
+
+
+@register(
+    "cogroup_user_activity",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS ev_total
+            FROM events GROUP BY user_id
+        ),
+        o AS (
+            SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS ord_total
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(ev_total, 0.0) AS ev_total,
+               COALESCE(ord_total, 0.0) AS ord_total
+        FROM e FULL JOIN o ON e.user_id = o.user_id
+    """,
+    doc="Cogrouped applyInPandas: events and orders grouped on the same key "
+    "arrive as two aligned pandas frames per key (either may be empty — the "
+    "full-outer contract). The declarative twin is the two-agg full join in "
+    "the oracle; the cogroup form is for merge logic SQL can't express.",
+    tags=("parity", "mapreduce", "cogroup"),
+)
+def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+
+    def merge(key, ev_pdf, od_pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "ev_total": [round(float(ev_pdf["value"].sum()), 2) if len(ev_pdf) else 0.0],
+                "ord_total": [
+                    round(float(od_pdf["o_totalprice"].sum()), 2) if len(od_pdf) else 0.0
+                ],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, n_orders long, ev_total double, ord_total double",
+        )
+    )

@@ -531,6 +531,78 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_2h",
+    oracle="""
+        SELECT CAST(epoch(w_start) AS BIGINT) AS win_start_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (
+            SELECT unnest([
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)
+                   ]) AS w_start,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY w_start, event_type
+    """,
+    doc="Sliding windows (2h length, 1h slide): every event lands in two "
+    "overlapping windows — Spark's window() generates the window copies "
+    "(the oracle unnests the two hour-truncated starts explicitly)",
+    tags=("window", "events", "streaming"),
+)
+def q_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT s_suppkey, s_name, l_orderkey, l_linenumber
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+        RIGHT JOIN supplier ON l.l_suppkey = s_suppkey
+    """,
+    doc="Right outer join: all suppliers kept, unmatched get NULL lineitem "
+    "columns (completes the inner/left/full/semi/anti family)",
+    tags=("join",),
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    s = load_table(spark, sf_dir, "supplier")
+    return li.join(s, li["l_suppkey"] == s["s_suppkey"], "right").select(
+        "s_suppkey", "s_name", "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "cross_join_bounded",
+    oracle="""
+        SELECT r_name, n_name
+        FROM region CROSS JOIN nation
+    """,
+    doc="Explicit cartesian product of two bounded dimensions (5 × 25 rows) — "
+    "the only legitimate cross join: both sides known-small; anything larger "
+    "is caught by the no-cartesian plan gate",
+    tags=("join", "setop"),
+)
+def q_cross_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
     "latest_event_per_user",
     oracle="""
         SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
