@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..mapreduce import run_map_reduce
@@ -219,3 +220,28 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_events long, n_orders long, ev_total double, ord_total double",
         )
     )
+
+
+@register(
+    "pandas_udf_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    doc="Scalar Pandas UDF (Arrow-vectorized, Series→Series) — the sanctioned "
+    "Python scalar path when an expression genuinely can't be built-in; here "
+    "it duplicates the JVM-side tokens() on purpose so the oracle pins its "
+    "semantics. Completes the UDF surface: scalar pandas_udf / mapInPandas / "
+    "applyInPandas / cogroup / UDTF.",
+    tags=("parity", "udf"),
+)
+def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.split(" ").map(lambda ws: sum(1 for w in ws if w))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
