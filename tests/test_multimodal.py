@@ -44,3 +44,15 @@ def test_frame_sampling(spark, sf_dir):
     for idxs in by_doc.values():
         assert sorted(idxs) == [1, 5, 9, 13]  # every 4th of 16 bytes
     assert all(len(bytes(r.frame)) == 1 for r in frames)
+
+
+def test_resize_thumbs_deterministic_shape(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    thumbs = {r.doc_id: r.thumb for r in resize_images(with_payload(docs)).collect()}
+    again = {r.doc_id: r.thumb for r in resize_images(with_payload(docs)).collect()}
+    assert thumbs == again and len(thumbs) == 20
+    for t in thumbs.values():
+        assert len(t) == 16  # 4x4 mean-pooled
+        assert all(0.0 <= v <= 255.0 for v in t)

@@ -250,6 +250,95 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental near-dup: new batch vs existing corpus -----------------------
+
+
+@register(
+    "dedup_incremental_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS doc_corpus, n.doc_id AS doc_new
+            FROM bands c
+            JOIN bands n ON c.band = n.band AND c.x = n.x AND c.y = n.y
+            WHERE c.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        )
+        SELECT doc_corpus, doc_new,
+               round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        FROM cand
+        JOIN tsets a ON a.doc_id = doc_corpus
+        JOIN tsets b ON b.doc_id = doc_new
+        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental near-dup: an arriving batch (doc_id % 10 = 0 stands in "
+    "for 'new') is checked ONLY against the corpus's stored band buckets — "
+    "never corpus × corpus. This is the steady-state 100 TB shape: "
+    "signatures/buckets are a materialized table, each ingest batch "
+    "broadcast-joins its bands against them, cost is O(batch), not O(corpus).",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    is_new = F.col("doc_id") % 10 == 0
+    corpus = bands.where(~is_new).select(
+        F.col("doc_id").alias("doc_corpus"), "band", "x", "y"
+    )
+    new = bands.where(is_new).select(F.col("doc_id").alias("doc_new"), "band", "x", "y")
+    # the arriving batch is the small side — broadcast it against the
+    # (at scale: materialized, bucketed) corpus band table
+    cand = corpus.join(F.broadcast(new), ["band", "x", "y"]).select(
+        "doc_corpus", "doc_new"
+    ).distinct()
+    tsets = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
+            ).alias("ts"),
+        )
+    )
+    ta = tsets.select(F.col("doc_id").alias("doc_corpus"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter / union
+    return (
+        cand.join(ta, "doc_corpus")
+        .join(F.broadcast(tb), "doc_new")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_corpus", "doc_new", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # -- near-dup clusters (connected components over verified LSH pairs) ---------
 
 

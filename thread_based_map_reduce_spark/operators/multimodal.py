@@ -115,6 +115,77 @@ def sample_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Resize (mean-pool) decoded images to a fixed out_w×out_h thumbnail —
+    the feature-extraction step of an image pipeline. Same FAKE-decode
+    caveat as decode_images; the Arrow batching, fixed output schema, and
+    array<double> feature column are the real plumbing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                w, h = int(meta["width"]), int(meta["height"])
+                px = decode_payload(bytes(row.payload), w, h)
+                thumb = []
+                for oy in range(out_h):
+                    for ox in range(out_w):
+                        xs = range(ox * w // out_w, max((ox + 1) * w // out_w, ox * w // out_w + 1))
+                        ys = range(oy * h // out_h, max((oy + 1) * h // out_h, oy * h // out_h + 1))
+                        cell = [px[y * w + x] for y in ys for x in xs]
+                        thumb.append(sum(cell) / len(cell))
+                out.append((row.doc_id, thumb))
+            yield pd.DataFrame(out, columns=["doc_id", "thumb"])
+
+    return df.mapInPandas(kernel, schema="doc_id long, thumb array<double>")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               upper(substr(md5(text), 2 * i - 1, 2)) AS frame_hex
+        FROM (
+            SELECT doc_id, text, unnest(range(1, 17)) AS i
+            FROM documents WHERE doc_id < 50
+        )
+        WHERE (i - 1) % 4 = 0
+    """,
+    doc="Frame sampling over video-shaped payloads: explode to frames, keep "
+    "every 4th — pure built-ins (sequence/explode/substring), so the frame "
+    "selection plan is Catalyst-visible; frames compared as hex (the 16-byte "
+    "payload is md5(text), so frame i ≡ hex chars 2i-1..2i)",
+    tags=("multimodal", "explode"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    frames = sample_frames(with_payload(docs), every_nth=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+@register(
+    "multimodal_resize_thumbs",
+    oracle=None,  # Python resize kernel — not SQL-expressible; rows-only check
+    doc="Mean-pool resize to 4x4 thumbnails via Arrow-batched mapInPandas "
+    "(fake decode, real plumbing); per-doc feature vector as array<double>",
+    tags=("multimodal",),
+)
+def q_multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    thumbs = resize_images(with_payload(docs))
+    return thumbs.select(
+        "doc_id",
+        F.round(F.aggregate("thumb", F.lit(0.0), lambda a, v: a + v) / F.size("thumb"), 4).alias(
+            "thumb_mean"
+        ),
+        F.size("thumb").cast("bigint").alias("thumb_len"),
+    )
+
+
 @register(
     "multimodal_meta",
     oracle="""

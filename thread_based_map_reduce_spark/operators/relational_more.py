@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..functions.textfns import tokens
 from ..plans.catalog import register
 from ..sources.registry import load_table
@@ -527,6 +528,30 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM documents
+        WHERE {portable_hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+        GROUP BY lang
+    """,
+    doc="Deterministic 10% sample via hash(doc_id) % 100 — unlike "
+    "rand()-based sampling this is reproducible across engines, runs, and "
+    "cluster sizes (the only sane sampling contract for a 100 TB pipeline "
+    "you need to re-run), hence fully oracle-checkable",
+    tags=("sampling", "filter"),
+)
+def q_sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (portable_hash64(F.col("doc_id").cast("string")) % 100) < 10
+    return docs.where(keep).groupBy("lang").agg(
+        F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_doc")
     )
 
 
