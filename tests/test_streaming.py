@@ -63,3 +63,91 @@ def test_stateful_running_totals(spark, sf_dir):
     )
     want = {r.user_id: (r.n, r.t) for r in batch.collect()}
     assert final == want and len(final) > 0
+
+
+def test_stream_parquet_sink_durable(spark, sf_dir, tmp_path_factory):
+    # durable sink path: writeStream -> parquet with checkpoint; the file
+    # sink is append-only, so use the watermarked tumbling aggregation and
+    # compare against the batch twin restricted to closed (below-final-
+    # watermark) windows... with one input file the watermark never
+    # advances, so drive two triggers by staging the stream as the real
+    # deployment would: events file first, then a sentinel late file whose
+    # max ts pushes the watermark past every real window.
+    import os
+
+    out = str(tmp_path_factory.mktemp("stream-out"))
+    ckpt = str(tmp_path_factory.mktemp("stream-ckpt"))
+    src = str(tmp_path_factory.mktemp("stream-src"))
+    from pyspark.sql import functions as F
+    from thread_based_map_reduce_spark.streaming.events import EVENTS_SCHEMA
+
+    batch = load_table(spark, sf_dir, "events")
+    # one file per stage dir so maxFilesPerTrigger=1 processes them in
+    # deterministic mod-time order: all real events, then the sentinel
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    # sentinel: the LATEST event pushed 10 days out, so it lands past
+    # max(real ts) and actually advances the watermark
+    sentinel = (
+        batch.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("user_id", F.lit(-1))
+        .withColumn("event_type", F.lit("sentinel"))
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    # a watermark advance only emits in the NEXT microbatch, so a second
+    # sentinel file drives batch 3, which flushes everything batch 2 closed
+    sentinel.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 DAYS")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f3"))
+
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.hour_start_s, r.event_type): r.n
+        for r in spark.read.parquet(out).collect()
+        if r.event_type != "sentinel"
+    }
+    # batch twin: every real (non-sentinel) window is closed by the sentinel
+    want = {
+        (r.hour_start_s, r.event_type): r.n
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("hour_start_s"),
+                "event_type",
+                "n",
+            )
+            .collect()
+        )
+    }
+    # the sentinel (+10 days, 2h watermark) closes every real window
+    assert len(got) > 0
+    assert got == want

@@ -532,6 +532,59 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "limit_offset_page",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+    """,
+    doc="Keyset-free pagination: ORDER BY (with unique tiebreak) + LIMIT/"
+    "OFFSET — page 3 of the price ranking. (At scale prefer keyset "
+    "pagination: OFFSET still sorts the prefix.)",
+    tags=("sort", "topk"),
+)
+def q_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .offset(20)
+        .limit(10)
+    )
+
+
+@register(
+    "null_scalar_functions",
+    oracle="""
+        SELECT s_suppkey,
+               COALESCE(l_orderkey, -1) AS orderkey_or_default,
+               CASE WHEN l_orderkey IS NULL THEN 'unmatched' ELSE 'matched' END AS match_tag,
+               ifnull(l_quantity, 0.0) AS qty_or_zero,
+               nullif(s_nationkey, 0) AS nation_nz
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 49.5) l
+        RIGHT JOIN supplier ON l.l_suppkey = s_suppkey
+    """,
+    doc="Null-handling scalars (coalesce / ifnull / nullif / IS NULL "
+    "branching) over outer-join-produced nulls",
+    tags=("scalar", "join"),
+)
+def q_null_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49.5)
+    s = load_table(spark, sf_dir, "supplier")
+    j = li.join(s, li["l_suppkey"] == s["s_suppkey"], "right")
+    return j.select(
+        "s_suppkey",
+        F.coalesce("l_orderkey", F.lit(-1)).alias("orderkey_or_default"),
+        F.when(F.col("l_orderkey").isNull(), "unmatched")
+        .otherwise("matched")
+        .alias("match_tag"),
+        F.ifnull("l_quantity", F.lit(0.0)).alias("qty_or_zero"),
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_nz"),
+    )
+
+
+@register(
     "sample_hash_deterministic",
     oracle=f"""
         SELECT lang,
