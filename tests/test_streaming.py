@@ -151,3 +151,41 @@ def test_stream_parquet_sink_durable(spark, sf_dir, tmp_path_factory):
     # the sentinel (+10 days, 2h watermark) closes every real window
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    from thread_based_map_reduce_spark.streaming.events import signup_purchase_join_stream
+
+    out = run_stream_to_memory(
+        signup_purchase_join_stream(spark, sf_dir), "t_ssjoin", "append"
+    )
+    got = {(r.p_user, r.p_event, r.p_us, r.s_us) for r in out.collect()}
+
+    # batch twin: same interval join, declaratively
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+    )
+    batch = (
+        p.join(
+            s,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select(
+            "p_user",
+            "p_event",
+            F.unix_micros("p_ts").alias("p_us"),
+            F.unix_micros("s_ts").alias("s_us"),
+        )
+    )
+    want = {(r.p_user, r.p_event, r.p_us, r.s_us) for r in batch.collect()}
+    # append-mode emission is complete here: the single input file is one
+    # microbatch, and joined rows emit as soon as both sides are present
+    assert got == want and len(got) > 0

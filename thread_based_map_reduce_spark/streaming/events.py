@@ -116,6 +116,43 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def signup_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    signups within the following 24 h. Both sides are watermarked so state
+    eviction is bounded (signup state lives ≤ 24 h + watermark past the
+    join window — the planner derives the eviction bound from the interval
+    condition; unbounded stream-stream joins are rejected in append mode)."""
+    ev = _events_stream(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return (
+        purchases.join(
+            signups,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select(
+            "p_user",
+            "p_event",
+            F.unix_micros("p_ts").alias("p_us"),
+            F.unix_micros("s_ts").alias("s_us"),
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming plan to completion against the memory sink and
     return the materialized result (local smoke path; real sinks are
