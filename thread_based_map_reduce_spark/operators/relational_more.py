@@ -532,6 +532,34 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlated_min_subquery",
+    oracle="""
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+    """,
+    doc="Correlated aggregate subquery (TPC-H Q2 shape: rows matching their "
+    "group's minimum) — decorrelates to a groupBy-min join, which is how "
+    "the DataFrame form writes it directly",
+    tags=("subquery", "join", "agg"),
+)
+def q_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_brand") == F.col("b")) & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
     "limit_offset_page",
     oracle="""
         SELECT o_orderkey, round(o_totalprice, 2) AS price

@@ -1,0 +1,84 @@
+"""End-to-end corpus curation: the training-data pipeline the catalog
+operators exist for, composed into one lazy plan + one durable write.
+
+    raw documents
+      → exact dedup        (keep min doc_id per 60-bit text hash)
+      → near-dup dedup     (drop every LSH-cluster member except the
+                            cluster's canonical = min doc_id)
+      → quality gate       (lexical-diversity/length score ≥ threshold)
+      → language gate      (optional lang allowlist)
+      → feature columns    (token count, fingerprint-free quality stats)
+      → embedding join     (multimodal: text + vector side by side)
+      → partitioned write  (hive-layout by lang → partition-pruned reads)
+
+Everything before the write is one lazy DataFrame; Spark fuses the
+narrow stages and schedules the two heavy shuffles (exact-dedup group,
+LSH signature group) back to back. At 100 TB each step is the same plan —
+the LSH cluster table would be incrementally maintained
+(see ``dedup_incremental_pairs``) instead of recomputed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .functions.hashing import portable_hash64
+from .functions.textfns import tokens
+from .operators.dedup import q_dedup_clusters
+from .sources.registry import load_table, write_sink
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Build the curated-corpus DataFrame; write it iff ``out_dir`` given."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup — narrow 8-byte shuffle key, min doc_id is canonical
+    w = W.partitionBy("text_hash").orderBy("doc_id")
+    exact = (
+        docs.withColumn("text_hash", portable_hash64("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 2. near-dup dedup — LSH clusters; a member whose id isn't the cluster
+    # canonical is a near-duplicate of something we keep
+    clusters = q_dedup_clusters(spark, sf_dir)
+    near_dups = clusters.where(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    deduped = exact.join(F.broadcast(near_dups), "doc_id", "left_anti")
+
+    # 3+4. quality + language gates (pure column math — no shuffle)
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+    scored = deduped.withColumn("quality", F.round(quality, 6)).withColumn(
+        "n_tokens", n_tokens.cast("bigint")
+    )
+    gated = scored.where(F.col("quality") >= quality_min)
+    if langs:
+        gated = gated.where(F.col("lang").isin(*langs))
+
+    # 5. multimodal: text + embedding vector side by side
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    curated = gated.join(emb, "doc_id", "left").select(
+        "doc_id", "lang", "source", "text", "text_hash", "n_tokens", "quality", "embedding"
+    )
+
+    # 6. durable, partition-pruned layout
+    if out_dir is not None:
+        write_sink(curated, out_dir, fmt="parquet", partition_by=["lang"])
+    return curated
