@@ -532,6 +532,120 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conditional_aggregates",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+                   AS open_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregates: count_if / bool_and / bool_or / "
+    "sum-over-CASE (filtered aggregation without a second scan)",
+    tags=("agg",),
+)
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0)), 2
+        ).alias("open_revenue"),
+    )
+
+
+@register(
+    "date_interval_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_diff('day', TIMESTAMP '2000-01-01', o_orderdate) AS BIGINT) AS days_from_y2k,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+               strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS minus_7_days,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+        FROM orders
+        WHERE o_orderkey < 200
+    """,
+    doc="Date/interval arithmetic: datediff, +INTERVAL month/day, day-of-week "
+    "(Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday — offset "
+    "reconciled in the Spark projection)",
+    tags=("scalar", "date"),
+)
+def q_date_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2000-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_from_y2k"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.date_format(F.col("o_orderdate") - F.expr("INTERVAL 7 DAY"), "yyyy-MM-dd").alias(
+            "minus_7_days"
+        ),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+    )
+
+
+@register(
+    "regex_functions",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(source, '[0-9]+') AS src_num,
+               regexp_replace(lang, '[aeiou]', '_', 'g') AS lang_masked,
+               CAST(len(regexp_extract_all(text, '[a-z]+[0-9]+')) AS BIGINT) AS n_alnum_tokens
+        FROM documents
+        WHERE doc_id < 100
+    """,
+    doc="Regex scalar family: extract / replace-all / match-count (patterns "
+    "kept within the Java∩RE2-compatible subset so engines agree)",
+    tags=("scalar", "text"),
+)
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", "[0-9]+", 0).alias("src_num"),
+        F.regexp_replace("lang", "[aeiou]", "_").alias("lang_masked"),
+        F.regexp_count("text", F.lit("[a-z]+[0-9]+")).cast("bigint").alias("n_alnum_tokens"),
+    )
+
+
+@register(
+    "bitwise_ops",
+    oracle="""
+        SELECT o_orderkey,
+               xor(o_orderkey, 255) AS x,
+               o_orderkey & 255 AS a,
+               o_orderkey | 4096 AS o,
+               (o_orderkey << 2) AS shl,
+               (o_orderkey >> 3) AS shr
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+    doc="Bitwise scalar ops (xor/and/or/shifts) — the substrate of the hash "
+    "and sketch operators, exposed directly",
+    tags=("scalar", "math"),
+)
+def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseXOR(255).alias("x"),
+        k.bitwiseAND(255).alias("a"),
+        k.bitwiseOR(4096).alias("o"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@register(
     "correlated_min_subquery",
     oracle="""
         SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
