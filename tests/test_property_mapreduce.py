@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from thread_based_map_reduce_spark.mapreduce import run_map_reduce

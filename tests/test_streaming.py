@@ -79,7 +79,6 @@ def test_stream_parquet_sink_durable(spark, sf_dir, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("stream-ckpt"))
     src = str(tmp_path_factory.mktemp("stream-src"))
     from pyspark.sql import functions as F
-    from thread_based_map_reduce_spark.streaming.events import EVENTS_SCHEMA
 
     batch = load_table(spark, sf_dir, "events")
     # one file per stage dir so maxFilesPerTrigger=1 processes them in

@@ -532,6 +532,51 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "argmax_aggregates",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+               CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Argmax aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min): key of "
+    "the extremal row without a self-join (prices are continuous doubles, "
+    "so the extremum is unique and the result deterministic)",
+    tags=("agg",),
+)
+def q_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "explode_outer_rare_tokens",
+    oracle="""
+        SELECT doc_id,
+               unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 12) AS l
+            FROM documents
+        )
+    """,
+    doc="explode_outer: rows with an empty array survive with NULL (plain "
+    "explode would drop them) — the outer-lateral contract",
+    tags=("projection", "explode"),
+)
+def q_explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rare = F.filter(tokens("text"), lambda w: F.length(w) > 12)
+    return docs.select("doc_id", F.explode_outer(rare).alias("long_token"))
+
+
+@register(
     "conditional_aggregates",
     oracle="""
         SELECT o_orderpriority,
