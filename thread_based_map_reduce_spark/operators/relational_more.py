@@ -333,6 +333,68 @@ def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q19_disjunctive",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 25 AND l_quantity >= 20)
+           OR (p_brand = 'Brand#7'  AND p_size BETWEEN 25 AND 50 AND l_quantity >= 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicates spanning both "
+    "join sides — the optimizer must keep the p_partkey equi-key for the "
+    "(broadcast) join and evaluate the OR as a post-join filter, never fall "
+    "back to a nested loop",
+    tags=("join", "agg", "tpch"),
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 25) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(25, 50) & (F.col("l_quantity") >= 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "string_functions_2",
+    oracle="""
+        SELECT p_partkey,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               translate(p_brand, '#', '-') AS brand_dashed,
+               reverse(p_name) AS name_rev,
+               CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS dist_to_b13,
+               repeat(substr(p_type, 1, 2), 2) AS type_echo
+        FROM part
+        WHERE p_partkey < 100
+    """,
+    doc="String function wave 2: lpad / translate / reverse / levenshtein / "
+    "repeat (edit distance is the classic fuzzy-match primitive)",
+    tags=("scalar", "text"),
+)
+def q_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse("p_name").alias("name_rev"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("bigint").alias("dist_to_b13"),
+        F.repeat(F.substring("p_type", 1, 2), 2).alias("type_echo"),
+    )
+
+
+@register(
     "tpch_q4_priority_check",
     oracle="""
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
