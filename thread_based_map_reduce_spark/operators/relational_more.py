@@ -333,6 +333,91 @@ def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_signup_purchase",
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_us
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        )
+        SELECT f.user_id,
+               f.signup_us,
+               CAST(count(CASE WHEN e.event_type = 'purchase'
+                                AND epoch_us(e.ts) > f.signup_us
+                               THEN 1 END) AS BIGINT) AS purchases_after
+        FROM first_signup f
+        LEFT JOIN events e ON e.user_id = f.user_id
+        GROUP BY f.user_id, f.signup_us
+    """,
+    doc="Funnel analysis: first signup per user → purchases strictly after "
+    "it (one shuffle by user; at scale the first-touch table is an "
+    "incrementally maintained aggregate)",
+    tags=("events", "agg", "join"),
+)
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    return (
+        first_signup.join(
+            e.select("user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("e_us")),
+            "user_id",
+            "left",
+        )
+        .groupBy("user_id", "signup_us")
+        .agg(
+            F.count(
+                F.when((F.col("et") == "purchase") & (F.col("e_us") > F.col("signup_us")), 1)
+            ).alias("purchases_after")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_customers",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue "
+    "(broadcast customer+nation, fact join on orders, rounded-revenue "
+    "ordering with custkey tiebreak)",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q_tpch_q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cd = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cd), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "tpch_q19_disjunctive",
     oracle="""
         SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
