@@ -593,3 +593,28 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
+
+
+@register(
+    "dedup_normalized",
+    oracle=f"""
+        SELECT
+            {portable_hash64_sql("regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS norm_hash,
+            CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+            count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact-normalized dedup: lowercase + trim + whitespace-collapse "
+    "before hashing, so case/spacing variants collapse to one canonical "
+    "doc (the cheap normalization layer that runs before MinHash at scale)",
+    tags=("dedup",),
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return (
+        docs.select(portable_hash64(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )

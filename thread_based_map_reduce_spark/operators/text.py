@@ -292,3 +292,39 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(text) AS BIGINT) AS text_nonnull,
+            CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+            CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+            CAST(min(n_chars) AS BIGINT) AS min_chars,
+            CAST(max(n_chars) AS BIGINT) AS max_chars,
+            round(avg(n_chars), 4) AS avg_chars,
+            round(avg(CASE WHEN length(text) = n_chars THEN 1.0 ELSE 0.0 END), 6)
+                AS n_chars_consistency
+        FROM documents
+    """,
+    doc="Data-quality profile of the documents table in one pass: row/"
+    "non-null counts, per-column distincts, length stats, and a "
+    "cross-column consistency rate (n_chars == length(text))",
+    tags=("text", "quality", "agg"),
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").alias("text_nonnull"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.avg(F.when(F.length("text") == F.col("n_chars"), 1.0).otherwise(0.0)), 6
+        ).alias("n_chars_consistency"),
+    )
