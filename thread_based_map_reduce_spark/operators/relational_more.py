@@ -333,6 +333,125 @@ def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q21_waiting_orders",
+    oracle="""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN orders    ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > TIMESTAMP '1998-01-01'
+          )
+        GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact (multi-"
+    "supplier orders where only this supplier shipped late) — a semi join "
+    "and an anti join chained on the same key",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    late = F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    l1 = li.where(late).select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(late).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = (
+        l1.join(o, F.col("k1") == F.col("o_orderkey"), "left_semi")
+        .join(l2, (F.col("k1") == F.col("k2")) & (F.col("sk1") != F.col("sk2")), "left_semi")
+        .join(l3, (F.col("k1") == F.col("k3")) & (F.col("sk1") != F.col("sk3")), "left_anti")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("sk1") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+        SELECT substr(c_name, 10, 2) AS cntry,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+              SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: above-average balance + NOT EXISTS urgent orders "
+    "(broadcast scalar average + anti join; the original 'no orders at "
+    "all' predicate is vacuous on this data — every customer has orders — "
+    "so the anti-join side is restricted to keep the query non-degenerate)",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntry"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {portable_hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 3
+    """,
+    doc="Deterministic per-group sampling: 3 docs per lang by hash order — "
+    "reproducible stratified sampling (hash order ≈ uniform-random order, "
+    "but stable across engines and runs)",
+    tags=("sampling", "window"),
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        portable_hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "tpch_q17_small_quantity",
     oracle="""
         SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,

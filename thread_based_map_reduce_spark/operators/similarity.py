@@ -250,3 +250,60 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+@register(
+    "centroid_per_label",
+    oracle=f"""
+        SELECT label,
+               CAST(i AS BIGINT) AS dim,
+               round(avg(embedding[i]::DOUBLE), 6) AS c
+        FROM embeddings, range(1, {DIMS + 1}) t(i)
+        WHERE label < 5
+        GROUP BY label, i
+    """,
+    doc="Per-label centroid (the IVF training step): element-wise mean via "
+    "posexplode + group on (label, dim) — narrow (label, dim, value) rows "
+    "shuffle instead of whole vectors; rebuilding the dense centroid is a "
+    "collect_list sorted by dim",
+    tags=("similarity", "ivf", "agg"),
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("label") < 5)
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).cast("bigint").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+@register(
+    "vector_arithmetic",
+    oracle="""
+        SELECT vec_id,
+               round(list_sum(list_transform(embedding::DOUBLE[], x -> x * 2.0)), 6) AS sum_scaled,
+               round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sum_sq,
+               round(list_max(embedding::DOUBLE[]), 6) AS max_c,
+               round(list_min(embedding::DOUBLE[]), 6) AS min_c
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+    doc="Vector arithmetic via higher-order functions (scale / square / "
+    "extrema folds), all JVM-side — the building blocks under cosine and "
+    "normalization",
+    tags=("similarity", "scalar", "array"),
+)
+def q_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * 2.0), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_scaled"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_sq"),
+        F.round(F.array_max(v), 6).alias("max_c"),
+        F.round(F.array_min(v), 6).alias("min_c"),
+    )
