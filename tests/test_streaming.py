@@ -188,3 +188,40 @@ def test_stream_stream_interval_join(spark, sf_dir):
     # append-mode emission is complete here: the single input file is one
     # microbatch, and joined rows emit as soon as both sides are present
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_upsert_totals(spark, sf_dir, tmp_path_factory):
+    import os
+
+    from thread_based_map_reduce_spark.streaming.events import (
+        read_user_totals,
+        start_user_totals_upsert,
+    )
+
+    src = str(tmp_path_factory.mktemp("upsert-src"))
+    target = str(tmp_path_factory.mktemp("upsert-target"))
+    batch = load_table(spark, sf_dir, "events")
+    # two staged files -> two microbatches -> the state table holds partials
+    # from multiple batches and the merge-on-read fold must reconcile them
+    half = batch.where(F.col("event_id") % 2 == 0)
+    other = batch.where(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    other.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+
+    q = start_user_totals_upsert(spark, src, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.user_id: (r.n_events, r.total_value) for r in read_user_totals(spark, target).collect()}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # and the state table really holds partials from >1 batch
+    n_batches = spark.read.parquet(target).select("batch_id").distinct().count()
+    assert n_batches >= 2

