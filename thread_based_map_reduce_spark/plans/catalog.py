@@ -12,6 +12,11 @@ Conventions that keep the order-insensitive value-hash comparison honest
 - every computed column is aliased identically in Spark and SQL;
 - double aggregates are ``round(x, N)``-ed on BOTH sides (both engines then
   snap to the same nearest-decimal double, erasing summation-order ulps);
+- sums with MANY groups over large values (e.g. Q7's 1200 nation-pair-year
+  groups) still occasionally land within an ulp of a cent midpoint, where
+  rounding flips between engines: there, sum ``CAST(term AS DECIMAL(30,6))``
+  on both sides — decimal addition is associative, so the sum is exact and
+  order-free — then round and cast back to double;
 - integer sums are cast to BIGINT in DuckDB (its native sum is HUGEINT);
 - int32-vs-int64 mismatches (e.g. Spark ``year``) are cast to bigint;
 - timestamps are projected as strings or epoch seconds, never raw;
@@ -75,6 +80,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         relational_more,
+        tpch_suite,
         mapreduce_queries,
         dedup,
         similarity,
