@@ -100,3 +100,33 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     # narrow-key design regressed.
     plan = plan_of(spark, sf_dir, "dedup_exact", execute=True)
     assert count_nodes(plan, "Exchange") <= 1
+
+
+# Queries whose POINT is the Python lane (parity/UDF/multimodal kernels).
+_PYTHON_LANE = {
+    "mr_charcount",
+    "mr_wordcount_filtered",
+    "mr_lang_source_expand",
+    "udtf_tokenize",
+    "cogroup_user_activity",
+    "pandas_udf_token_count",
+    "multimodal_decode_stats",
+    "multimodal_resize_thumbs",
+}
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def test_declarative_queries_have_no_python_in_plan(spark, sf_dir):
+    # The JVM-only claim (SCALE.md §1), enforced: every non-parity query's
+    # physical plan must be free of Python evaluation nodes.
+    global _QS
+    if _QS is None:
+        _QS = queries()
+    offenders = []
+    for name, fn in _QS.items():
+        if name in _PYTHON_LANE or name == "dedup_clusters":  # iterative: builds eagerly
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if any(node in plan for node in _PY_NODES):
+            offenders.append(name)
+    assert not offenders, f"Python in supposedly-JVM-only plans: {offenders}"

@@ -1249,6 +1249,76 @@ def q_sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_day_from_hour",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Hypertable-rollup pattern: the DAY aggregate is computed FROM the "
+    "HOUR aggregate's partials (sum of counts, sum of sums), not from raw "
+    "events — at 100 TB the hour table is the materialized continuous "
+    "aggregate and day/week/month roll up from it for ~24x/170x less "
+    "input. The oracle aggregates raw events directly; results must agree.",
+    tags=("events", "agg", "rollup"),
+)
+def q_events_rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # the hour-grain "continuous aggregate" (materialized at scale)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+    # day grain derived from hour partials — no second scan of raw events
+    return (
+        hourly.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "hour_start")).alias("day_start_s"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("value_sum"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "topk_with_ties",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey, CAST(qty AS BIGINT) AS qty
+        FROM (
+            SELECT o_orderstatus, o_orderkey, qty,
+                   rank() OVER (PARTITION BY o_orderstatus ORDER BY qty DESC) AS rnk
+            FROM (
+                SELECT o_orderstatus, o_orderkey,
+                       CAST(round(o_totalprice / 50000) AS BIGINT) AS qty
+                FROM orders
+            )
+        )
+        WHERE rnk <= 3
+    """,
+    doc="Top-k WITH ties (rank, not row_number): every row tied at the "
+    "boundary survives, so the result is deterministic without a tiebreak "
+    "column even on a discretized ranking key",
+    tags=("window", "topk"),
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / 50000).cast("bigint").alias("qty"),
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("qty").desc())
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "qty")
+    )
+
+
+@register(
     "events_sliding_2h",
     oracle="""
         SELECT CAST(epoch(w_start) AS BIGINT) AS win_start_s,
