@@ -328,3 +328,80 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.length("text") == F.col("n_chars"), 1.0).otherwise(0.0)), 6
         ).alias("n_chars_consistency"),
     )
+
+
+@register(
+    "token_pmi_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS ts
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        n_ab AS (
+            SELECT a.t AS ta, b.t AS tb, count(*) AS nab
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY 1, 2
+        ),
+        n_t AS (SELECT t, count(*) AS nt FROM tok GROUP BY t),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT ta, tb, CAST(nab AS BIGINT) AS n_ab,
+                   round(ln(nab::DOUBLE * n_docs / (x.nt * y.nt)), 6) AS pmi
+            FROM n_ab
+            JOIN n_t x ON x.t = ta
+            JOIN n_t y ON y.t = tb
+            CROSS JOIN n
+            WHERE nab >= 5
+        )
+        SELECT ta, tb, n_ab, pmi
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY pmi DESC, ta, tb) AS rn
+            FROM scored
+        )
+        WHERE rn <= 50
+    """,
+    doc="Token co-occurrence PMI: top-50 pointwise-mutual-information pairs "
+    "(distinct-per-doc pairs expanded LOCALLY inside each doc's sorted "
+    "token array — no self-join on the Spark side, unlike the oracle; "
+    "doc-frequency and N are small broadcast sides; ranking on the rounded "
+    "score with a pair tiebreak)",
+    tags=("text", "agg", "ngram"),
+)
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.sort_array(F.array_distinct(tokens("text"))).alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (a, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))"
+            )
+        ).alias("p")
+    ).select("p.ta", "p.tb")
+    n_ab = pairs.groupBy("ta", "tb").agg(F.count("*").alias("n_ab")).where(F.col("n_ab") >= 5)
+    n_t = toks.select(F.explode("ts").alias("t")).groupBy("t").agg(F.count("*").alias("nt"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    xa = n_t.select(F.col("t").alias("ta"), F.col("nt").alias("na"))
+    xb = n_t.select(F.col("t").alias("tb"), F.col("nt").alias("nb"))
+    scored = (
+        n_ab.join(F.broadcast(xa), "ta")
+        .join(F.broadcast(xb), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab").cast("double") * F.col("n_docs") / (F.col("na") * F.col("nb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.col("pmi").desc(), "ta", "tb")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("ta", "tb", "n_ab", "pmi")
+    )
