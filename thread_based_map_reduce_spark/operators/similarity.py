@@ -307,3 +307,84 @@ def q_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 6).alias("max_c"),
         F.round(F.array_min(v), 6).alias("min_c"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   CAST({_SIGN_BUCKET_SQL.format(e='embedding')} AS BIGINT) AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe, bucket
+            FROM bucketed WHERE vec_id < {N_QUERIES}
+        ),
+        bf AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_COS_SQL.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+                       ) AS rnk
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid
+            ) WHERE rnk <= 3
+        ),
+        lsh AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_COS_SQL.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+                       ) AS rnk
+                FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+            ) WHERE rnk <= 3
+        )
+        SELECT b.qid,
+               CAST(count(l.vec_id) AS BIGINT) AS hits,
+               round(count(l.vec_id) / 3.0, 6) AS recall_at_3
+        FROM bf b
+        LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id
+        GROUP BY b.qid
+    """,
+    doc="ANN evaluation: recall@3 of the sign-LSH search against the "
+    "brute-force ground truth, per query — the measurement loop any ANN "
+    "deployment needs (run on a sampled query set at scale)",
+    tags=("similarity", "ann", "eval"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
+    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    bf = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "vec_id")
+    )
+    lsh = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("lqid"), F.col("vec_id").alias("lvid"))
+    )
+    return (
+        bf.join(
+            lsh, (F.col("qid") == F.col("lqid")) & (F.col("vec_id") == F.col("lvid")), "left"
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("lvid").alias("hits"),
+            F.round(F.count("lvid") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
