@@ -1412,3 +1412,136 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Calendar heatmap: event counts by day-of-week x hour-of-day "
+    "(DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday, reconciled with "
+    "a -1 offset)",
+    tags=("events", "agg", "date"),
+)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   sum(CAST(o_totalprice AS DECIMAL(30, 6))) AS rev
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month,
+               round(rev, 2)::DOUBLE AS revenue,
+               round(rev - lag(rev) OVER (ORDER BY month), 2)::DOUBLE AS mom_delta
+        FROM monthly
+    """,
+    doc="Month-over-month revenue growth: monthly rollup + lag window "
+    "(decimal sums: ~80 month groups over large values — the Q7 lesson)",
+    tags=("window", "agg", "date"),
+)
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).cast("double").alias("mom_delta"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               round((o_totalprice - avg_p) / sd_p, 4) AS z
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   avg(o_totalprice) OVER w AS avg_p,
+                   stddev_samp(o_totalprice) OVER w AS sd_p
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus)
+        )
+        WHERE abs((o_totalprice - avg_p) / sd_p) > 1.7
+    """,
+    doc="Z-score outlier detection per group: whole-partition avg/stddev "
+    "window (no ORDER BY -> single frame). Threshold 1.7: totalprice is near-uniform, whose |z| maxes at sqrt(3) =~ 1.73 — 1.7 selects the true distribution tails",
+    tags=("window", "stats"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        o.withColumn("z", z)
+        .where(F.abs("z") > 1.7)
+        .select("o_orderkey", "o_orderstatus", F.round("z", 4).alias("z"))
+    )
+
+
+@register(
+    "cumulative_revenue_share",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_totalprice,
+                   sum(CAST(o_totalprice AS DECIMAL(30, 6))) OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_rev,
+                   sum(CAST(o_totalprice AS DECIMAL(30, 6))) OVER () AS total_rev,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT CAST(rn AS BIGINT) AS rn, o_orderkey,
+               round((cum_rev / total_rev)::DOUBLE, 6) AS cum_share
+        FROM ranked
+        WHERE rn <= 100
+    """,
+    doc="Pareto / cumulative-share analysis: running revenue share of the "
+    "top orders (decimal running sums so every prefix is order-exact; "
+    "global windows are fine for a top-100 slice — at scale, pre-filter "
+    "with a TakeOrdered top-k first)",
+    tags=("window", "topk", "stats"),
+)
+def q_cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,6)")
+    w_order = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = o.select(
+        "o_orderkey",
+        F.sum(dec).over(w_cum).alias("cum_rev"),
+        F.sum(dec).over(W.partitionBy()).alias("total_rev"),
+        F.row_number().over(w_order).cast("bigint").alias("rn"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 100)
+        .select(
+            "rn",
+            "o_orderkey",
+            F.round((F.col("cum_rev") / F.col("total_rev")).cast("double"), 6).alias("cum_share"),
+        )
+    )
