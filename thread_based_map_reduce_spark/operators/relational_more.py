@@ -1545,3 +1545,157 @@ def q_cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("cum_rev") / F.col("total_rev")).cast("double"), 6).alias("cum_share"),
         )
     )
+
+
+@register(
+    "retention_weekly",
+    oracle="""
+        WITH weekly AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk
+            FROM events
+        )
+        SELECT a.wk AS week_s,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active,
+               CAST(count(DISTINCT b.user_id) AS BIGINT) AS retained
+        FROM weekly a
+        LEFT JOIN weekly b ON b.user_id = a.user_id AND b.wk = a.wk + 604800
+        GROUP BY a.wk
+    """,
+    doc="Weekly retention: users active in week N who return in week N+1 "
+    "(distinct user-week grid self-joined one week forward — the standard "
+    "cohort-retention shape; the grid is tiny relative to raw events)",
+    tags=("events", "join", "agg"),
+)
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.unix_timestamp(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    a = weekly.select(F.col("user_id").alias("ua"), F.col("wk").alias("week_s"))
+    b = weekly.select(F.col("user_id").alias("ub"), F.col("wk").alias("wkb"))
+    return (
+        a.join(
+            b,
+            (F.col("ub") == F.col("ua")) & (F.col("wkb") == F.col("week_s") + 604800),
+            "left",
+        )
+        .groupBy("week_s")
+        .agg(
+            F.countDistinct("ua").alias("active"),
+            F.countDistinct("ub").alias("retained"),
+        )
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+        WITH l AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+            FROM orders WHERE o_orderkey < 300
+        ),
+        r AS (
+            SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+            FROM orders
+        )
+        SELECT l.o_orderkey, l.k AS status_key
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantic corner plain "
+    "equi-joins silently drop",
+    tags=("join", "scalar"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus"))
+    l = o.where(F.col("o_orderkey") < 300).select("o_orderkey", k.alias("lk"))
+    r = o.select(k.alias("rk")).distinct()
+    return l.join(r, F.col("lk").eqNullSafe(F.col("rk"))).select(
+        "o_orderkey", F.col("lk").alias("status_key")
+    )
+
+
+@register(
+    "array_setops",
+    oracle="""
+        SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+               CAST(len(list_distinct(list_concat(d1.ts, d2.ts))) AS BIGINT) AS n_union,
+               CAST(len(list_intersect(d1.ts, d2.ts)) AS BIGINT) AS n_intersect,
+               CAST(len(list_filter(d1.ts, t -> NOT list_contains(d2.ts, t))) AS BIGINT) AS n_only_a,
+               list_has_any(d1.ts, d2.ts) AS overlaps
+        FROM (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ts
+              FROM documents WHERE doc_id < 20) d1
+        JOIN (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ts
+              FROM documents WHERE doc_id < 20) d2
+          ON d2.doc_id = d1.doc_id + 1
+    """,
+    doc="Array set operations (union/intersect/except/overlap) between "
+    "consecutive docs' token sets — the JVM array kernel under Jaccard",
+    tags=("scalar", "array"),
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    t = docs.select("doc_id", F.array_distinct(tokens("text")).alias("ts"))
+    d1 = t.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    d2 = t.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    return (
+        d1.join(d2, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_union("ts_a", "ts_b")).cast("bigint").alias("n_union"),
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("bigint").alias("n_intersect"),
+            F.size(F.array_except("ts_a", "ts_b")).cast("bigint").alias("n_only_a"),
+            F.arrays_overlap("ts_a", "ts_b").alias("overlaps"),
+        )
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(o_totalprice AS DECIMAL(30, 6))), 2)::DOUBLE AS bucket_rev
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Equi-width histogram via floor-division bucketing (the SQL-native "
+    "width_bucket; one map-side-combinable aggregation)",
+    tags=("agg", "stats"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("bigint")
+    return o.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("bucket_rev"),
+    )
+
+
+@register(
+    "weighted_avg_price",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+               round(avg(l_extendedprice), 6) AS avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Weighted average (quantity-weighted price) vs plain average — the "
+    "sum-of-products/sum-of-weights form every BI layer needs",
+    tags=("agg", "stats"),
+)
+def q_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("wavg_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )
