@@ -1699,3 +1699,81 @@ def q_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
     )
+
+
+@register(
+    "trending_per_hour",
+    oracle="""
+        SELECT hour_s, event_type, CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+                   event_type, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY count(*) DESC, event_type
+                   ) AS rn
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        )
+        WHERE rn <= 2
+    """,
+    doc="Trending-per-window: top-2 event types per hour (agg then "
+    "per-window ranking — the leaderboard shape of streaming analytics, "
+    "here in its batch form)",
+    tags=("events", "window", "topk"),
+)
+def q_trending_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("hr").orderBy(F.col("n").desc(), "event_type")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(F.unix_timestamp("hr").alias("hour_s"), "event_type", "n")
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+        FROM pairs
+    """,
+    doc="Market-basket pair mining: part pairs co-ordered >= 2 times. Spark "
+    "side expands pairs LOCALLY inside each order's sorted distinct-part "
+    "array (baskets are small) — no self-join; the oracle self-joins.",
+    tags=("agg", "explode", "basket"),
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (a, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), b -> "
+                "struct(a AS part_a, b AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )

@@ -405,3 +405,47 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("ta", "tb", "n_ab", "pmi")
     )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+            WHERE doc_id < 200
+        ),
+        freq AS (
+            SELECT doc_id, ch, count(*)::DOUBLE AS n FROM chars WHERE ch <> ''
+            GROUP BY doc_id, ch
+        ),
+        tot AS (SELECT doc_id, sum(n) AS total FROM freq GROUP BY doc_id)
+        SELECT f.doc_id,
+               round(-sum((n / total) * ln(n / total)), 6) AS entropy,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars
+        FROM freq f JOIN tot USING (doc_id)
+        GROUP BY f.doc_id
+    """,
+    doc="Per-document Shannon character entropy (nats) — the randomness/"
+    "boilerplate quality signal; per-doc char frequency -> -sum(p ln p). "
+    "Generalizes the flagship char-count to a per-doc distribution "
+    "statistic.",
+    tags=("text", "quality"),
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    w = W.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(w)
+    return (
+        freq.withColumn("term", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term"), 6).alias("entropy"),
+            F.count("*").alias("n_distinct_chars"),
+        )
+    )
