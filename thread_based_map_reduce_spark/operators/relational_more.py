@@ -1777,3 +1777,106 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
     )
+
+
+@register(
+    "ratio_to_report",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(CAST(l_extendedprice AS DECIMAL(30, 6)))
+                     / sum(sum(CAST(l_extendedprice AS DECIMAL(30, 6)))) OVER (PARTITION BY l_returnflag), 6)::DOUBLE
+                   AS share_within_flag
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Ratio-to-report: each (flag,status) cell's share of its flag's "
+    "total via a window over the aggregate (aggregate-then-window, no "
+    "second scan; decimal sums for order-exactness)",
+    tags=("window", "agg", "stats"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("rev")
+    )
+    w = W.partitionBy("l_returnflag")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("rev") / F.sum("rev").over(w), 6)
+        .cast("double")
+        .alias("share_within_flag"),
+    )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        scaffold AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1
+        )
+        SELECT CAST(epoch(s.hr) AS BIGINT) AS hour_s,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        FROM scaffold s LEFT JOIN actual a ON a.hr = s.hr
+    """,
+    doc="Time-series gap filling: a generated hour scaffold (sequence + "
+    "explode) left-joined to actual counts so silent hours surface as "
+    "zeros — the dense-series contract dashboards and anomaly detectors "
+    "need",
+    tags=("events", "join", "date"),
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    scaffold = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("ahr")).agg(F.count("*").alias("n"))
+    return (
+        scaffold.join(actual, F.col("ahr") == F.col("hr"), "left")
+        .select(
+            F.unix_timestamp("hr").alias("hour_s"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+        SELECT o_orderkey AS id, o_totalprice AS amount, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL
+        SELECT c_custkey AS id, c_acctbal AS amount, NULL AS priority
+        FROM customer WHERE c_custkey < 100
+    """,
+    doc="unionByName with allowMissingColumns: schemas aligned by NAME, "
+    "absent columns null-filled (positional UNION would silently mismatch)",
+    tags=("setop", "projection"),
+)
+def q_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("amount"))
+    )
+    return o.unionByName(c, allowMissingColumns=True)
