@@ -1880,3 +1880,79 @@ def q_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("amount"))
     )
     return o.unionByName(c, allowMissingColumns=True)
+
+
+@register(
+    "nested_struct_ops",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(len(items) AS BIGINT) AS n_lines,
+               round(list_sum(list_transform(items, s -> s.ep * s.q)), 2) AS order_value,
+               round(items[1].ep, 2) AS first_line_price
+        FROM (
+            SELECT l_orderkey,
+                   list(struct_pack(ln := l_linenumber, ep := l_extendedprice, q := l_quantity)
+                        ORDER BY l_linenumber, l_extendedprice, l_quantity) AS items
+            FROM lineitem
+            WHERE l_orderkey < 500
+            GROUP BY l_orderkey
+        )
+    """,
+    doc="Nested data: collect each order's lines into a SORTED "
+    "array<struct>, then compute over the nested shape with struct-field "
+    "lambdas and positional access — the document/array model LLM "
+    "pipeline records actually have (sort_array compares structs "
+    "field-by-field; the oracle orders by the same full field list, since "
+    "line numbers repeat in this data and a partial order would leave the "
+    "first element nondeterministic)",
+    tags=("scalar", "array", "agg"),
+)
+def q_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    items = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_extendedprice").alias("ep"),
+                F.col("l_quantity").alias("q"),
+            )
+        )
+    )
+    nested = li.groupBy("l_orderkey").agg(items.alias("items"))
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("bigint").alias("n_lines"),
+        F.round(
+            F.aggregate(
+                F.transform("items", lambda s: s["ep"] * s["q"]),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            2,
+        ).alias("order_value"),
+        F.round(F.element_at("items", 1)["ep"], 2).alias("first_line_price"),
+    )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN json_extract(props, '$.k') IS NULL THEN 'missing' ELSE 'present' END AS k_status
+        FROM events
+        WHERE event_id < 300
+    """,
+    doc="from_json to a TYPED struct (schema-on-read over the JSON props "
+    "column) with null-tracking for absent keys — vs the map-shaped "
+    "json_map_explode and stringly get_json_object paths",
+    tags=("scalar", "json"),
+)
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    parsed = e.select("event_id", F.from_json("props", "k bigint").alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k").isNull(), "missing").otherwise("present").alias("k_status"),
+    )
