@@ -25,7 +25,7 @@ DuckDB oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import (
     MINHASH_PARAMS,
@@ -617,4 +617,104 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(portable_hash64(norm).alias("norm_hash"), "doc_id")
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified
+            UNION SELECT doc_a, doc_a FROM verified
+            UNION SELECT doc_b, doc_b FROM verified
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN sym s ON w.root = s.a
+        ),
+        clusters AS (
+            SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(root) AS BIGINT) AS cluster
+            FROM walk GROUP BY node
+        ),
+        quality AS (
+            SELECT doc_id,
+                   round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
+                                / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
+                         + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
+                         + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
+            FROM documents
+        )
+        SELECT cluster, doc_id AS kept_doc, CAST(n_members AS BIGINT) AS n_members,
+               q AS kept_quality
+        FROM (
+            SELECT c.cluster, c.doc_id, q.q,
+                   row_number() OVER (PARTITION BY c.cluster ORDER BY q.q DESC, c.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster) AS n_members
+            FROM clusters c JOIN quality q USING (doc_id)
+        )
+        WHERE rn = 1
+    """,
+    doc="Cluster canonicalization by QUALITY (keep-best, not keep-min-id): "
+    "each near-dup cluster keeps its highest-quality member — what a "
+    "training-data pipeline actually wants from dedup. Reuses the LSH "
+    "cluster assignment and the quality score; rank by (quality desc, "
+    "doc_id).",
+    tags=("dedup", "lsh", "quality", "iterative"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.round(quality, 6).alias("q")), "doc_id"
+    )
+    w = W.partitionBy("cluster")
+    ranked = scored.select(
+        "cluster",
+        "doc_id",
+        "q",
+        F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id")).alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("kept_doc"),
+        "n_members",
+        F.col("q").alias("kept_quality"),
     )

@@ -449,3 +449,35 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_distinct_chars"),
         )
     )
+
+
+@register(
+    "stratified_token_quantiles",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+               round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+        FROM (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+            FROM documents
+        )
+        GROUP BY lang
+    """,
+    doc="Per-language token-count quantiles (exact interpolated p50/p90) — "
+    "the length-distribution audit run before choosing truncation limits",
+    tags=("text", "stats", "agg"),
+)
+def q_stratified_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+        )
+    )
