@@ -718,3 +718,109 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("q").alias("kept_quality"),
     )
+
+
+@register(
+    "minhash_estimate_eval",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_PERMS))})
+                     / {N_PERMS}.0, 6) AS est_jaccard,
+               round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS true_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        JOIN tsets a ON a.doc_id = doc_a
+        JOIN tsets b ON b.doc_id = doc_b
+    """,
+    doc="MinHash accuracy evaluation: for every LSH candidate pair, the "
+    "signature-agreement estimate (matching perms / 8) next to the true "
+    "hashed-shingle Jaccard — the sketch-quality measurement that decides "
+    "permutation count at scale",
+    tags=("dedup", "minhash", "eval"),
+)
+def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    buckets = (
+        bands.groupBy("band", "x", "y")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERMS)])
+    agree = None
+    for i in range(N_PERMS):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    tsets = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
+            ).alias("ts"),
+        )
+    )
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(N_PERMS), 6).alias("est_jaccard"),
+            F.round(inter / union, 6).alias("true_jaccard"),
+        )
+    )

@@ -1956,3 +1956,32 @@ def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.when(F.col("p.k").isNull(), "missing").otherwise("present").alias("k_status"),
     )
+
+
+@register(
+    "events_error_rate_hourly",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+               round(count_if(event_type = 'error') / count(*)::DOUBLE, 6) AS error_rate
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Hourly error-rate monitoring: conditional count over total per "
+    "window — the alerting primitive (streaming twin would be the same "
+    "agg under a watermark)",
+    tags=("events", "agg", "date"),
+)
+def q_events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+            F.round(
+                F.count_if(F.col("event_type") == "error") / F.count("*").cast("double"), 6
+            ).alias("error_rate"),
+        )
+    )

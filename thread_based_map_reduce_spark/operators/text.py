@@ -481,3 +481,44 @@ def q_stratified_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
         )
     )
+
+
+@register(
+    "top_bigrams_per_lang",
+    oracle="""
+        SELECT lang, bigram, CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT lang, bigram, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY count(*) DESC, bigram
+                   ) AS rn
+            FROM (
+                SELECT lang,
+                       unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS bigram
+                FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                      FROM documents)
+            )
+            GROUP BY lang, bigram
+        )
+        WHERE rn <= 5
+    """,
+    doc="Top-5 word bigrams per language: n-gram explode -> per-lang count "
+    "-> per-group ranking with a bigram tiebreak (collocation mining)",
+    tags=("text", "ngram", "topk"),
+)
+def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import ngrams_of_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", tokens("text").alias("toks"))
+    bigrams = toks.select(
+        "lang", F.explode(ngrams_of_tokens(F.col("toks"), 2)).alias("bigram")
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )
