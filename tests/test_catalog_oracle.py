@@ -23,3 +23,18 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert res.ok, res.problems
     if not res.oracle_checked:
         assert res.rows >= 0  # rows-only contract
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    # the rows-only HLL sketch query still has a testable contract:
+    # approx_count_distinct within 5% of the exact count
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05

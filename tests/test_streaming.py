@@ -225,3 +225,30 @@ def test_foreachbatch_upsert_totals(spark, sf_dir, tmp_path_factory):
     # and the state table really holds partials from >1 batch
     n_batches = spark.read.parquet(target).select("batch_id").distinct().count()
     assert n_batches >= 2
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    # streaming deduplication: duplicate event_ids arriving within the
+    # watermark horizon are dropped; output = distinct original events
+    import os
+
+    src = str(tmp_path_factory.mktemp("dedup-src"))
+    batch = load_table(spark, sf_dir, "events")
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    # replay the same events (same event_id+ts -> duplicates)
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+
+    schema = batch.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    deduped = raw.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_stream_to_memory(deduped, "t_dedup_stream", "append")
+    got = sorted(r.event_id for r in out.collect())
+    want = sorted(r.event_id for r in batch.collect())
+    assert got == want  # every duplicate dropped, every original kept once

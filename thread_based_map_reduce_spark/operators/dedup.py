@@ -824,3 +824,63 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / union, 6).alias("true_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM cand
+            JOIN tsets x ON x.doc_id = doc_a
+            JOIN tsets y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.ts, y.ts))::DOUBLE
+                  / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= {JACCARD_THRESHOLD}
+        )
+        SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangle enumeration over the verified near-dup graph (a<b<c edge "
+    "orientation makes each triangle appear exactly once; the standard "
+    "two-join triangle algorithm — at scale, partition edges by the "
+    "low-degree endpoint). Triangles = clusters whose members are all "
+    "pairwise-similar, vs chains that connected components would merge.",
+    tags=("dedup", "lsh", "graph"),
+)
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lsh_verified_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = edges.select(F.col("a").alias("ub"), F.col("b").alias("uc"))
+    e3 = edges.select(F.col("a").alias("va"), F.col("b").alias("vc"))
+    return (
+        e1.join(e2, F.col("ub") == F.col("tb"))
+        .join(e3, (F.col("va") == F.col("ta")) & (F.col("vc") == F.col("uc")))
+        .select(
+            F.col("ta").alias("doc_a"),
+            F.col("tb").alias("doc_b"),
+            F.col("uc").alias("doc_c"),
+        )
+    )
