@@ -27,4 +27,5 @@ def test_queries_and_oracles_aligned(spark):
         "approx_aggregates",
         "multimodal_decode_stats",
         "multimodal_resize_thumbs",
+        "ivf_kmeans_assignments",
     }

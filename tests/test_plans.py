@@ -124,7 +124,7 @@ def test_declarative_queries_have_no_python_in_plan(spark, sf_dir):
         _QS = queries()
     offenders = []
     for name, fn in _QS.items():
-        if name in _PYTHON_LANE or name == "dedup_clusters":  # iterative: builds eagerly
+        if name in _PYTHON_LANE or name in ("dedup_clusters", "dedup_keep_best", "ivf_kmeans_assignments"):  # iterative: build eagerly
             continue
         plan = plan_of(spark, sf_dir, name)
         if any(node in plan for node in _PY_NODES):

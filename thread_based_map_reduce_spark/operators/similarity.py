@@ -388,3 +388,78 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("lvid") / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """Deterministic Lloyd k-means over the embeddings (the real IVF
+    training step): seeds = the k lowest vec_ids (no RNG), exactly
+    ``iters`` assignment/recompute rounds, driver-coordinated like
+    dedup_clusters with localCheckpoint lineage truncation.
+
+    Returns (assignments DataFrame [vec_id, centroid], per-iteration
+    inertia). Distances run JVM-side; centroids are collected to the
+    driver each round (k × 64 doubles — tiny) and re-broadcast as
+    literal arrays, so each round is one scan + one narrow shuffle."""
+    from ..functions.vectors import dot_product
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    centroids = [
+        (i, r.v)
+        for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
+    ]
+    inertia_per_iter: list[float] = []
+    assign = None
+    for _ in range(iters):
+        # squared distance to each centroid: |v|^2 - 2 v.c + |c|^2; argmin
+        dist_cols = [
+            (
+                dot_product("v", F.array(*[F.lit(x) for x in c]))
+                * -2.0
+                + F.lit(sum(x * x for x in c))
+            ).alias(f"d{ci}")
+            for ci, c in centroids
+        ]
+        scored = emb.select("vec_id", "v", F.least(*[
+            F.struct(d.alias("d"), F.lit(ci).alias("c"))
+            for (ci, _), d in zip(centroids, dist_cols)
+        ]).alias("best"))
+        assign = scored.select(
+            "vec_id", "v", F.col("best.c").alias("centroid"), F.col("best.d").alias("partial_d")
+        )
+        # inertia (+|v|^2 term, constant across centroids, added back)
+        vnorm = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        inertia = assign.agg(F.sum(F.col("partial_d") + vnorm)).first()[0]
+        inertia_per_iter.append(float(inertia))
+        # recompute centroids as per-dim means of members
+        new_rows = (
+            assign.select("centroid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("centroid", F.expr("transform(dm, s -> s.m)").alias("c"))
+            .collect()
+        )
+        centroids = sorted((r.centroid, list(r.c)) for r in new_rows)
+    return assign.select("vec_id", "centroid"), inertia_per_iter
+
+
+@register(
+    "ivf_kmeans_assignments",
+    oracle=None,  # iterative Lloyd rounds: driver-coordinated, not single-statement SQL
+    doc="Deterministic Lloyd k-means assignments (k=8, 3 iterations, "
+    "lowest-vec_id seeds, no RNG) — the IVF training loop as the second "
+    "iterative-algorithm showcase beside dedup_clusters; determinism, "
+    "monotone inertia, and full assignment are pytest-verified "
+    "(tests/test_kmeans.py)",
+    tags=("similarity", "ivf", "iterative"),
+)
+def q_ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign, _ = kmeans_train(spark, sf_dir, k=8, iters=3)
+    return assign
