@@ -884,3 +884,86 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("uc").alias("doc_c"),
         )
     )
+
+
+@register(
+    "corpus_curation_stats",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified
+            UNION SELECT doc_a, doc_a FROM verified
+            UNION SELECT doc_b, doc_b FROM verified
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN sym s ON w.root = s.a
+        ),
+        near_dups AS (
+            SELECT node AS doc_id FROM walk GROUP BY node
+            HAVING node <> min(root)
+        ),
+        exact_kept AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (
+                           PARTITION BY {portable_hash64_sql('text')} ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        gated AS (
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
+                                    / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
+                             + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
+                             + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
+                FROM exact_kept
+                WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+            ) WHERE q >= 0.5
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_curated
+        FROM gated GROUP BY lang
+    """,
+    doc="The END-TO-END curation pipeline under the oracle gate: exact "
+    "dedup -> near-dup drop (LSH clusters) -> quality gate, counted per "
+    "language. Oracle recomputes the whole pipeline in one recursive-CTE "
+    "DuckDB statement — the full composition, not just the pieces, is "
+    "hash-checked.",
+    tags=("dedup", "lsh", "quality", "pipeline"),
+)
+def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import curate_corpus
+
+    return curate_corpus(spark, sf_dir, out_dir=None, quality_min=0.5).groupBy(
+        "lang"
+    ).agg(F.count("*").alias("n_curated"))

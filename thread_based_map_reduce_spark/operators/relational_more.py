@@ -1985,3 +1985,34 @@ def q_events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("error_rate"),
         )
     )
+
+
+@register(
+    "mode_priority_per_status",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority
+                   ) AS rn
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        )
+        WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode: most frequent priority per status "
+    "via count + ranked tiebreak (the built-in mode() breaks frequency "
+    "ties arbitrarily in both engines, so it is expressed explicitly)",
+    tags=("agg", "stats"),
+)
+def q_mode_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
