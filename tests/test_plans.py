@@ -130,3 +130,12 @@ def test_declarative_queries_have_no_python_in_plan(spark, sf_dir):
         if any(node in plan for node in _PY_NODES):
             offenders.append(name)
     assert not offenders, f"Python in supposedly-JVM-only plans: {offenders}"
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    # orderBy must plan a range exchange (sampled split points -> balanced
+    # sorted partitions), not a single-partition sort
+    plan = plan_of(spark, sf_dir, "limit_offset_page")
+    assert "rangepartitioning" in plan.lower() or "TakeOrderedAndProject" in plan, (
+        "global sort neither range-partitioned nor top-k optimized"
+    )

@@ -60,3 +60,21 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     # predicate reaches the scan; scan reads only the two needed columns
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in formatted
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in formatted
+
+
+def test_observe_metrics_during_action(spark, sf_dir):
+    # df.observe: accumulate metrics inside the action, no second scan
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("lineitem-metrics")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    n = li.count()
+    got = obs.get
+    assert got["rows"] == n > 0
+    want = load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 2)
+    ).first()[0]
+    assert got["qty"] == want

@@ -2016,3 +2016,39 @@ def q_mode_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+@register(
+    "inline_struct_explode",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(s.ln AS BIGINT) AS ln,
+               round(s.ep, 2) AS ep
+        FROM (
+            SELECT l_orderkey,
+                   unnest(list(struct_pack(ln := l_linenumber, ep := l_extendedprice)
+                               ORDER BY l_linenumber, l_extendedprice)) AS s
+            FROM lineitem
+            WHERE l_orderkey < 200
+            GROUP BY l_orderkey
+        )
+    """,
+    doc="inline (explode array<struct> to columns): nest lines per order, "
+    "then flatten back — the round trip every nested-document pipeline "
+    "does at its read/write boundary",
+    tags=("projection", "explode", "array"),
+)
+def q_inline_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_extendedprice").alias("ep"))
+            )
+        ).alias("items")
+    )
+    return nested.select("l_orderkey", F.inline("items")).select(
+        "l_orderkey",
+        F.col("ln").cast("bigint").alias("ln"),
+        F.round("ep", 2).alias("ep"),
+    )
