@@ -2052,3 +2052,66 @@ def q_inline_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln").cast("bigint").alias("ln"),
         F.round("ep", 2).alias("ep"),
     )
+
+
+@register(
+    "scd_intervals",
+    oracle="""
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS valid_to_us,
+               event_type
+        FROM events
+        WHERE user_id < 8
+    """,
+    doc="SCD2-style validity intervals: each event's state is valid from "
+    "its timestamp until the user's next event (lead window; NULL "
+    "valid_to = current record) — the slowly-changing-dimension build",
+    tags=("window", "events"),
+)
+def q_scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        "event_type",
+    )
+
+
+@register(
+    "forward_fill_values",
+    oracle="""
+        SELECT event_id, user_id,
+               round(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS filled_value
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        )
+    """,
+    doc="Forward fill (LOCF): error rows carry the user's last non-null "
+    "value via last_value IGNORE NULLS over an unbounded-preceding frame — "
+    "the time-series imputation primitive",
+    tags=("window", "events", "stats"),
+)
+def q_forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 4).alias("filled_value"),
+    )
