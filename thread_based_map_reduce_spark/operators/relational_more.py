@@ -2115,3 +2115,44 @@ def q_forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.last(v, ignorenulls=True).over(w), 4).alias("filled_value"),
     )
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP '1998-12-01'
+        )
+        SELECT strftime(m, '%Y-%m') AS month,
+               CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS month_idx,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE date_trunc('month', o.o_orderdate) = m) AS BIGINT) AS n_orders
+        FROM spine
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): fixed two-year month spine "
+    "via UNION ALL recursion, joined to per-month order counts — the declarative recursion "
+    "surface. (Cycle-safe distinct-union recursion is not yet supported, "
+    "which is why transitive closure — dedup_clusters — stays on the "
+    "driver-coordinated loop.)",
+    tags=("scalar", "date", "recursive"),
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_tbmr_rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP '1998-12-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS month_idx,
+               (SELECT count(*) FROM _tbmr_rec_orders o
+                WHERE date_trunc('month', o.o_orderdate) = m) AS n_orders
+        FROM spine
+        """
+    )
