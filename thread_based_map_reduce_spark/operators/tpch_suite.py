@@ -2,10 +2,10 @@
 the testdata star schema (which has no ``partsupp``; cost-side queries use
 ``part.p_retailprice`` as the unit-cost stand-in — noted per query).
 
-With these, every TPC-H query shape Q1-Q22 except partsupp-only Q20 has a
-catalog twin: Q1 `tpch_q1`, Q2 `correlated_min_subquery`, Q3/Q4/Q5/Q6
-`tpch_q3/q4/q5/q6_*`, Q7-Q9/Q11/Q13/Q15/Q16 here, Q10/Q12/Q14/Q17/Q18/Q19/
-Q21/Q22 `tpch_q*`. All oracle-checked.
+With these, ALL 22 TPC-H query shapes have a catalog twin: Q1 `tpch_q1`,
+Q2 `correlated_min_subquery`, Q3/Q4/Q5/Q6 `tpch_q3/q4/q5/q6_*`,
+Q7-Q9/Q11/Q13/Q15/Q16/Q20 here, Q10/Q12/Q14/Q17/Q18/Q19/Q21/Q22
+`tpch_q*`. All oracle-checked.
 """
 
 from __future__ import annotations
@@ -306,4 +306,45 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN (
+                SELECT l_partkey AS pk, sum(l_quantity) AS part_total
+                FROM lineitem GROUP BY l_partkey
+            ) t ON pk = l_partkey
+            GROUP BY l_suppkey, l_partkey, part_total
+            HAVING sum(l_quantity) > 0.2 * part_total
+        )
+    """,
+    doc="TPC-H Q20 shape (partsupp-free adaptation): suppliers who shipped "
+    "more than 20% of some part's total volume (10 suppliers share each part, so half is unreachable) — IN over a grouped "
+    "HAVING subquery that itself joins a grouped aggregate (the nested "
+    "subquery-chain shape). Completes all 22 TPC-H query shapes.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    part_totals = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_total")
+    )
+    dominant = (
+        li.join(F.broadcast(part_totals), F.col("pk") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey", "part_total")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .where(F.col("supp_qty") > 0.2 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
     )
