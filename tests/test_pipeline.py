@@ -81,3 +81,32 @@ def test_curated_count_matches_duckdb_recompute(spark, sf_dir):
         """
     ).fetchone()[0]
     assert got == want
+
+
+def test_rollup_events_pipeline(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.pipeline import rollup_events
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    out = str(tmp_path_factory.mktemp("events-rollup"))
+    sessions = rollup_events(spark, sf_dir, out)
+
+    # session rows agree with the oracle-checked session_window_agg query
+    from thread_based_map_reduce_spark.plans.catalog import queries
+
+    want = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in queries()["session_window_agg"](spark, sf_dir).collect()
+    }
+    got = {(r.user_id, r.session_start_us): r.n_events for r in sessions.collect()}
+    assert got == want and len(got) > 0
+
+    # daily rollup round-trips and reconciles: total events in the rollup
+    # equal the (deduped = all, event_ids are unique) raw event count
+    back = spark.read.parquet(out)
+    assert back.agg(F.sum("n_events")).first()[0] == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    # partition layout: day directories exist
+    assert back.select("day").distinct().count() > 1

@@ -82,3 +82,69 @@ def curate_corpus(
     if out_dir is not None:
         write_sink(curated, out_dir, fmt="parquet", partition_by=["lang"])
     return curated
+
+
+def rollup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    session_gap: str = "10 minutes",
+) -> DataFrame:
+    """The events-side composition (the streaming-shaped twin of
+    :func:`curate_corpus`):
+
+        raw events
+          → exact dedup      (keep first occurrence per event_id —
+                              at-least-once ingestion repair)
+          → sessionization   (built-in session_window per user)
+          → session features (length, event count, value sum, error count)
+          → daily rollup     (per day × has_errors, from session rows —
+                              never rescans raw events)
+          → partitioned write (by day → partition-pruned reads)
+
+    Returns the session-level DataFrame; writes the daily rollup iff
+    ``out_dir`` is given.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    w = W.partitionBy("event_id").orderBy("ts", "user_id")
+    deduped = (
+        e.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+    sessions = (
+        deduped.groupBy("user_id", F.session_window("ts", session_gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            (
+                F.unix_micros(F.col("session_window.end"))
+                - F.unix_micros(F.col("session_window.start"))
+            ).alias("duration_us"),
+            "n_events",
+            "value_sum",
+            "n_errors",
+        )
+    )
+
+    if out_dir is not None:
+        daily = (
+            sessions.groupBy(
+                F.date_format(F.date_trunc("day", "session_start"), "yyyy-MM-dd").alias("day"),
+                (F.col("n_errors") > 0).alias("has_errors"),
+            )
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("value_sum"), 2).alias("value_sum"),
+            )
+        )
+        write_sink(daily, out_dir, fmt="parquet", partition_by=["day"])
+    return sessions
