@@ -2156,3 +2156,79 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine
         """
     )
+
+
+@register(
+    "events_anomaly_trailing_z",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr, count(*)::DOUBLE AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(epoch(hr) AS BIGINT) AS hour_s,
+               CAST(n AS BIGINT) AS n,
+               round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0), 4) AS trailing_z
+        FROM hourly
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    """,
+    doc="Anomaly detection: each hour's event count z-scored against its "
+    "OWN trailing 24-hour window (frame excludes the current row, so the "
+    "anomaly can't suppress its baseline) — the monitoring-alert shape",
+    tags=("events", "window", "stats"),
+)
+def q_events_anomaly_trailing_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = W.orderBy("hr").rowsBetween(-24, -1)
+    return hourly.select(
+        F.unix_timestamp("hr").alias("hour_s"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.nullif(F.stddev_samp("n").over(w), F.lit(0)),
+            4,
+        ).alias("trailing_z"),
+    )
+
+
+@register(
+    "orders_first_vs_repeat",
+    oracle="""
+        WITH flagged AS (
+            SELECT o_orderkey, o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) = 1 AS is_first
+            FROM orders
+        )
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(count_if(is_first) AS BIGINT) AS first_orders,
+               CAST(count_if(NOT is_first) AS BIGINT) AS repeat_orders,
+               round(count_if(NOT is_first) / count(*)::DOUBLE, 6) AS repeat_share
+        FROM flagged
+        GROUP BY 1
+    """,
+    doc="First-vs-repeat purchase analysis per month: rank each customer's "
+    "orders, bucket the month's volume into acquisition vs retention — "
+    "the growth-accounting shape",
+    tags=("window", "agg", "date"),
+)
+def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_orderdate", (F.row_number().over(w) == 1).alias("is_first")
+    )
+    return (
+        flagged.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count_if("is_first").alias("first_orders"),
+            F.count_if(~F.col("is_first")).alias("repeat_orders"),
+            F.round(
+                F.count_if(~F.col("is_first")) / F.count("*").cast("double"), 6
+            ).alias("repeat_share"),
+        )
+    )
