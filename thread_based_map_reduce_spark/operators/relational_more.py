@@ -2232,3 +2232,36 @@ def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_share"),
         )
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    doc="Event-type transition matrix (Markov counts): lag over each "
+    "user's ordered stream, then count (prev, next) pairs — the "
+    "sequence-model feature extraction shape",
+    tags=("events", "window", "agg"),
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
