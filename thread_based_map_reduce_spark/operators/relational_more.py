@@ -2265,3 +2265,34 @@ def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "discount_effect_by_band",
+    oracle="""
+        SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(l_discount), 6) AS avg_discount,
+               round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30, 6))), 2)::DOUBLE
+                   AS discount_given
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="Discount effect by quantity band: does bigger volume get deeper "
+    "discounts, and what does it cost (decimal sums for the money column)",
+    tags=("agg", "stats"),
+)
+def q_discount_effect_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)")), 2
+            )
+            .cast("double")
+            .alias("discount_given"),
+        )
+    )

@@ -463,3 +463,33 @@ def kmeans_train(
 def q_ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, _ = kmeans_train(spark, sf_dir, k=8, iters=3)
     return assign
+
+
+@register(
+    "embeddings_dim_stats",
+    oracle=f"""
+        SELECT CAST(i AS BIGINT) AS dim,
+               round(avg(embedding[i]::DOUBLE), 6) AS mean_c,
+               round(stddev_samp(embedding[i]::DOUBLE), 6) AS sd_c,
+               round(min(embedding[i]::DOUBLE), 6) AS min_c,
+               round(max(embedding[i]::DOUBLE), 6) AS max_c
+        FROM embeddings, range(1, {DIMS + 1}) t(i)
+        GROUP BY i
+    """,
+    doc="Per-dimension corpus statistics (mean/std/extrema over all 64 "
+    "dims) — the normalization/whitening preprocessing table; narrow "
+    "(dim, value) rows shuffle, not whole vectors",
+    tags=("similarity", "stats", "agg"),
+)
+def q_embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"))
+        .groupBy((F.col("p") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_c"),
+            F.round(F.stddev_samp("v"), 6).alias("sd_c"),
+            F.round(F.min("v"), 6).alias("min_c"),
+            F.round(F.max("v"), 6).alias("max_c"),
+        )
+    )

@@ -522,3 +522,41 @@ def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "bigram", "n")
     )
+
+
+@register(
+    "source_lang_quality_matrix",
+    oracle="""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(0.5 * (n_uniq::DOUBLE / nullif(n_tokens, 0))
+                     + 0.3 * least(n_tokens / 20.0, 1.0)
+                     + 0.2 * least(length_chars / 100.0, 1.0)), 6) AS avg_quality
+        FROM (
+            SELECT source, lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq,
+                   length(text) AS length_chars
+            FROM documents
+        )
+        GROUP BY source, lang
+    """,
+    doc="Source × language quality matrix: mean quality score per cell — "
+    "the pruning decision table (which source/lang cells to keep) a "
+    "curation run starts from",
+    tags=("text", "quality", "agg"),
+)
+def q_source_lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(quality), 6).alias("avg_quality"),
+    )
