@@ -252,3 +252,30 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     got = sorted(r.event_id for r in out.collect())
     want = sorted(r.event_id for r in batch.collect())
     assert got == want  # every duplicate dropped, every original kept once
+
+
+def test_transform_with_state_max(spark, sf_dir):
+    # transformWithStateInPandas needs google.protobuf (the state-server
+    # protocol), which this runtime image lacks — skip rather than stub.
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available: transformWithState needs it")
+    from thread_based_map_reduce_spark.streaming.events import user_max_value_tws_stream
+
+    out = run_stream_to_memory(
+        user_max_value_tws_stream(spark, sf_dir), "t_tws", "update"
+    )
+    final = {}
+    for r in out.collect():
+        final[r.user_id] = r.max_value  # last update per user wins
+    want = {
+        r.user_id: r.m
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("m"))
+        .collect()
+    }
+    assert final == want and len(final) > 0

@@ -2296,3 +2296,29 @@ def q_discount_effect_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("discount_given"),
         )
     )
+
+
+@register(
+    "variant_json_shred",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc="VARIANT type (Spark 4): parse_json → variant_get typed extraction "
+    "— the open-schema semi-structured path (vs the fixed-schema "
+    "from_json struct); aggregated per event type",
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )

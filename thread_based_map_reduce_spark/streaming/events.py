@@ -214,3 +214,50 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> D
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def user_max_value_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running max via transformWithStateInPandas (Spark 4's
+    arbitrary-state API — typed value state, timers, TTL — superseding
+    applyInPandasWithState). Emits the updated max per user per batch.
+
+    NOTE: requires ``google.protobuf`` (the TWS state-server protocol),
+    absent from this runtime image — the parity test skips when the
+    import fails; the code path is exercised wherever protobuf exists."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    # transformWithState requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class MaxTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            self._mx = handle.getValueState(
+                "mx", StructType([StructField("m", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else float("-inf")
+            for pdf in rows:
+                mx = max(mx, float(pdf["value"].max()))
+            self._mx.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            MaxTracker(),
+            outputStructType="user_id long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
