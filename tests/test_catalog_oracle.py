@@ -38,3 +38,17 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         F.countDistinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    # percentile_approx contract: within 2% relative of the exact median
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.median("l_extendedprice").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.02

@@ -139,3 +139,8 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     assert "rangepartitioning" in plan.lower() or "TakeOrderedAndProject" in plan, (
         "global sort neither range-partitioned nor top-k optimized"
     )
+
+
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan, "SHUFFLE_HASH hint did not change the strategy"

@@ -2322,3 +2322,71 @@ def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+@register(
+    "customer_ltv_deciles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30, 6))) AS total
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, total,
+                   ntile(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+            FROM spend
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(total), 2)::DOUBLE AS decile_revenue,
+               round(min(total), 2)::DOUBLE AS min_spend
+        FROM tiled
+        GROUP BY decile
+    """,
+    doc="Customer lifetime-value deciles: spend per customer, ntile(10) "
+    "ranking (unique-key tiebreak), per-decile revenue — the customer-mart "
+    "table behind every 80/20 analysis (decimal sums)",
+    tags=("window", "agg", "stats"),
+)
+def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("total")
+    )
+    w = W.orderBy(F.col("total").desc(), "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total"), 2).cast("double").alias("decile_revenue"),
+        F.round(F.min("total"), 2).cast("double").alias("min_spend"),
+    )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(l_extendedprice AS DECIMAL(30, 6))), 2)::DOUBLE AS rev
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    doc="Join strategy hint: SHUFFLE_HASH forces a shuffled hash join "
+    "where the planner would default to sort-merge — the knob for "
+    "build-side-fits-in-memory fact joins that skips both sorts "
+    "(plan asserted in tests/test_plans.py); results identical to the "
+    "unhinted join, as the oracle shows",
+    tags=("join", "agg"),
+)
+def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+    )
