@@ -2390,3 +2390,76 @@ def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
         )
     )
+
+
+@register(
+    "returns_rate_by_month",
+    oracle="""
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+               round(count_if(l_returnflag = 'R') / count(*)::DOUBLE, 6) AS return_rate
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="Monthly return rate: conditional share per ship month (the "
+    "quality-trend monitor)",
+    tags=("agg", "date", "stats"),
+)
+def q_returns_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+            F.round(
+                F.count_if(F.col("l_returnflag") == "R") / F.count("*").cast("double"), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+@register(
+    "best_day_per_month",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('month', o_orderdate) AS mo,
+                   strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(30, 6))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT month, best_day, best_day_revenue
+        FROM (
+            SELECT strftime(mo, '%Y-%m') AS month,
+                   day AS best_day,
+                   round(rev, 2)::DOUBLE AS best_day_revenue,
+                   row_number() OVER (
+                       PARTITION BY mo ORDER BY round(rev, 2) DESC, day DESC
+                   ) AS rn
+            FROM daily
+        )
+        WHERE rn = 1
+    """,
+    doc="Best revenue day per month: argmax over a derived daily aggregate "
+    "(max_by on a (rounded revenue, day) struct so cross-engine ulps and "
+    "hypothetical ties are both deterministic)",
+    tags=("agg", "date", "topk"),
+)
+def q_best_day_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
+    return (
+        daily.groupBy(F.date_format("mo", "yyyy-MM").alias("month"))
+        .agg(
+            F.max_by("day", F.struct(F.round("rev", 2).alias("r"), F.col("day").alias("d"))).alias(
+                "best_day"
+            ),
+            F.round(F.max("rev"), 2).cast("double").alias("best_day_revenue"),
+        )
+    )
