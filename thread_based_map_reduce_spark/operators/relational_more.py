@@ -2463,3 +2463,45 @@ def q_best_day_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rev"), 2).cast("double").alias("best_day_revenue"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               CAST(round(avg(gap_us), 0) AS BIGINT) AS avg_gap_us,
+               CAST(round(median(gap_us), 0) AS BIGINT) AS med_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """,
+    doc="Inter-arrival statistics per user: lag-derived gaps, then "
+    "avg/median/max — the traffic-model fit and session-gap calibration "
+    "input (median here is over integral µs, rounded to whole µs on both "
+    "engines)",
+    tags=("events", "window", "stats"),
+)
+def q_events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us"), 0).cast("bigint").alias("avg_gap_us"),
+            F.round(F.median("gap_us"), 0).cast("bigint").alias("med_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )

@@ -560,3 +560,39 @@ def q_source_lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg(quality), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "hapax_rate_per_lang",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+            FROM documents
+        ),
+        freq AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(count_if(n = 1) AS BIGINT) AS hapax,
+               round(count_if(n = 1) / count(*)::DOUBLE, 6) AS hapax_rate
+        FROM freq
+        GROUP BY lang
+    """,
+    doc="Hapax legomena rate per language: share of vocabulary appearing "
+    "exactly once — the Zipf-tail corpus statistic (high rate = sparse/"
+    "noisy text; used to calibrate min-frequency cutoffs)",
+    tags=("text", "stats", "agg"),
+)
+def q_hapax_rate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tokens("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    return freq.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.count_if(F.col("n") == 1).alias("hapax"),
+        F.round(F.count_if(F.col("n") == 1) / F.count("*").cast("double"), 6).alias(
+            "hapax_rate"
+        ),
+    )
