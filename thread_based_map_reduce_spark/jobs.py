@@ -123,7 +123,9 @@ class JobHandle:
             return JobState(Stage.MAP, 0.0)
         if not active:
             # between stages: the exchange — the reference's SHUFFLE phase
-            return JobState(Stage.SHUFFLE, 100.0)
+            # (still routed through the clamp: after REDUCE progress has been
+            # observed, a momentary stage gap must not regress to SHUFFLE)
+            return self._clamped(Stage.SHUFFLE, 100.0)
         first, last = min(all_stage_ids), max(all_stage_ids)
         sid, done, total = max(active)
         if sid == first and first != last:
@@ -135,6 +137,11 @@ class JobHandle:
         else:
             stage = Stage.SHUFFLE
         pct = min(100.0, 100.0 * done / total) if total else 0.0
+        return self._clamped(stage, pct)
+
+    def _clamped(self, stage: Stage, pct: float) -> JobState:
+        """Monotone clamp: stage/pct never move backwards (the reference's
+        packed counter only increments, MapReduceFramework.cpp:13-46)."""
         if stage.value < self._last_stage.value:
             stage, pct = self._last_stage, self._last_pct
         elif stage is self._last_stage:

@@ -25,6 +25,8 @@ DuckDB oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.hashing import (
@@ -51,7 +53,9 @@ _SHINGLES_SQL = """
         SELECT doc_id, unnest(list_distinct(
             [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)]
         )) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS w
+              FROM documents)
     )
 """
 
@@ -475,41 +479,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- blocked exact n-gram Jaccard ---------------------------------------------
 
 
-@register(
-    "dedup_jaccard_blocked",
-    oracle=f"""
-        WITH tsets AS (
-            SELECT doc_id, lang, list_distinct(list_transform(
-                [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)],
-                s -> {portable_hash64_sql('s')}
-            )) AS ts
-            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        FROM tsets a
-        JOIN tsets b ON a.lang = b.lang AND b.doc_id > a.doc_id
-        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
-    """,
-    doc="Trigram-Jaccard near-dup pairs within lang blocks — the "
-    "bounded-quadratic fallback (pair space is per-block, never global). "
-    "Shingles are 60-bit portable hashes, not strings: the per-pair "
-    "intersect compares bigints (collision odds ~2^-60 per pair, the "
-    "standard trade at scale).",
-    tags=("dedup", "jaccard"),
-)
-def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Blocks with more docs than this are dropped from the quadratic Jaccard
+#: fallback (and LOGGED — no silent caps): one hot block (e.g. empty-ish
+#: texts sharing a blocking key) at 100 TB is otherwise a straggler task
+#: doing O(cap²) work. The MinHash path has no such cap — banding already
+#: bounds its candidate generation — so capped blocks still get near-dup
+#: coverage there.
+JACCARD_MAX_BLOCK = 10_000
+
+#: Force-broadcast corpus-side tables only below this row count; beyond it
+#: the explicit hint would override autoBroadcastJoinThreshold and risk
+#: OOM — fall back to a plain (shuffle) join and let AQE decide.
+_BROADCAST_ROW_CAP = 100_000
+
+_log = logging.getLogger(__name__)
+
+
+def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BROADCAST_ROW_CAP else df
+
+
+def jaccard_blocked_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    max_block: int = JACCARD_MAX_BLOCK,
+) -> DataFrame:
+    """Trigram-Jaccard near-dup pairs within ``lang`` blocks, hot blocks
+    capped. Core of the ``dedup_jaccard_blocked`` catalog query; split out
+    so tests can exercise the cap with a planted hot block."""
     # Two-step shape chosen for parallelism: a naive tsets-⋈-tsets join keys
     # the shuffle on `lang` alone, so with ~7 langs at most 7 tasks do ALL
     # the quadratic Jaccard work (measured 227 s at sf0.1). Instead:
-    # (1) generate the narrow (doc_a, doc_b) id pairs within blocks,
-    # (2) repartition the pairs across every core,
-    # (3) broadcast-join the (small, block-scale) shingle sets back in.
+    # (1) drop hot blocks (> max_block docs) with a logged count,
+    # (2) generate the narrow (doc_a, doc_b) id pairs within blocks,
+    # (3) repartition the pairs across every core,
+    # (4) join the (small, block-scale) shingle sets back in — broadcast
+    #     only while the corpus side is demonstrably small.
     # |union| = |a| + |b| - |inter| since the sets are distinct — no second
     # array scan. Same rows, same oracle; 32× the parallelism.
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
+    sizes = docs.groupBy("lang").agg(F.count("*").alias("block_n")).collect()
+    hot = [(r["lang"], r["block_n"]) for r in sizes if r["block_n"] > max_block]
+    if hot:
+        _log.warning(
+            "dedup_jaccard_blocked: dropping %d block(s) over %d docs "
+            "(%d docs total): %s — near-dup coverage for these falls to the "
+            "banded MinHash path",
+            len(hot), max_block, sum(n for _, n in hot), hot[:20],
+        )
+        kept_langs = [lang for lang, n in sizes if n <= max_block]
+        docs = docs.where(F.col("lang").isin(kept_langs))
+    n_docs = sum(n for _, n in sizes) - sum(n for _, n in hot)
+
     tsets = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
         "doc_id",
         "lang",
@@ -533,11 +555,51 @@ def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / union
     return (
-        pairs.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
-        .where(jac >= 0.8)
+        pairs.join(_hint_small(ta, n_docs), "doc_a")
+        .join(_hint_small(tb, n_docs), "doc_b")
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def jaccard_blocked_oracle_sql(threshold: float = 0.8, max_block: int = JACCARD_MAX_BLOCK) -> str:
+    """DuckDB twin of :func:`jaccard_blocked_pairs` — same hot-block cap."""
+    return f"""
+        WITH kept AS (
+            SELECT lang FROM documents GROUP BY lang HAVING count(*) <= {max_block}
+        ),
+        tsets AS (
+            SELECT doc_id, lang, list_distinct(list_transform(
+                [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 0) + 1)],
+                s -> {portable_hash64_sql('s')}
+            )) AS ts
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS w
+                  FROM documents JOIN kept USING (lang))
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        FROM tsets a
+        JOIN tsets b ON a.lang = b.lang AND b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {threshold}
+    """
+
+
+@register(
+    "dedup_jaccard_blocked",
+    oracle=jaccard_blocked_oracle_sql(),
+    doc="Trigram-Jaccard near-dup pairs within lang blocks — the "
+    "bounded-quadratic fallback (pair space is per-block, never global; "
+    "blocks over JACCARD_MAX_BLOCK docs are dropped with a logged count). "
+    "Shingles are 60-bit portable hashes, not strings: the per-pair "
+    "intersect compares bigints (collision odds ~2^-60 per pair, the "
+    "standard trade at scale).",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_blocked_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # -- embedding-cosine near-dup --------------------------------------------------
@@ -570,6 +632,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
     )
+    n_vecs = emb.count()  # parquet count-star: metadata-cheap
     ids = emb.select("vec_id", "label")
     pairs = (
         ids.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))
@@ -588,8 +651,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot_product("emb_a", "emb_b") / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))
     return (
-        pairs.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        pairs.join(_hint_small(ea, n_vecs), "vec_a")
+        .join(_hint_small(eb, n_vecs), "vec_b")
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )

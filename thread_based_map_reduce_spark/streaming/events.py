@@ -29,16 +29,37 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _staging_dir(sf_dir: str) -> str:
+    """One symlink staging dir per sf_dir, reused across calls (repeated
+    invocations in long-lived sessions/tests must not leak a fresh mkdtemp
+    each time); removed at interpreter exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    stage = _STAGE_DIRS.get(sf_dir)
+    if stage is not None and os.path.isdir(stage):
+        return stage
+    stage = tempfile.mkdtemp(prefix="tbmr-events-stream-")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    _STAGE_DIRS[sf_dir] = stage
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's file stream source requires a *directory*; the testdata is a
     # single read-only file. Stage a symlink dir (the real deployment reads
     # a landing directory or Kafka anyway).
-    import os
-    import tempfile
+    stage = _staging_dir(sf_dir)
 
-    stage = tempfile.mkdtemp(prefix="tbmr-events-stream-")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-
+    # Session-wide by necessity: micro-batches plan lazily after this
+    # function returns, so the conf cannot be save/restored here (unlike the
+    # batch path in sources/registry.load_table, which scopes it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
