@@ -22,3 +22,25 @@ def test_kmeans_deterministic_and_convergent(spark, sf_dir):
     )
     assert set(got1.values()) <= set(range(K))
     assert len(got1) == 500  # every vector assigned (sf0.001)
+
+
+def test_kmeans_deterministic_at_k64(spark, sf_dir):
+    """VERDICT r1 next-round #3: the de-literaled centroid path must stay
+    deterministic at realistic IVF k."""
+    a1, i1 = kmeans_train(spark, sf_dir, k=64, iters=2)
+    got1 = {r.vec_id: r.centroid for r in a1.collect()}
+    a2, i2 = kmeans_train(spark, sf_dir, k=64, iters=2)
+    got2 = {r.vec_id: r.centroid for r in a2.collect()}
+    assert got1 == got2 and i1 == i2
+    assert len(got1) == 500 and set(got1.values()) <= set(range(64))
+    assert i1[1] <= i1[0] * (1 + 1e-9)
+
+
+def test_kmeans_plan_size_independent_of_k(spark, sf_dir):
+    """Centroids enter the plan as a broadcast relation, not literals: the
+    analyzed plan must not grow with k (k x 64 literal doubles would)."""
+    a8, _ = kmeans_train(spark, sf_dir, k=8, iters=1)
+    a64, _ = kmeans_train(spark, sf_dir, k=64, iters=1)
+    p8 = len(a8._jdf.queryExecution().analyzed().toString())
+    p64 = len(a64._jdf.queryExecution().analyzed().toString())
+    assert p64 < p8 * 1.5, f"plan grew with k: {p8} -> {p64} chars"

@@ -116,3 +116,63 @@ def test_generic_mapreduce_equals_naive(spark, rows, n_emit_map, reduce_mode):
     for k, vals in groups.items():
         want.extend(reduce_fn((k,), pd.DataFrame({"v": vals})))
     assert got == sorted(want)
+
+
+# -- float-key equality corner (MapReduceFramework.cpp:163-165) ---------------
+#
+# The reference derives key equality from operator< : -0.0 and 0.0 compare
+# equal, and NaN (never less than anything) collapses into one group.
+# run_map_reduce normalizes float keys pre-groupBy to reproduce that.
+
+float_keys_strategy = st.lists(
+    st.floats(min_value=-3, max_value=3, allow_nan=False).map(lambda x: round(x, 2)),
+    min_size=0,
+    max_size=20,
+).map(
+    # always plant the corner keys, several times each
+    lambda ks: ks + [0.0, -0.0, float("nan"), float("nan"), -0.0, 1.5]
+)
+
+
+@SETTINGS
+@given(keys=float_keys_strategy)
+def test_float_key_ordering_equality(spark, keys):
+    rows = [(float(k), i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k double, v long")
+
+    def map_fn(row):
+        yield (row.k, row.v)
+
+    def reduce_fn(key, pdf):
+        yield (key[0], len(pdf), int(pdf["v"].sum()))
+
+    got = run_map_reduce(
+        df,
+        map_fn,
+        reduce_fn,
+        map_schema="k double, v long",
+        out_schema="k double, n long, s long",
+        key_cols=["k"],
+    ).collect()
+
+    # naive sort-and-group oracle with ordering-derived equality
+    import math
+
+    def canon(k):
+        # NaN crosses the pandas/Arrow boundary as NULL (pandas' missing
+        # marker) — either way it is ONE group, per the documented contract
+        if k is None or math.isnan(k):
+            return "nan"
+        return 0.0 if k == 0.0 else k  # catches -0.0
+
+    want: dict = defaultdict(list)
+    for k, v in rows:
+        want[canon(k)].append(v)
+
+    got_by_key = {canon(r.k): (r.n, r.s) for r in got}
+    assert len(got) == len(want), "a float corner key split into multiple groups"
+    assert got_by_key == {k: (len(vs), sum(vs)) for k, vs in want.items()}
+    # the normalized key value itself: -0.0 must surface as +0.0
+    for r in got:
+        if r.k == 0.0:
+            assert math.copysign(1.0, r.k) == 1.0

@@ -25,8 +25,15 @@ Semantic parity notes:
 - Key equality: the reference derives equality from ordering
   (``is_equal``, ``MapReduceFramework.cpp:163-165``). Spark groups by
   hash/binary equality of the key columns, which coincides with ordering
-  equality for all atomic SQL types except float ``-0.0``/``0.0`` and NaN;
-  normalize float keys before grouping if you need that corner.
+  equality for all atomic SQL types except float ``-0.0``/``0.0`` and NaN.
+  :func:`run_map_reduce` therefore normalizes float/double key columns
+  before grouping (``-0.0`` → ``0.0``; every NaN bit pattern → one
+  canonical NaN), so grouping matches the reference's ordering-derived
+  equality (tests/test_property_mapreduce.py). One Arrow-lane caveat:
+  pandas uses NaN as its missing marker, so a NaN key emitted by
+  ``map_fn`` crosses the Arrow boundary as NULL — it still lands in
+  exactly ONE group (Spark groups nulls together), but surfaces as NULL
+  rather than NaN in the output key.
 - Memory: one group's whole value vector is materialized for ``reduce_fn``
   — the identical limitation the reference has (its per-key vector,
   ``MapReduceFramework.cpp:184-194``), but per group rather than the whole
@@ -65,6 +72,27 @@ def _map_stage(df: DataFrame, map_fn: MapFn, map_schema: str) -> DataFrame:
     return df.mapInPandas(run, schema=map_schema)
 
 
+def _normalize_float_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Rewrite float/double key columns so hash-equality grouping matches
+    the reference's ordering-derived ``is_equal`` (-0.0 and 0.0 compare
+    equal under ``<``; NaN never compares less — one NaN group):
+    ``-0.0`` → ``0.0`` and any NaN → the canonical NaN."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    for k in key_cols:
+        dt = df.schema[k].dataType
+        if isinstance(dt, (FloatType, DoubleType)):
+            c = F.col(k)
+            df = df.withColumn(
+                k,
+                F.when(F.isnan(c), F.lit(float("nan")).cast(dt))
+                .when(c == 0.0, F.lit(0.0).cast(dt))  # true for -0.0 too
+                .otherwise(c),
+            )
+    return df
+
+
 def run_map_reduce(
     df: DataFrame,
     map_fn: MapFn,
@@ -88,7 +116,7 @@ def run_map_reduce(
       ``out_schema``.
     """
     key_cols = list(key_cols)
-    mapped = _map_stage(df, map_fn, map_schema)
+    mapped = _normalize_float_keys(_map_stage(df, map_fn, map_schema), key_cols)
     out_columns = _schema_columns(out_schema)
 
     def run_reduce(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

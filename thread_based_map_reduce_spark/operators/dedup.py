@@ -397,6 +397,7 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transitive closure. Cluster id = min doc_id in the component — the "
     "canonical document every other member deduplicates to.",
     tags=("dedup", "minhash", "lsh", "iterative"),
+    bench=True,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -597,6 +598,7 @@ def jaccard_blocked_oracle_sql(threshold: float = 0.8, max_block: int = JACCARD_
     "intersect compares bigints (collision odds ~2^-60 per pair, the "
     "standard trade at scale).",
     tags=("dedup", "jaccard"),
+    bench=True,
 )
 def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_blocked_pairs(load_table(spark, sf_dir, "documents"))

@@ -356,6 +356,7 @@ def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier orders where only this supplier shipped late) — a semi join "
     "and an anti join chained on the same key",
     tags=("join", "agg", "subquery", "tpch"),
+    bench=True,
 )
 def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -969,6 +970,7 @@ def q_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "starts a new session (oracle uses >=). Streaming twin shares this "
     "operator via readStream.",
     tags=("window", "sessionize", "streaming"),
+    bench=True,
 )
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

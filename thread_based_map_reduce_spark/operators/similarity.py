@@ -552,9 +552,12 @@ def kmeans_train(
 
     Returns (assignments DataFrame [vec_id, centroid], per-iteration
     inertia). Distances run JVM-side; centroids are collected to the
-    driver each round (k × 64 doubles — tiny) and re-broadcast as
-    literal arrays, so each round is one scan + one narrow shuffle."""
-    from ..functions.vectors import dot_product
+    driver each round (k × 64 doubles — tiny) and shipped back as ONE
+    broadcast single-row relation holding an array of (ci, c, |c|²)
+    structs — NOT k literal arrays in the plan (VERDICT r1: literal
+    centroids explode plan size at realistic IVF k of 256-4096; a
+    broadcast relation keeps the plan O(1) in k). Assignment is a
+    per-row argmin fold over that array: zero shuffle, one scan."""
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -568,19 +571,30 @@ def kmeans_train(
     inertia_per_iter: list[float] = []
     assign = None
     for _ in range(iters):
-        # squared distance to each centroid: |v|^2 - 2 v.c + |c|^2; argmin
-        dist_cols = [
-            (
-                dot_product("v", F.array(*[F.lit(x) for x in c]))
-                * -2.0
-                + F.lit(sum(x * x for x in c))
-            ).alias(f"d{ci}")
-            for ci, c in centroids
-        ]
-        scored = emb.select("vec_id", "v", F.least(*[
-            F.struct(d.alias("d"), F.lit(ci).alias("c"))
-            for (ci, _), d in zip(centroids, dist_cols)
-        ]).alias("best"))
+        cents_df = spark.createDataFrame(
+            [
+                (int(ci), [float(x) for x in c], float(sum(x * x for x in c)))
+                for ci, c in centroids
+            ],
+            "ci int, c array<double>, cn2 double",
+        ).agg(F.array_sort(F.collect_list(F.struct("ci", "c", "cn2"))).alias("cents"))
+
+        # squared distance to each centroid: |v|^2 - 2 v.c + |c|^2 (the
+        # |v|^2 term is constant across centroids — dropped for the argmin,
+        # added back for inertia). v.c is the same left-to-right double
+        # fold as the literal version, so results are bit-identical.
+        def _dist(x: F.Column) -> F.Column:
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), x["c"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, t: s + t,
+            )
+            return dot * -2.0 + x["cn2"]
+
+        best = F.array_min(
+            F.transform("cents", lambda x: F.struct(_dist(x).alias("d"), x["ci"].alias("c")))
+        )
+        scored = emb.crossJoin(F.broadcast(cents_df)).select("vec_id", "v", best.alias("best"))
         assign = scored.select(
             "vec_id", "v", F.col("best.c").alias("centroid"), F.col("best.d").alias("partial_d")
         )
