@@ -190,7 +190,32 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH +
     exact-Jaccard verify. Shared by the pairs query and the clustering
     query."""
-    sig = _minhash_signatures(spark, sf_dir)
+    # ONE shingle pass: a single groupBy computes the minhash signature AND
+    # the distinct shingle-hash set per doc, then localCheckpoint materializes
+    # it so banding and the verify join both read the result instead of
+    # re-running tokenize→shingle→hash (previously 3 passes: sig + each
+    # verify side). At 100 TB this is the persisted signature table the
+    # incremental path reads too.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    h60 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h60"))
+    combined = (
+        h60.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+                .cast("bigint")
+                .alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.collect_set("h60").alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    sig = combined
     # Stack the signature into one narrow (doc_id, band, x, y) row per band
     # with a single explode — NOT a 4-way union (which would re-run the whole
     # shingle→hash→min pipeline once per band), and generate candidate pairs
@@ -231,16 +256,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    tsets = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("toks"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
-            ).alias("ts"),
-        )
-    )
+    tsets = combined.select("doc_id", "ts")
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
@@ -401,16 +417,23 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    nodes = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .union(pairs.select(F.col("doc_b").alias("node")))
-        .distinct()
-    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # nodes from the CHECKPOINTED edges (symmetric, so src covers both
+    # endpoints) — deriving them from `pairs` would re-run the whole
+    # shingle→minhash→verify pipeline a second time
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # Convergence check: per-node labels are non-increasing under min-label
+    # propagation, so the TOTAL label sum strictly decreases iff any label
+    # changed — one cheap aggregate per round instead of a new-vs-old join.
+    # decimal(38,0) keeps the sum exact at any corpus size (1e12 ids × 1e12
+    # nodes overflows int64; doubles would silently lose the low bits that
+    # distinguish "changed" from "converged").
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
     while True:
         nbr = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -418,15 +441,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()  # truncate lineage: each round's plan stays O(1)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -533,19 +552,40 @@ def jaccard_blocked_pairs(
         docs = docs.where(F.col("lang").isin(kept_langs))
     n_docs = sum(n for _, n in sizes) - sum(n for _, n in hot)
 
-    tsets = docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
-        ).alias("ts"),
+    tsets = (
+        docs.select("doc_id", "lang", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
+            ).alias("ts"),
+        )
+        # materialize once: consumed three times (size prefilter + both
+        # verify sides) — without this the tokenize→shingle→hash pipeline
+        # re-runs per consumer
+        .localCheckpoint()
     )
-    ids = tsets.select("doc_id", "lang")
+    ids = tsets.select("doc_id", "lang", F.size("ts").alias("n"))
+    # Size prefilter on the candidate pairs (result-preserving): Jaccard is
+    # bounded by min(|A|,|B|)/max(|A|,|B|) (inter <= min, union >= max), so
+    # pairs whose shingle-set sizes differ by more than the threshold ratio
+    # can never pass — pruned BEFORE the expensive array_intersect. The
+    # oracle needs no matching clause: the filter is implied by >= threshold.
     pairs = (
-        ids.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+        ids.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("n").alias("n_a")
+        )
         .join(
-            ids.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")),
-            (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_b") > F.col("doc_a")),
+            ids.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("n").alias("n_b")
+            ),
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_b") > F.col("doc_a"))
+            & (
+                F.least("n_a", "n_b").cast("double")
+                >= threshold * F.greatest("n_a", "n_b").cast("double")
+            ),
         )
         .select("doc_a", "doc_b")
         .repartition(spark.sparkContext.defaultParallelism)

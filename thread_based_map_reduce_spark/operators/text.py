@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.textfns import char_ngrams, tokens
+from ..functions.textfns import char_ngrams, ngrams_of_tokens, tokens
 from ..plans.catalog import register
 from ..sources.registry import load_table
 
@@ -595,4 +595,120 @@ def q_hapax_rate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(F.col("n") == 1) / F.count("*").cast("double"), 6).alias(
             "hapax_rate"
         ),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(tris) AS BIGINT) AS n_tri,
+               round(1.0 - len(list_distinct(tris)) / nullif(len(tris), 0)::DOUBLE, 6)
+                   AS rep_ratio
+        FROM (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)] AS tris
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS w
+                  FROM documents)
+        )
+        WHERE len(tris) > 0
+    """,
+    doc="Per-document repetition ratio: share of word trigrams that are "
+    "repeats (1 - distinct/total) — the Gopher-style boilerplate/loop "
+    "signal used to drop degenerate docs before training; pure "
+    "split/transform built-ins, no shuffle until nothing (per-row only)",
+    tags=("text", "quality", "dedup"),
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    tris = toks.select("doc_id", ngrams_of_tokens(F.col("toks"), 3).alias("tris"))
+    n = F.size("tris")
+    return (
+        tris.where(n > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tri"),
+            F.round(
+                1.0 - F.size(F.array_distinct("tris")) / F.nullif(n.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+# -- PII scrubbing (training-data curation staple) ---------------------------
+#
+# The synthetic corpus contains no PII, so the query PLANTS deterministic
+# fake PII derived from doc_id (same expression in both engines), then
+# masks it — proving the scrub pipeline end-to-end with real matches.
+# Patterns stay in the regex subset Java (Spark) and RE2 (DuckDB) agree on.
+
+_EMAIL_PAT = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_NUM_PAT = "[0-9]{3,}"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id, source,
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@mail.example tel ' || (555000 + doc_id % 1000)::VARCHAR
+                       AS ptext
+            FROM documents
+        ),
+        masked AS (
+            SELECT doc_id, source, ptext,
+                   regexp_replace(ptext, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS no_email
+            FROM planted
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(ptext, '{_EMAIL_PAT}'))) AS BIGINT) AS n_emails,
+               CAST(sum(len(regexp_extract_all(no_email, '{_NUM_PAT}'))) AS BIGINT) AS n_numbers,
+               CAST(sum(len(ptext)
+                        - len(regexp_replace(no_email, '{_NUM_PAT}', '<NUM>', 'g'))
+                        + 5 * len(regexp_extract_all(no_email, '{_NUM_PAT}'))
+                        + 7 * len(regexp_extract_all(ptext, '{_EMAIL_PAT}'))) AS BIGINT)
+                   AS masked_chars
+        FROM masked
+        GROUP BY source
+    """,
+    doc="PII scrub over planted fake emails/phone numbers: mask email-like "
+    "then digit-run patterns, report per-source match and masked-char "
+    "counts. Row-local regex work (JVM-side regexp_replace/regexp_count), "
+    "one small final aggregation — the shape scales to any corpus size",
+    tags=("text", "quality", "pipeline"),
+)
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel "),
+        (F.lit(555000) + F.col("doc_id") % 1000).cast("string"),
+    )
+    planted = docs.select("doc_id", "source", ptext.alias("ptext"))
+    no_email = F.regexp_replace("ptext", F.lit(_EMAIL_PAT), F.lit("<EMAIL>"))
+    masked = planted.select(
+        "source",
+        "ptext",
+        no_email.alias("no_email"),
+        F.regexp_count("ptext", F.lit(_EMAIL_PAT)).alias("n_em"),
+        F.regexp_count(no_email, F.lit(_NUM_PAT)).alias("n_num"),
+    )
+    # masked_chars: original minus fully-scrubbed length, net of the
+    # inserted placeholder text (7 chars '<EMAIL>', 5 chars '<NUM>')
+    scrubbed_len = F.length(F.regexp_replace("no_email", F.lit(_NUM_PAT), F.lit("<NUM>")))
+    return masked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_em").cast("bigint").alias("n_emails"),
+        F.sum("n_num").cast("bigint").alias("n_numbers"),
+        F.sum(
+            F.length("ptext") - scrubbed_len + 5 * F.col("n_num") + 7 * F.col("n_em")
+        ).cast("bigint").alias("masked_chars"),
     )
