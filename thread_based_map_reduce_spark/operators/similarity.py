@@ -659,3 +659,161 @@ def q_embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 6).alias("max_c"),
         )
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+        WITH {_bands_sql()},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND b.vec_id > a.vec_id
+        )
+        SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+            SELECT c.vec_a, c.vec_b,
+                   {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} AS cos
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+        )
+        WHERE cos >= 0.4
+    """,
+    doc="Embedding near-dup with the sign-LSH bucket as the blocking key — "
+    "the scale path dedup_embedding_cosine's docstring promises: candidate "
+    "pairs come only from band-bucket collisions (narrow bigint self-join "
+    "key), cosine-verified. No label/metadata needed and never O(n²).",
+    tags=("dedup", "embedding", "lsh", "similarity"),
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+    from ..operators.dedup import _hint_small
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    bucket_cols = _band_buckets_spark("embedding")
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
+                for b in range(N_LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    withnorm = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    ea = withnorm.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = withnorm.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    from ..functions.vectors import dot_product
+
+    cos = dot_product("emb_a", "emb_b") / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))
+    return (
+        cand.join(_hint_small(ea, n_vecs), "vec_a")
+        .join(_hint_small(eb, n_vecs), "vec_b")
+        .where(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+@register(
+    "ivf_search_nprobe2",
+    oracle=f"""
+        WITH dims AS (
+            SELECT label, i, round(avg(embedding[i]), 6) AS c
+            FROM embeddings, generate_series(1, {DIMS}) AS g(i)
+            GROUP BY label, i
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rc = 1
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN centroids c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rc <= 2
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   {_COS_SQL.format(a='q.qe', b='e.embedding')} AS cos
+            FROM q JOIN assigned e ON e.cell = q.cell AND e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+        FROM (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+    doc="IVF search with nprobe=2: each query probes its TWO nearest cells "
+    "(corpus vectors stay in one cell) — the standard recall lever when the "
+    "true neighbor falls just across a cell boundary; costs one extra cell "
+    "scan per query, still never O(n·q)",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ivf_search_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("cell"))
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]).alias("ce"))
+    )
+    scored_cells = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "cell", cosine_similarity("embedding", "ce").alias("ccos")
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    ranked = scored_cells.withColumn("rc", F.row_number().over(wc))
+    assigned = ranked.where(F.col("rc") == 1).select("vec_id", "embedding", "cell")
+    q = (
+        ranked.where((F.col("vec_id") < N_QUERIES) & (F.col("rc") <= 2))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("cell").alias("qcell"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
