@@ -81,3 +81,22 @@ def test_failing_job_surfaces_error(spark):
     with pytest.raises(Exception):
         h.wait_for_job()
     h.close()
+
+
+def test_between_stages_shuffle_respects_monotone_clamp():
+    """ADVICE r1: the 'between stages' SHUFFLE/100 report must route through
+    the monotone clamp — after REDUCE progress has been observed, a stage
+    gap must not regress the observable state back to SHUFFLE."""
+    from thread_based_map_reduce_spark.jobs import JobHandle, JobState, Stage
+
+    h = JobHandle.__new__(JobHandle)  # no job needed: clamp is pure state
+    h._last_stage, h._last_pct = Stage.UNDEFINED, 0.0
+
+    assert h._clamped(Stage.MAP, 40.0) == JobState(Stage.MAP, 40.0)
+    assert h._clamped(Stage.SHUFFLE, 100.0) == JobState(Stage.SHUFFLE, 100.0)
+    assert h._clamped(Stage.REDUCE, 30.0) == JobState(Stage.REDUCE, 30.0)
+    # the regression ADVICE flagged: between-stages gap while reducing
+    assert h._clamped(Stage.SHUFFLE, 100.0) == JobState(Stage.REDUCE, 30.0)
+    # same-stage percentage never moves backwards either
+    assert h._clamped(Stage.REDUCE, 10.0) == JobState(Stage.REDUCE, 30.0)
+    assert h._clamped(Stage.REDUCE, 80.0) == JobState(Stage.REDUCE, 80.0)

@@ -77,7 +77,11 @@ def test_dim_joins_are_broadcast(spark, sf_dir, name):
         "dedup_minhash_lsh_pairs",
         "dedup_jaccard_blocked",
         "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
         "ann_bruteforce_topk",
+        "ann_lsh_bucketed",
+        "ann_lsh_multiprobe",
+        "ivf_search_nprobe2",
         "asof_join_signup",
         "range_join_clicks",
     ],

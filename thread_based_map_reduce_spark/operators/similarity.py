@@ -7,14 +7,18 @@ Scale design notes (the point of each variant):
 - brute force is O(|Q|·N) with the query side broadcast — correct baseline,
   linear scans of the corpus stay JVM-side (zip_with/aggregate dot
   products, no Python);
-- sign-LSH buckets the corpus ONCE by the sign pattern of the leading
-  coordinates; search touches a single bucket (≈ N/256 vectors). The
-  bucket id is a plain integer groupBy/join key, so at 100 TB this is one
-  narrow shuffle + a per-bucket local scan;
+- sign-LSH buckets the corpus ONCE per band by the sign pattern of r
+  seeded random hyperplane projections (r=16 in 4 band tables; see the
+  sizing-rule comment at the constants below); search touches only the
+  query's band buckets, optionally widened by hamming-1 multi-probe. The
+  (band, bucket) id is a plain integer groupBy/join key, so at 100 TB
+  this is one narrow shuffle + per-bucket local scans;
 - IVF assigns every vector to its nearest centroid (here: per-label means,
-  i.e. k=10 cells, nprobe=1); search scans one cell. Centroids are tiny
-  and broadcast; the corpus-side assignment is a broadcast-join + argmin —
-  no shuffle of the embedding column at all.
+  i.e. k=10 cells; nprobe=1 and nprobe=2 variants); search scans the
+  probed cells. Centroids are tiny and broadcast; the corpus-side
+  assignment is a broadcast-join + argmin — no shuffle of the embedding
+  column at all. The same bucketing doubles as a blocking key for
+  embedding near-dup (dedup_embedding_lsh).
 
 Determinism for the oracle: all ranking orders carry ``vec_id`` tiebreaks;
 centroid coordinates are rounded to 6 decimals on both engines before any
