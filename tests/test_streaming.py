@@ -279,3 +279,19 @@ def test_transform_with_state_max(spark, sf_dir):
         .collect()
     }
     assert final == want and len(final) > 0
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    from thread_based_map_reduce_spark.streaming.events import sliding_counts_stream
+
+    stream_out = run_stream_to_memory(
+        sliding_counts_stream(spark, sf_dir), "t_sliding", "complete"
+    )
+    got = {
+        (r.win_start_s, r.event_type): (r.n, r.total_value) for r in stream_out.collect()
+    }
+    batch = queries()["events_sliding_2h"](spark, sf_dir)
+    want = {
+        (r.win_start_s, r.event_type): (r.n, r.total_value) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

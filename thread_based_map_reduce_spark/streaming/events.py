@@ -282,3 +282,21 @@ def user_max_value_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour sliding windows with 1-hour slide — streaming twin of the
+    batch catalog query ``events_sliding_2h``; every event lands in two
+    overlapping windows, the watermark bounds how long each stays open."""
+    return (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
