@@ -56,3 +56,47 @@ def test_resize_thumbs_deterministic_shape(spark, sf_dir):
     for t in thumbs.values():
         assert len(t) == 16  # 4x4 mean-pooled
         assert all(0.0 <= v <= 255.0 for v in t)
+
+
+# -- REAL PGM decode path -----------------------------------------------------
+
+
+def test_decode_pgm_golden():
+    """Handcrafted 3x2 PGM: the parser must return exact known pixels."""
+    from thread_based_map_reduce_spark.operators.multimodal import decode_pgm
+
+    payload = b"P5\n3 2\n255\n" + bytes([0, 128, 255, 1, 2, 3])
+    w, h, raster = decode_pgm(payload)
+    assert (w, h) == (3, 2)
+    assert list(raster) == [0, 128, 255, 1, 2, 3]
+
+
+def test_decode_pgm_rejects_corrupt():
+    import pytest as _pytest
+
+    from thread_based_map_reduce_spark.operators.multimodal import decode_pgm
+
+    with _pytest.raises(ValueError, match="not a binary PGM"):
+        decode_pgm(b"JFIF....")
+    with _pytest.raises(ValueError, match="raster length"):
+        decode_pgm(b"P5\n3 2\n255\n" + bytes([1, 2, 3]))  # truncated raster
+    with _pytest.raises(ValueError, match="unsupported maxval"):
+        decode_pgm(b"P5\n1 1\n65535\n\x00")
+
+
+def test_pgm_roundtrip_spark(spark, sf_dir):
+    """JVM-synthesized payloads must be valid PGMs whose decoded dims match
+    the metadata used to build them."""
+    from thread_based_map_reduce_spark.operators.multimodal import (
+        decode_pgm,
+        with_pgm_payload,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = with_pgm_payload(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        w, h, raster = decode_pgm(bytes(r.payload))
+        assert (w, h) == (r.width, r.height)
+        assert len(raster) == w * h
