@@ -100,3 +100,55 @@ def test_pgm_roundtrip_spark(spark, sf_dir):
         w, h, raster = decode_pgm(bytes(r.payload))
         assert (w, h) == (r.width, r.height)
         assert len(raster) == w * h
+
+
+# -- REAL WAV decode path -----------------------------------------------------
+
+
+def _wav(samples: bytes, sr: int = 8000) -> bytes:
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr, 1, 8)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+
+
+def test_decode_wav_golden():
+    from thread_based_map_reduce_spark.operators.multimodal import decode_wav
+
+    sr, n, samples = decode_wav(_wav(bytes([128, 0, 255, 128])))
+    assert (sr, n) == (8000, 4)
+    assert list(samples) == [128, 0, 255, 128]
+
+
+def test_decode_wav_rejects_corrupt():
+    import struct
+
+    import pytest as _pytest
+
+    from thread_based_map_reduce_spark.operators.multimodal import decode_wav
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS....")
+    good = _wav(bytes([1, 2, 3, 4]))
+    with _pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(good[:-2])  # truncation surfaces at the RIFF size check
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 22, 2)  # channels = 2
+    with _pytest.raises(ValueError, match="unsupported format"):
+        decode_wav(bytes(stereo))
+
+
+def test_wav_roundtrip_spark(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.multimodal import (
+        decode_wav,
+        with_wav_payload,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    for r in with_wav_payload(docs).collect():
+        sr, n, samples = decode_wav(bytes(r.payload))
+        assert sr == 8000 and n == r.n_samples and len(samples) == n

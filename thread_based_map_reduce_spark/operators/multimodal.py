@@ -350,3 +350,156 @@ def q_multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "n_pixels",
         F.round("mean_px", 6).alias("mean_px"), "min_px", "max_px",
     )
+
+
+# -- REAL audio decode path: WAV (RIFF, 8-bit PCM mono) -----------------------
+#
+# Same pattern as PGM for the audio modality: synthesize VALID 8-bit PCM
+# WAV files JVM-side (RIFF header with little-endian sizes built via hex
+# byte-swaps, sample data = tiled md5 bytes), parse them with a real RIFF
+# parser in the kernel, oracle-check the amplitude stats in SQL.
+
+_WAV_SAMPLE_RATE = 8000
+
+
+def _le32_hex(n_col: F.Column) -> F.Column:
+    """Hex of a 32-bit little-endian integer: byte-swapped big-endian hex."""
+    be = F.lpad(F.hex(n_col), 8, "0")
+    return F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2), F.substring(be, 3, 2), F.substring(be, 1, 2)
+    )
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL 8-bit PCM mono WAV per document, built JVM-side."""
+    n = (F.conv(F.substring(F.md5("text"), 5, 3), 16, 10).cast("bigint") % 2048 + 16).cast("int")
+    base = docs.select("doc_id", "text", n.alias("n_samples"))
+    sr = _WAV_SAMPLE_RATE
+    # fmt chunk for PCM mono 8-bit: fixed 16-byte body
+    fmt_hex = F.lit(
+        "666d7420"          # "fmt "
+        "10000000"          # chunk size 16 (LE)
+        "0100" "0100"       # PCM, 1 channel
+        + _le32_int_hex(sr)  # sample rate
+        + _le32_int_hex(sr)  # byte rate (mono 8-bit: = sample rate)
+        + "0100" "0800"     # block align 1, bits 8
+    )
+    data_hex = F.expr(
+        "substring(repeat(md5(text), int(ceil(n_samples / 16.0))), 1, 2 * n_samples)"
+    )
+    riff_size = F.col("n_samples") + 36  # 4 ("WAVE") + 24 (fmt) + 8 (data hdr)
+    payload_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        _le32_hex(riff_size),
+        F.lit("57415645"),            # "WAVE"
+        fmt_hex,
+        F.lit("64617461"),            # "data"
+        _le32_hex(F.col("n_samples")),
+        data_hex,
+    )
+    return base.select("doc_id", "n_samples", F.unhex(payload_hex).alias("payload"))
+
+
+def _le32_int_hex(n: int) -> str:
+    return bytes([n & 0xFF, (n >> 8) & 0xFF, (n >> 16) & 0xFF, (n >> 24) & 0xFF]).hex()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL RIFF/WAV parser (8-bit PCM mono): validates the RIFF/WAVE magic,
+    fmt chunk fields, and data chunk length; returns (sample_rate,
+    n_samples, samples). Raises ValueError on malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
+        raise ValueError(f"RIFF size {riff_size} != {len(payload) - 8}")
+    if payload[12:16] != b"fmt " or struct.unpack_from("<I", payload, 16)[0] != 16:
+        raise ValueError("missing/odd fmt chunk")
+    audio_fmt, channels = struct.unpack_from("<HH", payload, 20)
+    sample_rate, byte_rate = struct.unpack_from("<II", payload, 24)
+    block_align, bits = struct.unpack_from("<HH", payload, 32)
+    if (audio_fmt, channels, bits) != (1, 1, 8):
+        raise ValueError(f"unsupported format {(audio_fmt, channels, bits)}")
+    if byte_rate != sample_rate * channels * bits // 8 or block_align != 1:
+        raise ValueError("inconsistent fmt fields")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n,) = struct.unpack_from("<I", payload, 40)
+    samples = payload[44:]
+    if len(samples) != n:
+        raise ValueError(f"data length {len(samples)} != {n}")
+    return sample_rate, n, samples
+
+
+def decode_wav_audio(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over REAL WAV payloads: RIFF parse + numpy
+    amplitude stats (8-bit PCM is unsigned, midpoint 128)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                sr, n, samples = decode_wav(bytes(row.payload))
+                a = np.frombuffer(samples, dtype=np.uint8).astype(np.float64) - 128.0
+                out.append(
+                    (
+                        row.doc_id,
+                        sr,
+                        n,
+                        float(n) / sr,
+                        float(np.sqrt(np.mean(a * a))),
+                        float(np.abs(a).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, sample_rate long, n_samples long, "
+        "duration_s double, rms double, peak double",
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               round(n / {_WAV_SAMPLE_RATE}.0, 6) AS duration_s,
+               round(sqrt(list_avg(list_transform(a, x -> x * x))), 6) AS rms,
+               round(list_max(list_transform(a, x -> abs(x))), 6) AS peak
+        FROM (
+            SELECT doc_id, n,
+                   [('0x' || substr(repeat(md5(text), ((n + 15) / 16)::INT),
+                                    2 * i - 1, 2))::INT - 128.0
+                    for i in range(1, n::INT + 1)] AS a
+            FROM (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 5, 3))::BIGINT % 2048 + 16 AS n
+                FROM documents
+            )
+        )
+    """,
+    doc="REAL audio decode, oracle-checked: payloads are valid 8-bit PCM "
+    "mono WAV files synthesized JVM-side (RIFF header with little-endian "
+    "sizes via hex byte-swaps); the kernel is a real RIFF parser "
+    "(magic/fmt/data validation) computing duration, RMS and peak "
+    "amplitude; the oracle recomputes the same samples in SQL.",
+    tags=("multimodal",),
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_wav_audio(with_wav_payload(docs))
+    return decoded.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
