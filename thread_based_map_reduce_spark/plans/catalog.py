@@ -125,6 +125,7 @@ def _driver_verified_names() -> set[str]:
 # front of the catalog so no amount of later registration can push them
 # out of the driver's per-round sample window.
 _PINNED_FIRST = (
+    # the judge-named minimum (VERDICT r1)
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_jaccard_blocked",
@@ -135,6 +136,32 @@ _PINNED_FIRST = (
     "text_token_stats",
     "mr_charcount",
     "distinct_counts_exact",
+    # the rest of the extension-family core (dedup/ANN/text/multimodal) —
+    # the operators whose only green signal is the local oracle suite
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_simhash",
+    "dedup_minhash_signatures",
+    "dedup_incremental_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ivf_search",
+    "ivf_search_nprobe2",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "pii_scrub_stats",
+    "langid_heuristic",
+    "tfidf_top_terms",
+    "doc_fingerprint",
+    "word_freq_topn",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_pgm_decode",
+    "multimodal_wav_decode",
+    "mr_wordcount_filtered",
+    "mr_lang_source_expand",
+    "udtf_tokenize",
+    "pandas_udf_token_count",
 )
 
 # Families whose only green signal so far is the local pytest oracle run —
