@@ -152,3 +152,44 @@ def test_wav_roundtrip_spark(spark, sf_dir):
     for r in with_wav_payload(docs).collect():
         sr, n, samples = decode_wav(bytes(r.payload))
         assert sr == 8000 and n == r.n_samples and len(samples) == n
+
+
+# -- REAL Y4M decode path -----------------------------------------------------
+
+
+def test_decode_y4m_golden():
+    from thread_based_map_reduce_spark.operators.multimodal import decode_y4m
+
+    y = bytes(range(4))          # 2x2 luma plane
+    uv = bytes([7, 9])           # C420: one U + one V sample for 2x2
+    payload = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + y + uv + b"FRAME\n" + y + uv
+    w, h, frames = decode_y4m(payload)
+    assert (w, h) == (2, 2)
+    assert len(frames) == 2 and all(list(f) == [0, 1, 2, 3] for f in frames)
+
+
+def test_decode_y4m_rejects_corrupt():
+    import pytest as _pytest
+
+    from thread_based_map_reduce_spark.operators.multimodal import decode_y4m
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....\n")
+    with _pytest.raises(ValueError, match="missing FRAME marker"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nJUNK!!" + bytes(6))
+    with _pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(3))
+
+
+def test_y4m_roundtrip_spark(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.multimodal import (
+        _Y4M_FRAMES,
+        decode_y4m,
+        with_y4m_payload,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    for r in with_y4m_payload(docs).collect():
+        w, h, frames = decode_y4m(bytes(r.payload))
+        assert (w, h) == (8, 8) and len(frames) == _Y4M_FRAMES

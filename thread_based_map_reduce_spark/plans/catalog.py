@@ -158,6 +158,7 @@ _PINNED_FIRST = (
     "multimodal_frame_sample",
     "multimodal_pgm_decode",
     "multimodal_wav_decode",
+    "multimodal_y4m_decode",
     "mr_wordcount_filtered",
     "mr_lang_source_expand",
     "udtf_tokenize",
