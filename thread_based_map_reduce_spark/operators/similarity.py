@@ -821,3 +821,66 @@ def q_ivf_search_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("qid", "vec_id", "rnk", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle="""
+        SELECT vec_id,
+               round(scale_raw, 6) AS scale,
+               CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS max_q,
+               -- per-element error doubles are bit-identical across engines
+               -- (same IEEE op sequence); the SUM is not (different
+               -- accumulation algorithms), so sum exactly in integer
+               -- atto-units: floor(e*1e18) is identical per element and
+               -- bigint addition is associative
+               round(sqrt(list_sum(list_transform(
+                   list_zip(v, list_transform(q, x -> x * scale_raw)),
+                   p -> floor((p[1] - p[2]) * (p[1] - p[2]) * 1e18)
+               ))::DOUBLE / 1e18 / len(v)), 6) AS rmse
+        FROM (
+            SELECT vec_id, v, scale_raw,
+                   list_transform(v, x -> floor(x * 127.0 / ma)) AS q
+            FROM (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale_raw
+                FROM embeddings
+            )
+            WHERE ma > 0
+        )
+    """,
+    doc="Int8 scalar quantization of the embedding column with per-vector "
+    "reconstruction RMSE — the vector-compression step of an ANN index "
+    "build (4x smaller than float32, the standard serving trade). "
+    "Floor-based quantization keeps both engines bit-deterministic; all "
+    "math is per-row higher-order functions, no shuffle.",
+    tags=("similarity", "scalar", "array"),
+)
+def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # NB: the raw scale is named scale_raw — if the final projection aliases
+    # round(scale) AS scale, Spark's LATERAL column alias resolution makes
+    # any same-projection reference pick the ROUNDED alias (DuckDB picks the
+    # input column), silently skewing the error math between engines.
+    base = emb.select(
+        "vec_id", v.alias("v"), ma.alias("ma"), (ma / 127.0).alias("scale_raw")
+    ).where(F.col("ma") > 0)
+    q = F.transform("v", lambda x: F.floor(x * 127.0 / F.col("ma")))
+    # exact integer-atto-unit error sum — see the oracle comment
+    err_atto = F.zip_with(
+        "v",
+        q,
+        lambda x, qi: F.floor(
+            (x - qi * F.col("scale_raw")) * (x - qi * F.col("scale_raw")) * 1e18
+        ).cast("long"),
+    )
+    total = F.aggregate(err_atto, F.lit(0).cast("long"), lambda a, x: a + x)
+    return base.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.array_max(F.transform(q, lambda x: F.abs(x))).cast("bigint").alias("max_q"),
+        F.round(F.sqrt(total.cast("double") / 1e18 / F.size("v")), 6).alias("rmse"),
+    )

@@ -21,7 +21,17 @@ Conventions that keep the order-insensitive value-hash comparison honest
 - int32-vs-int64 mismatches (e.g. Spark ``year``) are cast to bigint;
 - timestamps are projected as strings or epoch seconds, never raw;
 - any top-k / row_number ordering carries a unique-key tiebreak so float
-  near-ties cannot reorder between engines.
+  near-ties cannot reorder between engines;
+- never alias a computed column to the SAME name as an input column it
+  shares a projection with: Spark's lateral column alias resolution makes
+  sibling expressions in that projection read the NEW alias while DuckDB
+  reads the input column — e.g. ``round(scale,6) AS scale`` next to an
+  expression using ``scale`` silently diverges (hit by
+  ``embedding_quantize_stats``; use ``scale_raw`` → ``scale``);
+- when both engines must agree on a SUM of per-element doubles (the
+  element values agree bit-for-bit, the accumulation algorithms do not),
+  sum exact integers instead: ``floor(term * 1e18)`` per element, bigint
+  addition, divide once at the end.
 """
 
 from __future__ import annotations
@@ -159,6 +169,7 @@ _PINNED_FIRST = (
     "multimodal_pgm_decode",
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
+    "embedding_quantize_stats",
     "mr_wordcount_filtered",
     "mr_lang_source_expand",
     "udtf_tokenize",
