@@ -539,8 +539,14 @@ def jaccard_blocked_pairs(
     # |union| = |a| + |b| - |inter| since the sets are distinct — no second
     # array scan. Same rows, same oracle; 32× the parallelism.
     spark = docs.sparkSession
-    sizes = docs.groupBy("lang").agg(F.count("*").alias("block_n")).collect()
-    hot = [(r["lang"], r["block_n"]) for r in sizes if r["block_n"] > max_block]
+    # Driver only ever sees ONE total row plus the HOT blocks (assumed few
+    # by construction — they are the pathology being dropped). Never
+    # collect the full per-block size list: at 100 TB a fine blocking key
+    # can have millions of distinct values.
+    size_df = docs.groupBy("lang").agg(F.count("*").alias("block_n"))
+    total_docs = size_df.agg(F.sum("block_n")).first()[0] or 0
+    hot_rows = size_df.where(F.col("block_n") > max_block).collect()
+    hot = [(r["lang"], r["block_n"]) for r in hot_rows]
     if hot:
         _log.warning(
             "dedup_jaccard_blocked: dropping %d block(s) over %d docs "
@@ -548,9 +554,11 @@ def jaccard_blocked_pairs(
             "banded MinHash path",
             len(hot), max_block, sum(n for _, n in hot), hot[:20],
         )
-        kept_langs = [lang for lang, n in sizes if n <= max_block]
-        docs = docs.where(F.col("lang").isin(kept_langs))
-    n_docs = sum(n for _, n in sizes) - sum(n for _, n in hot)
+        hot_df = spark.createDataFrame([(lang,) for lang, _ in hot], "lang string")
+        # anti-join, not isin(): a literal IN-list grows the plan with the
+        # number of hot blocks
+        docs = docs.join(F.broadcast(hot_df), "lang", "left_anti")
+    n_docs = total_docs - sum(n for _, n in hot)
 
     tsets = (
         docs.select("doc_id", "lang", tokens("text").alias("toks"))

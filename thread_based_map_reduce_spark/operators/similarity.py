@@ -687,7 +687,12 @@ def q_embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-dup with the sign-LSH bucket as the blocking key — "
     "the scale path dedup_embedding_cosine's docstring promises: candidate "
     "pairs come only from band-bucket collisions (narrow bigint self-join "
-    "key), cosine-verified. No label/metadata needed and never O(n²).",
+    "key), cosine-verified; no label/metadata needed. Honest scale "
+    "contract: expected candidate fraction for unrelated pairs is "
+    "bands x 2^-bits (~23% at the 4-bit testdata default, sized for recall "
+    "on near-isotropic vectors); at real corpus scale raise N_PLANES so "
+    "bits-per-band tracks log2 N and the fraction collapses, exactly like "
+    "the search path.",
     tags=("dedup", "embedding", "lsh", "similarity"),
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
