@@ -116,6 +116,9 @@ _PYTHON_LANE = {
     "pandas_udf_token_count",
     "multimodal_decode_stats",
     "multimodal_resize_thumbs",
+    "multimodal_pgm_decode",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
 }
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
