@@ -602,21 +602,32 @@ def kmeans_train(
         assign = scored.select(
             "vec_id", "v", F.col("best.c").alias("centroid"), F.col("best.d").alias("partial_d")
         )
-        # inertia (+|v|^2 term, constant across centroids, added back)
+        # ONE aggregation job per round computes BOTH the per-(centroid,dim)
+        # sums/counts for the new centroids AND the inertia (ridden on the
+        # dim==0 rows — partial_d + |v|² is per-vector, so attach it to one
+        # dim only). Two separate actions here would re-run the whole
+        # assignment scan twice per iteration (measured ~2× the runtime).
         vnorm = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
-        inertia = assign.agg(F.sum(F.col("partial_d") + vnorm)).first()[0]
-        inertia_per_iter.append(float(inertia))
-        # recompute centroids as per-dim means of members
-        new_rows = (
-            assign.select("centroid", F.posexplode("v").alias("dim", "val"))
+        stat_rows = (
+            assign.select(
+                "centroid",
+                (F.col("partial_d") + vnorm).alias("contrib"),
+                F.posexplode("v").alias("dim", "val"),
+            )
             .groupBy("centroid", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("centroid")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("centroid", F.expr("transform(dm, s -> s.m)").alias("c"))
-            .collect()
+            .agg(
+                F.sum("val").alias("s"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("dim") == 0, F.col("contrib")).otherwise(0.0)).alias("iner"),
+            )
+            .collect()  # k × 64 rows — tiny
         )
-        centroids = sorted((r.centroid, list(r.c)) for r in new_rows)
+        inertia_per_iter.append(float(sum(r.iner for r in stat_rows if r.dim == 0)))
+        n_dims = max(r.dim for r in stat_rows) + 1
+        by_c: dict[int, list[float]] = {}
+        for r in stat_rows:
+            by_c.setdefault(r.centroid, [0.0] * n_dims)[r.dim] = r.s / r.n
+        centroids = sorted(by_c.items())
     return assign.select("vec_id", "centroid"), inertia_per_iter
 
 
