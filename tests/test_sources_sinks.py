@@ -78,3 +78,28 @@ def test_observe_metrics_during_action(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2)
     ).first()[0]
     assert got["qty"] == want
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path_factory):
+    """Schema evolution on the parquet source: a later batch adds a column;
+    mergeSchema unions the schemas, old rows surface NULL for the new
+    column — the append-only ingest pattern a 100 TB landing table needs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.sources.registry import read_source, write_sink
+
+    root = str(tmp_path_factory.mktemp("evolve"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    v2 = spark.createDataFrame([(3, "c", 30.0)], "id long, s string, score double")
+    write_sink(v1, os.path.join(root, "batch=1"))
+    write_sink(v2, os.path.join(root, "batch=2"))
+
+    merged = read_source(spark, root, "parquet", mergeSchema="true", recursiveFileLookup="true")
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[3].score == 30.0
+    assert merged.count() == 3
+    # and the evolved column is filterable with pushdown intact
+    assert merged.where(F.col("score") > 10).count() == 1
