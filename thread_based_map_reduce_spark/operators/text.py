@@ -712,3 +712,102 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("ptext") - scrubbed_len + 5 * F.col("n_num") + 7 * F.col("n_em")
         ).cast("bigint").alias("masked_chars"),
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle="""
+        WITH scrubbed AS (
+            SELECT doc_id, lang,
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact user' || doc_id::VARCHAR
+                                || '@mail.example tel '
+                                || (555000 + doc_id % 1000)::VARCHAR,
+                           '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                       '[0-9]{3,}', '<NUM>', 'g') AS ctext
+            FROM documents
+        ),
+        featured AS (
+            SELECT doc_id, lang, ctext,
+                   len(list_filter(string_split(ctext, ' '), t -> t <> '')) AS n_tok,
+                   len(w) - 2 AS n_tri,
+                   CASE WHEN len(w) - 2 > 0
+                        THEN 1.0 - len(list_distinct(
+                                 [array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, greatest(len(w) - 2, 0) + 1)]
+                             ))::DOUBLE / (len(w) - 2)
+                        ELSE 1.0 END AS rep_ratio
+            FROM (SELECT *, list_filter(string_split(ctext, ' '), t -> t <> '') AS w
+                  FROM scrubbed)
+        ),
+        flagged AS (
+            SELECT lang,
+                   (n_tok >= 5 AND rep_ratio <= 0.2) AS kept,
+                   CASE WHEN n_tok >= 5 AND rep_ratio <= 0.2
+                        THEN ('0x' || substr(md5(regexp_replace(trim(lower(ctext)), ' +', ' ', 'g')), 1, 15))::BIGINT
+                   END AS h
+            FROM featured
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_input,
+               CAST(count_if(kept) AS BIGINT) AS n_kept,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_canonical
+        FROM flagged
+        GROUP BY lang
+    """,
+    doc="End-to-end curation pipeline v2, composing the round-2 operators: "
+    "plant+scrub PII (email/digit-run masking) -> quality gate (token "
+    "count >= 5, trigram repetition ratio <= 0.2) -> exact-normalized "
+    "dedup of the scrubbed text. Per-lang funnel counts (input -> kept -> "
+    "canonical), all stages row-local until the tiny final aggregates.",
+    tags=("text", "quality", "dedup", "pipeline"),
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel "),
+        (F.lit(555000) + F.col("doc_id") % 1000).cast("string"),
+    )
+    ctext = F.regexp_replace(
+        F.regexp_replace(planted, F.lit("[A-Za-z0-9._]+@[A-Za-z0-9.]+"), F.lit("<EMAIL>")),
+        F.lit("[0-9]{3,}"),
+        F.lit("<NUM>"),
+    )
+    # stage through REAL columns: ctext → toks → tris. Passing the tokens()
+    # EXPRESSION into ngrams_of_tokens would re-run regex+split once per
+    # trigram lambda evaluation (the exact trap ngrams_of_tokens documents;
+    # measured 5 s vs 0.5 s at sf0.01 here because ctext is itself two
+    # regexp_replace calls deep).
+    scrubbed = docs.select("doc_id", "lang", ctext.alias("ctext"))
+    tokd = scrubbed.select("doc_id", "lang", "ctext", tokens(F.col("ctext")).alias("toks"))
+    trid = tokd.select(
+        "doc_id", "lang", "ctext",
+        F.size("toks").alias("n_tok"),
+        ngrams_of_tokens(F.col("toks"), 3).alias("tris"),
+    )
+    n_tri = F.size("tris")
+    rep = F.when(
+        n_tri > 0, 1.0 - F.size(F.array_distinct("tris")) / n_tri.cast("double")
+    ).otherwise(F.lit(1.0))
+    featured = trid.select("doc_id", "lang", "ctext", "n_tok", rep.alias("rep_ratio"))
+    # single pass: flag + conditional dedup hash per doc, ONE groupBy —
+    # the three-way join/groupBy formulation re-ran the regex+shingle
+    # pipeline per aggregate (measured 12 s vs ~2 s at sf0.01)
+    keep = (F.col("n_tok") >= 5) & (F.col("rep_ratio") <= 0.2)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("ctext"))), " +", " ")
+    flagged = featured.select(
+        "lang",
+        keep.alias("kept"),
+        F.when(keep, portable_hash64(norm)).alias("h"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_input"),
+        F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+        F.countDistinct("h").cast("bigint").alias("n_canonical"),
+    )

@@ -170,6 +170,7 @@ _PINNED_FIRST = (
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
     "embedding_quantize_stats",
+    "curation_pipeline_v2",
     "mr_wordcount_filtered",
     "mr_lang_source_expand",
     "udtf_tokenize",
