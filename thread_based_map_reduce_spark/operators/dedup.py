@@ -37,6 +37,7 @@ from ..functions.hashing import (
     portable_hash64_sql,
 )
 from ..functions.textfns import ngrams_of_tokens, tokens
+from ..session import reliable_checkpoint
 from ..functions.vectors import dot_product, l2_norm
 from ..plans.catalog import register
 from ..sources.registry import load_table
@@ -191,7 +192,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify. Shared by the pairs query and the clustering
     query."""
     # ONE shingle pass: a single groupBy computes the minhash signature AND
-    # the distinct shingle-hash set per doc, then localCheckpoint materializes
+    # the distinct shingle-hash set per doc, then reliable_checkpoint materializes
     # it so banding and the verify join both read the result instead of
     # re-running tokenize→shingle→hash (previously 3 passes: sig + each
     # verify side). At 100 TB this is the persisted signature table the
@@ -202,9 +203,8 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
     ).select("doc_id", portable_hash64("s").alias("h60"))
-    combined = (
-        h60.groupBy("doc_id")
-        .agg(
+    combined = reliable_checkpoint(
+        h60.groupBy("doc_id").agg(
             *[
                 F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
                 .cast("bigint")
@@ -213,7 +213,6 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.collect_set("h60").alias("ts"),
         )
-        .localCheckpoint()
     )
     sig = combined
     # Stack the signature into one narrow (doc_id, band, x, y) row per band
@@ -418,14 +417,16 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = reliable_checkpoint(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     # nodes from the CHECKPOINTED edges (symmetric, so src covers both
     # endpoints) — deriving them from `pairs` would re-run the whole
     # shingle→minhash→verify pipeline a second time
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    labels = reliable_checkpoint(nodes.select("node", F.col("node").alias("label")))
     # Convergence check: per-node labels are non-increasing under min-label
     # propagation, so the TOTAL label sum strictly decreases iff any label
     # changed — one cheap aggregate per round instead of a new-vs-old join.
@@ -438,9 +439,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbr = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        new_labels = reliable_checkpoint(  # truncate lineage: each round's plan stays O(1)
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()  # truncate lineage: each round's plan stays O(1)
+        )
         new_sum = new_labels.agg(label_sum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -560,19 +561,17 @@ def jaccard_blocked_pairs(
         docs = docs.join(F.broadcast(hot_df), "lang", "left_anti")
     n_docs = total_docs - sum(n for _, n in hot)
 
-    tsets = (
-        docs.select("doc_id", "lang", tokens("text").alias("toks"))
-        .select(
+    # materialize once: consumed three times (size prefilter + both
+    # verify sides) — without this the tokenize→shingle→hash pipeline
+    # re-runs per consumer
+    tsets = reliable_checkpoint(
+        docs.select("doc_id", "lang", tokens("text").alias("toks")).select(
             "doc_id",
             "lang",
             F.array_distinct(
                 F.transform(ngrams_of_tokens(F.col("toks"), 3), lambda s: portable_hash64(s))
             ).alias("ts"),
         )
-        # materialize once: consumed three times (size prefilter + both
-        # verify sides) — without this the tokenize→shingle→hash pipeline
-        # re-runs per consumer
-        .localCheckpoint()
     )
     ids = tsets.select("doc_id", "lang", F.size("ts").alias("n"))
     # Size prefilter on the candidate pairs (result-preserving): Jaccard is

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.vectors import cosine_similarity
 from ..plans.catalog import register
+from ..session import reliable_checkpoint
 from ..sources.registry import load_table
 
 N_QUERIES = 10  # query set: vec_id < 10
@@ -552,7 +553,7 @@ def kmeans_train(
     """Deterministic Lloyd k-means over the embeddings (the real IVF
     training step): seeds = the k lowest vec_ids (no RNG), exactly
     ``iters`` assignment/recompute rounds, driver-coordinated like
-    dedup_clusters with localCheckpoint lineage truncation.
+    dedup_clusters with reliable_checkpoint lineage truncation.
 
     Returns (assignments DataFrame [vec_id, centroid], per-iteration
     inertia). Distances run JVM-side; centroids are collected to the
@@ -563,10 +564,10 @@ def kmeans_train(
     broadcast relation keeps the plan O(1) in k). Assignment is a
     per-row argmin fold over that array: zero shuffle, one scan."""
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .localCheckpoint()
+    emb = reliable_checkpoint(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     centroids = [
         (i, r.v)
