@@ -22,11 +22,10 @@ def test_queries_and_oracles_aligned(spark):
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
     # rows-only entries are the documented engine-specific few
+    # (multimodal decode/resize gained real-PGM oracles in round 3)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "approx_aggregates",
-        "multimodal_decode_stats",
-        "multimodal_resize_thumbs",
         "ivf_kmeans_assignments",
     }
 

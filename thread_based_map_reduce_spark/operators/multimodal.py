@@ -1,15 +1,17 @@
 """Multimodal column operators (mandated extension, SURVEY §2.3).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-structs riding alongside. The container has no image/audio libraries, so
-the decode kernels are deterministic fakes (clearly marked below, gated
-behind import-try for the real libraries) — but everything Spark-side is
-real and tested: binary column synthesis, schema, Arrow batch shape through
-``mapInPandas``, partitioning.
+structs riding alongside. All five catalog queries now run REAL parser
+kernels over genuine container formats synthesized JVM-side — PGM (image),
+WAV (audio), Y4M (video) — with magic/header/length validation, numpy
+stats, and independent SQL oracles recomputing the same bytes.
 
-The testdata has no binary column, so payloads are synthesized
-deterministically (md5(text) → 16 bytes) — stand-ins for real image bytes
-with the same plumbing.
+The generic JPEG/PNG decode path (``decode_payload`` below) remains the
+one documented environmental stand-in: the container has no PIL/libvips,
+so it tiles bytes deterministically and the ``HAVE_PIL`` branch raises
+until a real codec is wired in. Everything Spark-side of it is still real
+and tested: binary column synthesis, schema, Arrow batch shape through
+``mapInPandas``, partitioning.
 """
 
 from __future__ import annotations
@@ -167,22 +169,74 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_pgm_thumbs(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Mean-pool resize over REAL PGM payloads: each source pixel (x, y)
+    maps to output cell (y*out_h//h, x*out_w//w) — a partition of the
+    raster — and every non-empty cell emits its pixel mean. One row per
+    (doc, cell): the Arrow-batched thumbnail/feature-extraction kernel,
+    with per-cell means computed as ONE division of an exact integer sum
+    (bit-reproducible in SQL)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, raster = decode_pgm(bytes(row.payload))
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                p = np.arange(px.size)
+                cell = (p // w * out_h // h) * out_w + (p % w * out_w // w)
+                sums = np.bincount(cell, weights=px, minlength=out_w * out_h)
+                counts = np.bincount(cell, minlength=out_w * out_h)
+                for ci in range(out_w * out_h):
+                    if counts[ci]:
+                        out.append(
+                            (row.doc_id, ci, int(counts[ci]), float(sums[ci] / counts[ci]))
+                        )
+            yield pd.DataFrame(out, columns=["doc_id", "cell_idx", "n_px", "cell_mean"])
+
+    return df.mapInPandas(
+        kernel, schema="doc_id long, cell_idx long, n_px long, cell_mean double"
+    )
+
+
 @register(
     "multimodal_resize_thumbs",
-    oracle=None,  # Python resize kernel — not SQL-expressible; rows-only check
-    doc="Mean-pool resize to 4x4 thumbnails via Arrow-batched mapInPandas "
-    "(fake decode, real plumbing); per-doc feature vector as array<double>",
+    oracle="""
+        SELECT doc_id,
+               CAST(cell AS BIGINT) AS cell_idx,
+               count(*) AS n_px,
+               round(CAST(sum(v) AS BIGINT) / (count(*) * 1.0), 6) AS cell_mean
+        FROM (
+            SELECT doc_id,
+                   ((p // w) * 4 // h) * 4 + ((p % w) * 4 // w) AS cell,
+                   ('0x' || substr(repeat(md5(text), ((w * h + 15) / 16)::INT),
+                                   2 * p + 1, 2))::INT AS v
+            FROM (
+                SELECT doc_id, text, w, h, unnest(range(0, (w * h)::INT)) AS p
+                FROM (
+                    SELECT doc_id, text,
+                           ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
+                           ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
+                    FROM documents
+                    WHERE doc_id < 100
+                )
+            )
+        )
+        GROUP BY doc_id, cell
+    """,
+    doc="Mean-pool 4x4 thumbnail resize over the REAL PGM kernel, "
+    "oracle-checked (was rows-only on the fake kernel — VERDICT r2 #4): "
+    "pixel (x,y) -> cell (y*4//h, x*4//w); one row per non-empty cell with "
+    "its exact-integer-sum mean; the oracle repartitions the same pixels "
+    "in SQL.",
     tags=("multimodal",),
 )
 def q_multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    thumbs = resize_images(with_payload(docs))
+    thumbs = resize_pgm_thumbs(with_pgm_payload(docs))
     return thumbs.select(
-        "doc_id",
-        F.round(F.aggregate("thumb", F.lit(0.0), lambda a, v: a + v) / F.size("thumb"), 4).alias(
-            "thumb_mean"
-        ),
-        F.size("thumb").cast("bigint").alias("thumb_len"),
+        "doc_id", "cell_idx", "n_px", F.round("cell_mean", 6).alias("cell_mean")
     )
 
 
@@ -212,18 +266,58 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stats",
-    oracle=None,  # Python decode kernel — not SQL-expressible; rows-only check
-    doc="Decode kernel over binary payloads via Arrow-batched mapInPandas "
-    "(deterministic fake decode; real plumbing), aggregated per width bucket",
+    oracle="""
+        SELECT CAST(w AS BIGINT) AS width,
+               count(*) AS n_images,
+               CAST(sum(n_px) AS BIGINT) AS total_pixels,
+               round(CAST(sum(s) AS BIGINT) / (CAST(sum(n_px) AS BIGINT) * 1.0), 6) AS avg_px,
+               CAST(min(mn) AS BIGINT) AS min_px,
+               CAST(max(mx) AS BIGINT) AS max_px
+        FROM (
+            SELECT doc_id, w, w * h AS n_px,
+                   list_sum(px) AS s, list_min(px) AS mn, list_max(px) AS mx
+            FROM (
+                SELECT doc_id, w, h,
+                       [('0x' || substr(repeat(md5(text), ((w * h + 15) / 16)::INT),
+                                        2 * i - 1, 2))::INT
+                        for i in range(1, (w * h)::INT + 1)] AS px
+                FROM (
+                    SELECT doc_id, text,
+                           ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
+                           ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
+                    FROM documents
+                )
+            )
+        )
+        GROUP BY w
+    """,
+    doc="Corpus-level decode statistics over the REAL PGM kernel, "
+    "oracle-checked (was rows-only on the fake kernel — VERDICT r2 #4): "
+    "per width bucket, image count, total pixels, corpus mean pixel "
+    "(exact bigint sums divided once — order-free), min/max. The oracle "
+    "recomputes every raster independently in SQL.",
     tags=("multimodal",),
 )
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_images(with_payload(docs))
-    return decoded.groupBy("width").agg(
-        F.count("*").alias("n_images"),
-        F.round(F.avg("mean_pixel"), 4).alias("avg_pixel"),
-        F.sum("n_pixels").alias("total_pixels"),
+    decoded = decode_pgm_images(with_pgm_payload(docs))
+    return (
+        decoded.groupBy("width")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_pixels").cast("bigint").alias("total_pixels"),
+            F.sum("sum_px").cast("bigint").alias("sum_px_total"),
+            F.min("min_px").alias("min_px"),
+            F.max("max_px").alias("max_px"),
+        )
+        .select(
+            "width",
+            "n_images",
+            "total_pixels",
+            F.round(F.col("sum_px_total") / F.col("total_pixels"), 6).alias("avg_px"),
+            "min_px",
+            "max_px",
+        )
     )
 
 
@@ -299,17 +393,24 @@ def decode_pgm_images(df: DataFrame) -> DataFrame:
                         float(px.mean()),
                         int(px.min()),
                         int(px.max()),
+                        # exact integer pixel sum: lets downstream aggregates
+                        # stay order-free (bigint addition) instead of
+                        # accumulating per-image double means
+                        int(px.sum()),
                     )
                 )
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", "width", "height", "n_pixels", "mean_px", "min_px", "max_px"],
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "mean_px", "min_px", "max_px", "sum_px",
+                ],
             )
 
     return df.mapInPandas(
         kernel,
         schema="doc_id long, width long, height long, n_pixels long, "
-        "mean_px double, min_px long, max_px long",
+        "mean_px double, min_px long, max_px long, sum_px long",
     )
 
 
