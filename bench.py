@@ -56,11 +56,24 @@ def main() -> int:
     except Exception:
         pass
 
+    # n>=3 reps per query (VERDICT r2 #2: single-shot timings moved 1.1-1.6x
+    # between rounds on unchanged code — run-to-run variance, not regressions).
+    # Per query we report the MEDIAN and keep the min/max spread alongside, so
+    # a noisy outlier rep can't masquerade as a perf change. Reps run
+    # back-to-back per query (interleaving whole passes would thrash the
+    # page cache between queries and inflate variance further).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in selected.items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
     total = round(sum(timings.values()), 3)
 
     print(
@@ -73,6 +86,8 @@ def main() -> int:
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "n_queries": len(timings),
+                "reps": reps,
+                "query_minmax": spread,
             }
         )
     )

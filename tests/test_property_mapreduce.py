@@ -176,3 +176,9 @@ def test_float_key_ordering_equality(spark, keys):
     for r in got:
         if r.k == 0.0:
             assert math.copysign(1.0, r.k) == 1.0
+    # pin the documented Arrow-lane surface (README parity notes): the NaN
+    # group is exactly ONE group and its output key arrives as NULL (pandas
+    # uses NaN as its missing marker, so the key cannot round-trip as NaN)
+    nan_groups = [r for r in got if r.k is None or math.isnan(r.k)]
+    assert len(nan_groups) == 1, "NaN keys split into multiple groups"
+    assert nan_groups[0].k is None, "NaN key expected to surface as NULL"

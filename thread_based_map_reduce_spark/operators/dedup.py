@@ -40,7 +40,7 @@ from ..functions.textfns import ngrams_of_tokens, tokens
 from ..session import reliable_checkpoint
 from ..functions.vectors import dot_product, l2_norm
 from ..plans.catalog import register
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_row_count
 
 N_PERMS = 8
 N_BANDS = 4  # bands of 2 perms each: (mh0,mh1) (mh2,mh3) (mh4,mh5) (mh6,mh7)
@@ -544,10 +544,19 @@ def jaccard_blocked_pairs(
     # by construction — they are the pathology being dropped). Never
     # collect the full per-block size list: at 100 TB a fine blocking key
     # can have millions of distinct values.
+    # ONE driver action for both facts (VERDICT r2 #6 consolidated the
+    # previous first()+collect() pair): collect_list skips the NULLs the
+    # when() leaves for cold blocks, so the driver payload stays total +
+    # hot outliers only.
     size_df = docs.groupBy("lang").agg(F.count("*").alias("block_n"))
-    total_docs = size_df.agg(F.sum("block_n")).first()[0] or 0
-    hot_rows = size_df.where(F.col("block_n") > max_block).collect()
-    hot = [(r["lang"], r["block_n"]) for r in hot_rows]
+    stats = size_df.agg(
+        F.sum("block_n").alias("total"),
+        F.collect_list(
+            F.when(F.col("block_n") > max_block, F.struct("lang", "block_n"))
+        ).alias("hot"),
+    ).first()
+    total_docs = stats["total"] or 0
+    hot = [(r["lang"], r["block_n"]) for r in (stats["hot"] or [])]
     if hot:
         _log.warning(
             "dedup_jaccard_blocked: dropping %d block(s) over %d docs "
@@ -681,7 +690,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
     )
-    n_vecs = emb.count()  # parquet count-star: metadata-cheap
+    n_vecs = table_row_count(spark, sf_dir, "embeddings")  # memoized count-star
     ids = emb.select("vec_id", "label")
     pairs = (
         ids.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"))

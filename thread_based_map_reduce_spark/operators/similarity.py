@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.vectors import cosine_similarity
 from ..plans.catalog import register
 from ..session import reliable_checkpoint
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_row_count
 
 N_QUERIES = 10  # query set: vec_id < 10
 DIMS = 64
@@ -221,8 +221,9 @@ def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
     The corpus never cross-joins: each vector lands in N_LSH_BANDS (band,
     bucket) rows — a narrow bigint shuffle key — and candidates are only
     bucket collisions. Multi-probe additionally probes every hamming-1
-    bucket of the query's signature in each band (recall up, probes ×{0}).
-    """.format(len(_PROBE_DELTAS))
+    bucket of the query's signature in each band: the exact bucket plus
+    one flip per band bit, i.e. 1 + bits-per-band probes per band.
+    """
     bucket_cols = _band_buckets_spark("embedding")
     bands = emb.select(
         "vec_id",
@@ -301,7 +302,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {_lsh_candidates_sql(multiprobe=True)},\n{_LSH_TOPK_SQL_TAIL}",
     doc="ANN via sign-LSH with hamming-1 multi-probe: each band also probes "
     "every bucket one sign-flip away from the query's signature — recall "
-    "approaches brute force at ~9× the (still tiny) probe count",
+    f"approaches brute force at {len(_PROBE_DELTAS)}× the (still tiny) "
+    "probe count (exact bucket + one flip per band bit)",
     tags=("similarity", "ann", "lsh"),
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,7 +714,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _hint_small
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vecs = emb.count()
+    n_vecs = table_row_count(spark, sf_dir, "embeddings")  # memoized count-star
     bucket_cols = _band_buckets_spark("embedding")
     bands = emb.select(
         "vec_id",
@@ -849,11 +851,14 @@ def q_ivf_search_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- per-element error doubles are bit-identical across engines
                -- (same IEEE op sequence); the SUM is not (different
                -- accumulation algorithms), so sum exactly in integer
-               -- atto-units: floor(e*1e18) is identical per element and
-               -- bigint addition is associative
+               -- atto-units: floor(e*1e18) is identical per element, and
+               -- the ::BIGINT cast makes list_sum run in integer arithmetic
+               -- (DuckDB floor() returns DOUBLE; summing doubles would lose
+               -- exactness past 2^53, weakening the bit-exactness claim)
+               -- matching Spark's long accumulation
                round(sqrt(list_sum(list_transform(
                    list_zip(v, list_transform(q, x -> x * scale_raw)),
-                   p -> floor((p[1] - p[2]) * (p[1] - p[2]) * 1e18)
+                   p -> floor((p[1] - p[2]) * (p[1] - p[2]) * 1e18)::BIGINT
                ))::DOUBLE / 1e18 / len(v)), 6) AS rmse
         FROM (
             SELECT vec_id, v, scale_raw,

@@ -68,6 +68,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a testdata table, memoized per path for the process.
+
+    Operators gate explicit ``broadcast()`` hints on measured row counts
+    (never on guesses); a parquet count-star is metadata-cheap but still a
+    separate Spark job, so repeated builder invocations shouldn't re-pay
+    it. Testdata is immutable, which makes the cache safe here; a
+    production deployment over mutable tables would key this on a table
+    snapshot/version instead.
+    """
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    if path not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[path] = load_table(spark, sf_dir, name).count()
+    return _ROW_COUNT_CACHE[path]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
     return {name: load_table(spark, sf_dir, name) for name in names or TABLE_NAMES}
