@@ -1,0 +1,82 @@
+"""Two-star connected components (Kiveris et al. SoCC'14).
+
+Checks the property that justifies shipping a second CC strategy next to
+min-label propagation: round count grows ~logarithmically in component
+size even on the worst case for propagation (a long chain, where
+propagation needs diameter-many rounds), while the fixpoint — every node
+labeled with its component's min id — is identical.
+"""
+
+from __future__ import annotations
+
+import random
+
+from thread_based_map_reduce_spark.operators.dedup import (
+    connected_components_twostar,
+    q_dedup_clusters,
+    q_dedup_clusters_twostar,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _union_find_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges: list[tuple[int, int]], stats: dict | None = None):
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = connected_components_twostar(df, stats=stats).collect()
+    return {r.node: r.cluster for r in rows}
+
+
+def test_chain_worst_case_logarithmic_rounds(spark):
+    # a 64-node chain: min-label propagation needs ~63 rounds (diameter);
+    # star contraction must stay logarithmic
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    stats: dict = {}
+    got = _run(spark, edges, stats)
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 14, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = rng.randrange(5, 60)
+        # sparse ids (non-contiguous, shuffled) — labels must be min ID,
+        # not min index
+        ids = rng.sample(range(1, 10_000), n)
+        edges = [
+            (rng.choice(ids), rng.choice(ids))
+            for _ in range(rng.randrange(3, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _run(spark, edges)
+        assert got == _union_find_oracle(edges), f"trial {trial} diverged"
+
+
+def test_empty_edge_set(spark):
+    assert _run(spark, []) == {}
+
+
+def test_matches_label_propagation_on_testdata(spark):
+    prop = {(r.doc_id, r.cluster) for r in q_dedup_clusters(spark, SF).collect()}
+    star = {(r.doc_id, r.cluster) for r in q_dedup_clusters_twostar(spark, SF).collect()}
+    assert star == prop

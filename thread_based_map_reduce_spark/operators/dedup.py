@@ -361,9 +361,12 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- near-dup clusters (connected components over verified LSH pairs) ---------
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Shared by ``dedup_clusters`` (min-label propagation) and
+# ``dedup_clusters_twostar`` (alternating star contraction): both converge
+# to the same deterministic fixpoint — every node labeled with the MIN
+# doc_id of its connected component — so one recursive-CTE transitive
+# closure checks either physical strategy.
+_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE {_SHINGLES_SQL.strip()},
         {_HASHED_SQL.strip()},
         {_minhash_sig_sql().strip()},
@@ -404,7 +407,12 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(root) AS BIGINT) AS cluster
         FROM walk GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     doc="Near-dup clusters: connected components over the verified LSH pair "
     "graph via iterative min-label propagation (driver-coordinated rounds of "
     "join + min-agg, lineage truncated per round; near-dup components have "
@@ -448,6 +456,114 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (u > v) direction, self-loops
+    dropped, distinct — the working representation both star operations
+    consume and produce."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node links its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood (Kiveris et al., SoCC'14, alg. 2)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    out = (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canon_edges(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node links its smaller-or-equal neighbors (and
+    itself) to the minimum of its closed neighborhood (alg. 3). On the
+    canonical (u > v) edge set every neighbor of u here IS smaller."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = e.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        m.select("u", F.col("m").alias("v"))
+    )
+    return _canon_edges(out)
+
+
+def connected_components_twostar(
+    edges: DataFrame,
+    *,
+    max_rounds: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    ``edges``: two integer columns ``u``/``v`` (undirected, any direction,
+    self-loops tolerated). Returns ``(node, cluster)`` where ``cluster`` is
+    the MIN node id of the component — the same deterministic fixpoint as
+    min-label propagation (``q_dedup_clusters``), which is why the two
+    share an oracle.
+
+    Why a second strategy: label propagation needs DIAMETER-many rounds —
+    fine for near-dup clusters (tiny diameter), fatal for the long-chain
+    components a crawl graph or transitively-linked corpus can produce
+    (a 1M-long chain = 1M Spark jobs). Star contraction halves component
+    height per round pair, converging in O(log n) rounds regardless of
+    diameter; each round is two narrow (bigint, bigint) shuffles. This is
+    the 100 TB-safe default; propagation stays the cheaper choice only
+    when the diameter is known-small.
+
+    Convergence: the canonical edge set is compared across rounds with a
+    count + one-sided anti-join (both driver-cheap on the checkpointed
+    set). At fixpoint the graph is a star forest: every edge is
+    (member, root).
+    """
+    e = reliable_checkpoint(_canon_edges(edges))
+    n_prev = e.count()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        new = reliable_checkpoint(_small_star(_large_star(e)))
+        n_new = new.count()
+        # distinct sets of equal size are equal iff the one-sided
+        # difference is empty
+        if n_new == n_prev and new.exceptAll(e).isEmpty():
+            e = new
+            break
+        e, n_prev = new, n_new
+    else:
+        raise RuntimeError(
+            f"two-star contraction did not converge in {max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = e.select("v").distinct()
+    return e.select(F.col("u").alias("node"), F.col("v").alias("cluster")).union(
+        roots.select(F.col("v").alias("node"), F.col("v").alias("cluster"))
+    )
+
+
+@register(
+    "dedup_clusters_twostar",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Near-dup clusters via alternating large-star/small-star contraction "
+    "(Kiveris et al. SoCC'14): O(log n) rounds regardless of component "
+    "diameter — the scale path for graphs where min-label propagation's "
+    "diameter-many rounds would not terminate in reasonable time. Same "
+    "fixpoint (node -> component-min) and same oracle as dedup_clusters.",
+    tags=("dedup", "minhash", "lsh", "iterative"),
+)
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components_twostar(edges)
+    return labels.select(F.col("node").alias("doc_id"), F.col("cluster"))
 
 
 # -- SimHash -------------------------------------------------------------------
