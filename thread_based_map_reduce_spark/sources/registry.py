@@ -38,11 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and prunes columns into this scan, which is the whole point of
     expressing queries declaratively (SURVEY.md §4).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos
-    (``nanosAsLong``) and floor to microsecond timestamps — verified
-    lossless on the testdata (no sub-microsecond residue), and identical to
-    how DuckDB surfaces the same column (µs TIMESTAMP).
+    ``events.ts`` arrives in two testdata vintages: parquet
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects outright, so
+    we read it as raw nanos (``nanosAsLong``) and floor to microsecond
+    timestamps (verified lossless; no sub-microsecond residue) — or plain
+    µs TIMESTAMP without timezone, which Spark surfaces as TIMESTAMP_NTZ.
+    Both normalize to session-UTC TIMESTAMP so every downstream window /
+    watermark / oracle sees one type with DuckDB-identical wall values.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -64,8 +66,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", _normalize_event_ts(raw))
     return spark.read.parquet(path)
+
+
+def _normalize_event_ts(raw: "DataFrame"):
+    """Column expression turning either ``ts`` vintage into UTC TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, T.LongType):  # nanos vintage via nanosAsLong
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    # TIMESTAMP_NTZ vintage: naive micros; session tz is pinned to UTC
+    # (session.py), so the cast reinterprets the same wall-clock instant.
+    return F.col("ts").cast(T.TimestampType())
 
 
 _ROW_COUNT_CACHE: dict[str, int] = {}

@@ -17,16 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    # ``ts`` varies by testdata vintage: LongType (raw nanos surfaced by the
+    # nanosAsLong read of TIMESTAMP(NANOS) parquet) or TimestampNTZType
+    # (plain µs TIMESTAMP without timezone). The file source needs the
+    # matching type declared up front; _events_stream picks it off the
+    # batch-read footer schema.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -61,12 +67,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function returns, so the conf cannot be save/restored here (unlike the
     # batch path in sources/registry.load_table, which scopes it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # One batch footer read decides the vintage; the normalization below
+    # mirrors sources/registry._normalize_event_ts for the stream lane.
+    ts_type = spark.read.parquet(stage).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
