@@ -1,0 +1,350 @@
+"""Training-corpus curation operators over ``documents`` (mandated
+extension, SURVEY §2.3): benchmark decontamination, duplicate-span
+measurement, mixture/quota sampling, RAG chunking, and shard assignment.
+
+These are the pipeline steps between "deduplicated corpus" and "training
+shards" that the dedup/text families don't cover. Everything is built-in
+expressions over the portable 60-bit hash (functions/hashing.py) — no
+Python in the row path — and each query documents its 100 TB shape:
+
+- decontamination broadcasts the (small) benchmark-gram set against the
+  exploded corpus grams — no corpus-vs-corpus shuffle;
+- duplicate-span counting shuffles twice on a narrow 60-bit gram hash
+  (gram→doc-count, then doc re-aggregation) — the honest distributed
+  shape of suffix/ngram-level dedup;
+- quota sampling needs one tiny per-language aggregate broadcast back
+  over a single corpus pass — no window, no global sort;
+- chunking is embarrassingly parallel (per-row transform + explode);
+- fixed-size sharding is the one place a global sort is genuinely
+  required (range-partitioned exchange, Spark's distributed sort), and
+  the docstring records the hash-mod alternative when fixed sizes are
+  negotiable.
+
+Generalizes the reference's flagship map→shuffle→reduce loop
+(``Sample Client/SampleClient.cpp:34-65``) the same way the dedup/text
+families do; the reference itself has no curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.textfns import ngrams_of_tokens, tokens
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+# Production decontamination uses 8-13-token grams; the synthetic corpus
+# draws ~100 tokens/doc from a ~30-word vocabulary, so 3-grams (27k-point
+# space) give the overlap distribution real corpora show at 8-13.
+DECONTAM_NGRAM = 3
+# Every 41st doc plays the held-out benchmark set (deterministic, ~2.4%).
+EVAL_MOD = 41
+
+DUP_SPAN_NGRAM = 4
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+MIX_TARGET_PER_LANG = 40
+MIX_RES = 1_000_000  # hash-fraction resolution for the sampling threshold
+
+SHARD_SIZE = 256
+
+
+def _toks_sql(src: str = "documents") -> str:
+    return (
+        f"toks AS (SELECT doc_id, lang, "
+        f"list_filter(string_split(text, ' '), t -> t <> '') AS w FROM {src})"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """Distinct word n-grams per doc (mirrors ngrams_of_tokens + array_distinct)."""
+    return (
+        "grams AS (SELECT doc_id, list_distinct("
+        f"[array_to_string(w[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(w) - {n - 1}, 0) + 1)]) AS g FROM toks)"
+    )
+
+
+@register(
+    "decontam_eval_overlap",
+    oracle=f"""
+        WITH {_toks_sql()},
+        {_grams_sql(DECONTAM_NGRAM)},
+        eval_grams AS (
+            SELECT DISTINCT unnest(g) AS gram FROM grams
+            WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        train AS (
+            SELECT doc_id, g, len(g) AS n_grams FROM grams
+            WHERE doc_id % {EVAL_MOD} <> 0
+        ),
+        hits AS (
+            SELECT t.doc_id, count(e.gram) AS hit_grams
+            FROM (SELECT doc_id, unnest(g) AS gram FROM train) t
+            LEFT JOIN eval_grams e ON t.gram = e.gram
+            GROUP BY t.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+               round(coalesce(h.hit_grams, 0) / nullif(t.n_grams, 0), 6) AS contam_frac,
+               coalesce(h.hit_grams, 0) >= 0.5 * t.n_grams AND t.n_grams > 0
+                   AS contaminated
+        FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination: fraction of each training doc's distinct "
+    f"{DECONTAM_NGRAM}-grams that appear in the held-out eval set "
+    f"(doc_id % {EVAL_MOD} = 0); flags docs with >=50% overlap. At 100 TB "
+    "the eval-gram table is tiny versus the corpus -> broadcast join against "
+    "the exploded grams, one doc_id shuffle to re-aggregate",
+    tags=("text", "curation", "dedup"),
+)
+def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            ngrams_of_tokens(tokens("text"), DECONTAM_NGRAM)
+        ).alias("_g"),
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", "_g", F.size("_g").alias("n_grams")
+    )
+    # explode_outer keeps gram-less docs (shorter than the n-gram width);
+    # the eval side is small by construction -> explicit broadcast.
+    exploded = train.select(
+        "doc_id", "n_grams", F.explode_outer("_g").alias("gram")
+    )
+    hits = exploded.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    frac = F.col("hit_grams") / F.nullif(F.col("n_grams"), F.lit(0))
+    return (
+        hits.groupBy("doc_id", "n_grams")
+        .agg(F.count("_hit").alias("hit_grams"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("hit_grams").cast("bigint").alias("hit_grams"),
+            F.round(frac, 6).alias("contam_frac"),
+            (
+                (F.col("hit_grams") >= 0.5 * F.col("n_grams"))
+                & (F.col("n_grams") > 0)
+            ).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "dup_span_fraction",
+    oracle=f"""
+        WITH {_toks_sql()},
+        {_grams_sql(DUP_SPAN_NGRAM)},
+        span AS (
+            SELECT doc_id, {portable_hash64_sql('gram')} AS gh, len_g
+            FROM (SELECT doc_id, unnest(g) AS gram, len(g) AS len_g FROM grams)
+        ),
+        gram_docs AS (
+            SELECT gh, count(*) AS nd FROM span GROUP BY gh
+        )
+        SELECT s.doc_id,
+               CAST(any_value(s.len_g) AS BIGINT) AS n_spans,
+               CAST(count(*) FILTER (WHERE d.nd >= 2) AS BIGINT) AS dup_spans,
+               round(count(*) FILTER (WHERE d.nd >= 2)
+                     / nullif(any_value(s.len_g), 0), 6) AS dup_frac
+        FROM span s JOIN gram_docs d ON s.gh = d.gh
+        GROUP BY s.doc_id
+    """,
+    doc=f"Duplicate-span measurement: fraction of each doc's distinct "
+    f"{DUP_SPAN_NGRAM}-gram spans that occur in at least one OTHER doc — "
+    "the n-gram approximation of suffix-array substring dedup. Two narrow "
+    "60-bit-hash shuffles (gram->doc-count, then per-doc re-agg); no "
+    "pairwise doc comparison anywhere, so the shape survives 100 TB. "
+    "Docs with zero spans drop out (no grams to join), matching the oracle",
+    tags=("text", "curation", "dedup"),
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            ngrams_of_tokens(tokens("text"), DUP_SPAN_NGRAM)
+        ).alias("_g"),
+    )
+    # per-doc distinct grams -> count(*) per hash IS the containing-doc count
+    span = grams.select(
+        "doc_id", F.size("_g").alias("len_g"), F.explode("_g").alias("gram")
+    ).select("doc_id", "len_g", portable_hash64("gram").alias("gh"))
+    gram_docs = span.groupBy("gh").agg(F.count("*").alias("nd"))
+    dup = F.count(F.when(F.col("nd") >= 2, 1))
+    return (
+        span.join(gram_docs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("len_g").cast("bigint").alias("n_spans"),
+            dup.cast("bigint").alias("dup_spans"),
+            F.round(
+                dup / F.nullif(F.any_value("len_g"), F.lit(0)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "mix_quota_sample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        thresholds AS (
+            SELECT lang, n_docs,
+                   CAST(floor(least(1.0, {MIX_TARGET_PER_LANG}.0 / n_docs)
+                              * {MIX_RES}) AS BIGINT) AS quota_threshold
+            FROM counts
+        )
+        SELECT d.lang,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               t.quota_threshold,
+               CAST(count(*) FILTER (
+                   WHERE {portable_hash64_sql("'mix:' || d.doc_id")} % {MIX_RES}
+                         < t.quota_threshold) AS BIGINT) AS n_sampled
+        FROM documents d JOIN thresholds t ON d.lang = t.lang
+        GROUP BY d.lang, t.n_docs, t.quota_threshold
+    """,
+    doc="Mixture/quota sampling: deterministic hash-fraction downsampling to "
+    f"~{MIX_TARGET_PER_LANG} docs per language — how a training mix is "
+    "rebalanced without a shuffle of the corpus. One tiny per-language "
+    "aggregate broadcast back over a single pass; selection is a pure "
+    "function of doc_id, so resampling is reproducible and incremental",
+    tags=("text", "curation"),
+)
+def q_mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thresholds = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.floor(
+                F.least(F.lit(1.0), F.lit(float(MIX_TARGET_PER_LANG)) / F.col("n_docs"))
+                * MIX_RES
+            )
+            .cast("bigint")
+            .alias("quota_threshold"),
+        )
+    )
+    h = portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    keep = (h % MIX_RES) < F.col("quota_threshold")
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .groupBy("lang", "n_docs", "quota_threshold")
+        .agg(F.count(F.when(keep, 1)).cast("bigint").alias("n_sampled"))
+    )
+
+
+@register(
+    "rag_chunk_stats",
+    oracle=f"""
+        WITH {_toks_sql()},
+        base AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) <= {CHUNK_SIZE} THEN 1
+                        ELSE ((len(w) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                              // {CHUNK_STRIDE}) + 1 END AS nch
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(len(w[(1 + {CHUNK_STRIDE} * (i - 1)):
+                          ({CHUNK_STRIDE} * (i - 1) + {CHUNK_SIZE})])
+                    AS BIGINT) AS n_chunk_tokens,
+               {portable_hash64_sql(
+                   f"array_to_string(w[(1 + {CHUNK_STRIDE} * (i - 1)):"
+                   f"({CHUNK_STRIDE} * (i - 1) + {CHUNK_SIZE})], ' ')"
+               )} AS chunk_hash
+        FROM (SELECT doc_id, w, unnest(range(1, nch + 1)) AS i FROM base)
+    """,
+    doc=f"RAG chunking: overlapping {CHUNK_SIZE}-token windows at stride "
+    f"{CHUNK_STRIDE} with a stable per-chunk content hash — the retrieval-"
+    "corpus prep step. Pure per-row transform + explode: no shuffle at all, "
+    "embarrassingly parallel at any scale",
+    tags=("text", "curation"),
+)
+def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("_w"))
+    ntok = F.size("_w")
+    nch = F.when(ntok <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.floor((ntok - CHUNK_SIZE + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)) + 1
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), nch.cast("bigint")),
+            lambda i: F.struct(
+                i.cast("bigint").alias("chunk_id"),
+                F.slice(
+                    F.col("_w"), (i - 1) * CHUNK_STRIDE + 1, CHUNK_SIZE
+                ).alias("ctoks"),
+            ),
+        )
+    )
+    return base.select("doc_id", chunk.alias("_c")).select(
+        "doc_id",
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.size("_c.ctoks").cast("bigint").alias("n_chunk_tokens"),
+        portable_hash64(F.concat_ws(" ", F.col("_c.ctoks"))).alias("chunk_hash"),
+    )
+
+
+@register(
+    "shard_assignment_stats",
+    oracle=f"""
+        WITH {_toks_sql()},
+        ranked AS (
+            SELECT doc_id, lang, len(w) AS ntok,
+                   row_number() OVER (
+                       ORDER BY {portable_hash64_sql("'shard:' || doc_id")},
+                                doc_id) AS rn
+            FROM toks
+        )
+        SELECT CAST((rn - 1) // {SHARD_SIZE} AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM ranked
+        GROUP BY shard_id
+    """,
+    doc=f"Training-shard assignment: docs ordered by a deterministic hash "
+    f"permutation and cut into fixed-size shards of {SHARD_SIZE} — the "
+    "global-shuffle-then-shard step before writing training data. The sort "
+    "is a range-partitioned exchange (Spark's distributed sort), the one "
+    "shuffle fixed-size sharding genuinely needs; when approximate sizes "
+    "suffice, shard_id = hash % n_shards drops the sort entirely. Per-shard "
+    "language spread (n_langs) verifies the permutation actually mixes",
+    tags=("text", "curation"),
+)
+def q_shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("ntok"), h.alias("_h")
+    ).withColumn("rn", F.row_number().over(W.orderBy("_h", "doc_id")))
+    return (
+        ranked.groupBy(
+            F.floor((F.col("rn") - 1) / SHARD_SIZE).cast("bigint").alias("shard_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
