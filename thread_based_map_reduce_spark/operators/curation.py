@@ -325,19 +325,42 @@ def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"Training-shard assignment: docs ordered by a deterministic hash "
     f"permutation and cut into fixed-size shards of {SHARD_SIZE} — the "
-    "global-shuffle-then-shard step before writing training data. The sort "
-    "is a range-partitioned exchange (Spark's distributed sort), the one "
-    "shuffle fixed-size sharding genuinely needs; when approximate sizes "
-    "suffice, shard_id = hash % n_shards drops the sort entirely. Per-shard "
-    "language spread (n_langs) verifies the permutation actually mixes",
+    "global-shuffle-then-shard step before writing training data. The "
+    "global rank is computed WITHOUT a single-partition sort: the 60-bit "
+    "hash's top 8 bits form 256 order-preserving range buckets, ranks are "
+    "per-bucket windows (parallel), and a broadcast prefix-sum of bucket "
+    "counts lifts them to global ranks — the distributed-ranking shape "
+    "that survives 100 TB. When approximate sizes suffice, shard_id = "
+    "hash % n_shards drops even that. Per-shard language spread (n_langs) "
+    "verifies the permutation actually mixes",
     tags=("text", "curation"),
 )
 def q_shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-    ranked = docs.select(
+    # bucket = top 8 bits of the 60-bit hash: monotone in h, so
+    # (bucket, h, doc_id) order == (h, doc_id) order and per-bucket ranks
+    # plus bucket-count prefix sums reproduce the global row_number the
+    # oracle computes in one pass.
+    base = docs.select(
         "doc_id", "lang", F.size(tokens("text")).alias("ntok"), h.alias("_h")
-    ).withColumn("rn", F.row_number().over(W.orderBy("_h", "doc_id")))
+    ).withColumn("_bucket", F.shiftright("_h", 52))
+    counts = base.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+    # prefix sum over 256 bucket-count rows — the single-partition window
+    # touches 256 rows regardless of corpus size
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_bn").over(
+                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.row_number().over(W.partitionBy("_bucket").orderBy("_h", "doc_id"))
+    ranked = base.join(F.broadcast(offsets), "_bucket").withColumn(
+        "rn", F.col("_off") + within
+    )
     return (
         ranked.groupBy(
             F.floor((F.col("rn") - 1) / SHARD_SIZE).cast("bigint").alias("shard_id")
