@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..functions.textfns import ngrams_of_tokens, tokens
 from ..plans.catalog import register
+from ..session import reliable_checkpoint
 from ..sources.registry import load_table
 
 # Production decontamination uses 8-13-token grams; the synthetic corpus
@@ -105,11 +106,16 @@ def _grams_sql(n: int) -> str:
 )
 def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(
-            ngrams_of_tokens(tokens("text"), DECONTAM_NGRAM)
-        ).alias("_g"),
+    # materialize the tokenize->ngram->distinct pass once: both the eval
+    # and train branches consume it (same reuse pattern as the minhash
+    # shingle table, dedup.py)
+    grams = reliable_checkpoint(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                ngrams_of_tokens(tokens("text"), DECONTAM_NGRAM)
+            ).alias("_g"),
+        )
     )
     eval_grams = (
         grams.where(F.col("doc_id") % EVAL_MOD == 0)
@@ -181,10 +187,19 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ngrams_of_tokens(tokens("text"), DUP_SPAN_NGRAM)
         ).alias("_g"),
     )
-    # per-doc distinct grams -> count(*) per hash IS the containing-doc count
-    span = grams.select(
-        "doc_id", F.size("_g").alias("len_g"), F.explode("_g").alias("gram")
-    ).select("doc_id", "len_g", portable_hash64("gram").alias("gh"))
+    # per-doc distinct grams -> count(*) per hash IS the containing-doc
+    # count. Deliberately aggregate-then-join-back rather than the (locally
+    # ~15% faster) count window over gh: hot grams are a fact of real
+    # corpora (a stop-phrase can sit in millions of docs), and a window
+    # partition has no skew mitigation — every hot-gram row lands in ONE
+    # task. The aggregate shrinks hot keys map-side (partial combine) and
+    # the join-back is AQE-skew-splittable, so this shape survives 100 TB.
+    # Materialized once: both consumers reuse the explode+hash pass.
+    span = reliable_checkpoint(
+        grams.select(
+            "doc_id", F.size("_g").alias("len_g"), F.explode("_g").alias("gram")
+        ).select("doc_id", "len_g", portable_hash64("gram").alias("gh"))
+    )
     gram_docs = span.groupBy("gh").agg(F.count("*").alias("nd"))
     dup = F.count(F.when(F.col("nd") >= 2, 1))
     return (
