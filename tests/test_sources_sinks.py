@@ -103,3 +103,41 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path_factory):
     assert merged.count() == 3
     # and the evolved column is filterable with pushdown intact
     assert merged.where(F.col("score") > 10).count() == 1
+
+
+def test_events_ts_both_parquet_vintages(spark, sf_dir, tmp_path_factory):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) and as plain µs
+    TIMESTAMP_NTZ across testdata generations; load_table must surface the
+    SAME UTC microsecond timestamps for either file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("vintages")
+    micros = [1704067200_000000, 1704070800_123456]  # 2024-01-01T00/+1h UTC
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "signup"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for sub, ts_arr in {
+        "nanos": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "micros": pa.array(micros, pa.timestamp("us")),
+    }.items():
+        d = base / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({**cols, "ts": ts_arr}), str(d / "events.parquet")
+        )
+
+    got = {}
+    for sub in ("nanos", "micros"):
+        df = load_table(spark, str(base / sub), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got[sub] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["nanos"] == got["micros"]
+    assert got["micros"][0][1].startswith("2024-01-01T00:00:00")
+    assert got["micros"][1][1].endswith("00:00.123456")
