@@ -52,6 +52,13 @@ MIX_RES = 1_000_000  # hash-fraction resolution for the sampling threshold
 
 SHARD_SIZE = 256
 
+# Sequence packing: context-window length (tokens) and shard fan-out.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 8
+
+# Mixture reweighting: cap on per-language upsampling factor.
+MIX_MAX_WEIGHT = 5.0
+
 
 def _toks_sql(src: str = "documents") -> str:
     return (
@@ -319,6 +326,135 @@ def q_rag_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_c.chunk_id").alias("chunk_id"),
         F.size("_c.ctoks").cast("bigint").alias("n_chunk_tokens"),
         portable_hash64(F.concat_ws(" ", F.col("_c.ctoks"))).alias("chunk_hash"),
+    )
+
+
+@register(
+    "pack_sequences_stats",
+    oracle=f"""
+        WITH {_toks_sql()},
+        base AS (
+            SELECT doc_id, len(w) AS ntok,
+                   {portable_hash64_sql("'pack:' || doc_id")} AS h
+            FROM toks
+        ),
+        ordered AS (
+            SELECT h % {PACK_SHARDS} AS shard, ntok,
+                   sum(ntok) OVER (PARTITION BY h % {PACK_SHARDS}
+                                   ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+            FROM base
+        )
+        SELECT CAST(shard AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST((sum(ntok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+                    AS BIGINT) AS n_sequences,
+               CAST(count(*) FILTER (
+                   WHERE ntok > 0
+                     AND (cum - 1) // {PACK_SEQ_LEN}
+                         > (cum - ntok) // {PACK_SEQ_LEN}
+               ) AS BIGINT) AS n_docs_split,
+               round(((sum(ntok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+                      * {PACK_SEQ_LEN} - sum(ntok))
+                     / ((sum(ntok) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}
+                        * {PACK_SEQ_LEN}.0), 6) AS pad_frac
+        FROM ordered
+        GROUP BY shard
+    """,
+    doc=f"Sequence packing for LLM pretraining: docs are hash-routed to "
+    f"{PACK_SHARDS} shards, concatenated in a deterministic hash order, and "
+    f"cut into {PACK_SEQ_LEN}-token context windows (GPT-style "
+    "concat-then-chunk). Per shard: sequence count, docs split across a "
+    "window boundary, and tail-padding waste — the numbers that size a "
+    "training run. One shuffle (hash route) + per-shard running sums; at "
+    "100 TB the shard count scales with the corpus (fixed tokens/shard), so "
+    "each window partition stays bounded; the bucket-prefix-sum trick "
+    "(shard_assignment_stats) removes even that bound if shards must be few",
+    tags=("text", "curation"),
+)
+def q_pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).alias("ntok"), h.alias("_h")
+    ).withColumn("_shard", F.col("_h") % PACK_SHARDS)
+    cum = F.sum("ntok").over(
+        W.partitionBy("_shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    L = PACK_SEQ_LEN
+    with_cum = base.withColumn("_cum", cum)
+    split = (F.col("ntok") > 0) & (
+        F.floor((F.col("_cum") - 1) / L)
+        > F.floor((F.col("_cum") - F.col("ntok")) / L)
+    )
+    nseq = F.floor((F.sum("ntok") + (L - 1)) / L)
+    return (
+        with_cum.groupBy(F.col("_shard").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            nseq.cast("bigint").alias("n_sequences"),
+            F.count(F.when(split, 1)).cast("bigint").alias("n_docs_split"),
+            F.round(
+                (nseq * L - F.sum("ntok")) / (nseq * L).cast("double"), 6
+            ).alias("pad_frac"),
+        )
+    )
+
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+        WITH {_toks_sql()},
+        per AS (
+            SELECT lang, count(*) AS n_docs, sum(len(w)) AS tok
+            FROM toks GROUP BY lang
+        )
+        SELECT lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(tok AS BIGINT) AS lang_tokens,
+               round(tok / (sum(tok) OVER ())::DOUBLE, 6) AS token_share,
+               round(1.0 / (count(*) OVER ()), 6) AS target_share,
+               round(least({MIX_MAX_WEIGHT}, (1.0 / (count(*) OVER ()))
+                     / (tok / (sum(tok) OVER ())::DOUBLE)), 6) AS mix_weight,
+               round((1.0 / (count(*) OVER ()))
+                     * ln((1.0 / (count(*) OVER ()))
+                          / (tok / (sum(tok) OVER ())::DOUBLE)), 6) AS kl_term
+        FROM per
+    """,
+    doc="Training-mixture reweighting: per-language token share vs a uniform "
+    "target mix; emits the sampling weight (capped at "
+    f"{MIX_MAX_WEIGHT}x upsampling) and the per-language KL term that "
+    "measures how far the natural mix sits from the target. The corpus "
+    "collapses to one tiny per-language aggregate (map-side combine, "
+    "narrow key); the global-total windows touch n_langs rows only, so "
+    "the shape is one corpus pass at any scale",
+    tags=("text", "curation", "stats"),
+)
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("tok"),
+    )
+    # windows over the unpartitioned frame are safe HERE only because the
+    # input is the n_langs-row aggregate, never the corpus
+    all_w = W.partitionBy()
+    share = F.col("tok") / F.sum("tok").over(all_w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(all_w)
+    return per.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("tok").cast("bigint").alias("lang_tokens"),
+        F.round(share, 6).alias("token_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(F.least(F.lit(MIX_MAX_WEIGHT), target / share), 6).alias(
+            "mix_weight"
+        ),
+        F.round(target * F.log(target / share), 6).alias("kl_term"),
     )
 
 

@@ -1,0 +1,223 @@
+"""Data-layout operators: Z-order clustering and its pruning payoff.
+
+At 100 TB the scan is the query: whether a predicate on (customer, price)
+touches 2% or 80% of the files is decided at WRITE time by how rows were
+laid out. ``zorder_pruning_stats`` quantizes two ``orders`` columns onto a
+16x16 grid, interleaves the bits into a Z-value (Morton code), assigns rows
+to fixed-count "files" under (a) the natural insert order and (b) Z-order,
+and reports the average fraction of each dimension's value range — and of
+the 2-D cell space — a file overlaps. That per-file min/max span IS the
+parquet row-group / data-skipping statistic: ``avg_cell_cover`` ~= the
+expected fraction of files a 2-D point predicate must read.
+
+Scale notes (the whole point of the operator):
+
+- the layout sort is a RANGE-partitioned exchange in Spark — the same
+  distributed sort a real ``OPTIMIZE ... ZORDER BY`` performs; no
+  single-task stage anywhere. Global ranks come from the monotone-bucket
+  prefix-sum trick (per-bucket ``row_number`` + broadcast offsets), not a
+  one-partition window — the same shape as ``shard_assignment_stats``;
+- the min/max/count bounds the quantizer needs ship as ONE broadcast row
+  joined on a literal key (BroadcastHashJoin, not a nested-loop cross);
+  at scale those bounds come free from table statistics;
+- everything downstream of the rank is a narrow (layout, file_id)
+  aggregate with map-side combine.
+
+Cross-engine determinism: quantized cells and spans are small integers
+over 16, so every double in the output is an exact binary fraction —
+the averages are bit-identical in Spark and DuckDB with no rounding
+tricks needed (round(6) is still applied as belt-and-braces).
+
+Generalizes the reference's shuffle phase (`MapReduceFramework.cpp`
+sort/partition step) to the data-placement problem it never had: the
+reference keeps everything in one address space, so layout is moot there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+ZQ_BITS = 4  # 16 cells per dimension
+ZQ_CELLS = 1 << ZQ_BITS
+N_FILES = 32
+
+
+def _interleave_sql(xq: str, yq: str) -> str:
+    terms = []
+    for j in range(ZQ_BITS):
+        terms.append(f"((({xq} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({yq} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _interleave(xq: Column, yq: Column) -> Column:
+    z = F.lit(0)
+    for j in range(ZQ_BITS):
+        z = z + F.shiftleft(F.shiftright(xq, j).bitwiseAND(F.lit(1)), 2 * j)
+        z = z + F.shiftleft(F.shiftright(yq, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+    return z
+
+
+def _global_rank(df: DataFrame, sort: Column, bucket: Column) -> DataFrame:
+    """Global row_number by (sort, o_orderkey) without a one-partition window.
+
+    ``bucket`` must be monotone in ``sort``: per-bucket ranks (parallel
+    windows) plus a broadcast prefix sum of bucket counts then reproduce
+    the single-pass global rank exactly (same trick, and the same
+    cross-engine proof, as shard_assignment_stats).
+    """
+    base = df.withColumn("_s", sort).withColumn("_b", bucket)
+    counts = base.groupBy("_b").agg(F.count("*").alias("_bn"))
+    offsets = counts.select(
+        "_b",
+        F.coalesce(
+            F.sum("_bn").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.row_number().over(W.partitionBy("_b").orderBy("_s", "o_orderkey"))
+    return base.join(F.broadcast(offsets), "_b").withColumn(
+        "rn", F.col("_off") + within
+    )
+
+
+@register(
+    "zorder_pruning_stats",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+                   min(o_totalprice) AS minp, max(o_totalprice) AS maxp,
+                   min(o_orderkey) AS mino, max(o_orderkey) AS maxo,
+                   count(*) AS n
+            FROM orders
+        ),
+        q AS (
+            SELECT o_orderkey, mino, maxo, n,
+                   least({ZQ_CELLS - 1}, floor((o_custkey - minc) * {ZQ_CELLS}.0
+                         / (maxc - minc + 1)))::BIGINT AS xq,
+                   least({ZQ_CELLS - 1}, floor((o_totalprice - minp) * {ZQ_CELLS}.0
+                         / (maxp - minp)))::BIGINT AS yq
+            FROM orders, bounds
+        ),
+        z AS (
+            SELECT o_orderkey, xq, yq, n,
+                   {_interleave_sql('xq', 'yq')} AS zv
+            FROM q
+        ),
+        ranked AS (
+            SELECT xq, yq, n, 'natural' AS layout,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn FROM z
+            UNION ALL
+            SELECT xq, yq, n, 'zorder' AS layout,
+                   row_number() OVER (ORDER BY zv, o_orderkey) AS rn FROM z
+        ),
+        files AS (
+            SELECT layout,
+                   CAST(floor((rn - 1) * {N_FILES}.0 / n) AS BIGINT) AS file_id,
+                   (max(xq) - min(xq) + 1) / {ZQ_CELLS}.0 AS sx,
+                   (max(yq) - min(yq) + 1) / {ZQ_CELLS}.0 AS sy
+            FROM ranked
+            GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               round(avg(sx), 6) AS avg_x_span,
+               round(avg(sy), 6) AS avg_y_span,
+               round(avg(sx * sy), 6) AS avg_cell_cover
+        FROM files
+        GROUP BY layout
+    """,
+    doc="Z-order (Morton) clustering payoff, measured: orders rows are "
+    f"quantized onto a {ZQ_CELLS}x{ZQ_CELLS} (customer x price) grid, "
+    f"assigned to {N_FILES} equal files under natural vs Z-order, and each "
+    "layout reports the average per-file min/max span of both dimensions "
+    "plus the 2-D cell coverage — i.e. the fraction of files a point/range "
+    "predicate must scan given parquet data-skipping stats. The layout "
+    "sort is a range-partitioned exchange (distributed, like a real "
+    "OPTIMIZE ZORDER write); ranks use the monotone-bucket prefix-sum "
+    "shape, bounds ship as one broadcast row",
+    tags=("layout", "sort"),
+    bench=True,
+)
+def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = orders.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("o_totalprice").alias("minp"),
+        F.max("o_totalprice").alias("maxp"),
+        F.min("o_orderkey").alias("mino"),
+        F.max("o_orderkey").alias("maxo"),
+        F.count("*").alias("n"),
+    ).withColumn("_k", F.lit(1))
+    j = orders.withColumn("_k", F.lit(1)).join(F.broadcast(bounds), "_k")
+    xq = F.least(
+        F.lit(ZQ_CELLS - 1),
+        F.floor(
+            (F.col("o_custkey") - F.col("minc"))
+            * float(ZQ_CELLS)
+            / (F.col("maxc") - F.col("minc") + 1)
+        ),
+    ).cast("bigint")
+    yq = F.least(
+        F.lit(ZQ_CELLS - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("minp"))
+            * float(ZQ_CELLS)
+            / (F.col("maxp") - F.col("minp"))
+        ),
+    ).cast("bigint")
+    z = j.select(
+        "o_orderkey",
+        "mino",
+        "maxo",
+        "n",
+        xq.alias("xq"),
+        yq.alias("yq"),
+    ).withColumn("zv", _interleave(F.col("xq"), F.col("yq")))
+
+    # natural order: bucket on the (monotone) orderkey range; z-order:
+    # bucket on the top ZQ_BITS of the Morton code (monotone in zv)
+    nat_bucket = F.floor(
+        (F.col("o_orderkey") - F.col("mino"))
+        * float(ZQ_CELLS)
+        / (F.col("maxo") - F.col("mino") + 1)
+    )
+    branches = []
+    for layout, sortcol, bucketcol in (
+        ("natural", F.col("o_orderkey"), nat_bucket),
+        ("zorder", F.col("zv"), F.shiftright(F.col("zv"), ZQ_BITS)),
+    ):
+        ranked = _global_rank(z, sortcol, bucketcol)
+        branches.append(
+            ranked.select(
+                F.lit(layout).alias("layout"),
+                F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
+                .cast("bigint")
+                .alias("file_id"),
+                "xq",
+                "yq",
+            )
+        )
+    files = (
+        branches[0]
+        .unionAll(branches[1])
+        .groupBy("layout", "file_id")
+        .agg(
+            ((F.max("xq") - F.min("xq") + 1) / float(ZQ_CELLS)).alias("sx"),
+            ((F.max("yq") - F.min("yq") + 1) / float(ZQ_CELLS)).alias("sy"),
+        )
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.round(F.avg("sx"), 6).alias("avg_x_span"),
+        F.round(F.avg("sy"), 6).alias("avg_y_span"),
+        F.round(F.avg(F.col("sx") * F.col("sy")), 6).alias("avg_cell_cover"),
+    )

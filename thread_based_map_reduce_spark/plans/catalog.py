@@ -97,6 +97,7 @@ def _load_all() -> None:
         text,
         multimodal,
         curation,
+        layout,
     )
 
 
@@ -164,7 +165,7 @@ _PINNED_FIRST = (
 # them first (the relational basics already have driver-green rows).
 _NOVEL_TAGS = frozenset(
     {"dedup", "similarity", "ann", "lsh", "ivf", "text", "mapreduce",
-     "multimodal", "streaming", "udtf", "cogroup", "udf", "tpch"}
+     "multimodal", "streaming", "udtf", "cogroup", "udf", "tpch", "layout"}
 )
 
 
