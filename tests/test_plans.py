@@ -151,3 +151,24 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
 def test_shuffle_hash_hint_respected(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in plan, "SHUFFLE_HASH hint did not change the strategy"
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # hash-route to shards + per-shard running sums + final agg reuse one
+    # exchange on the shard key; a second exchange means the pack shape
+    # regressed to sort-then-reshuffle.
+    plan = plan_of(spark, sf_dir, "pack_sequences_stats")
+    assert count_nodes(plan, "Exchange") <= 1
+
+
+def test_zorder_rank_stage_shape(spark, sf_dir):
+    # the quantized frame is checkpointed once, so the final plan reads the
+    # materialized RDD (no per-branch parquet re-scan) and must not contain
+    # a cartesian product; rank windows are per-bucket (PartitionBy), never
+    # a global single-partition window over the data.
+    plan = plan_of(spark, sf_dir, "zorder_pruning_stats")
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Scan parquet") == 0, (
+        "zorder branches re-scan parquet instead of reusing the "
+        "checkpointed quantized frame"
+    )

@@ -12,14 +12,21 @@ expected fraction of files a 2-D point predicate must read.
 
 Scale notes (the whole point of the operator):
 
-- the layout sort is a RANGE-partitioned exchange in Spark — the same
-  distributed sort a real ``OPTIMIZE ... ZORDER BY`` performs; no
-  single-task stage anywhere. Global ranks come from the monotone-bucket
-  prefix-sum trick (per-bucket ``row_number`` + broadcast offsets), not a
-  one-partition window — the same shape as ``shard_assignment_stats``;
-- the min/max/count bounds the quantizer needs ship as ONE broadcast row
-  joined on a literal key (BroadcastHashJoin, not a nested-loop cross);
-  at scale those bounds come free from table statistics;
+- global ranks come from the monotone-bucket prefix-sum trick
+  (per-bucket ``row_number`` + broadcast offsets), not a one-partition
+  window — the same shape as ``shard_assignment_stats``. Both layouts
+  use 256 rank buckets (the full Morton-code range; a 256-cell orderkey
+  grid), so the rank stage is 256-way parallel and the prefix-sum window
+  touches at most 256 rows;
+- the min/max/count bounds the quantizer needs ship as ONE broadcast
+  row. Catalyst constant-folds the literal join key, so the join
+  materializes as a BroadcastNestedLoopJoin over a one-row build side —
+  O(1) per probe row, the same cost as a hash join and the standard
+  physical shape for scalar-aggregate subqueries. At scale the bounds
+  come free from table statistics instead;
+- the quantized (xq, yq, zv) frame is materialized once
+  (reliable_checkpoint) and shared by both layout branches — one data
+  scan, not one per branch;
 - everything downstream of the rank is a narrow (layout, file_id)
   aggregate with map-side combine.
 
@@ -38,11 +45,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..plans.catalog import register
+from ..session import reliable_checkpoint
 from ..sources.registry import load_table
 
 ZQ_BITS = 4  # 16 cells per dimension
 ZQ_CELLS = 1 << ZQ_BITS
 N_FILES = 32
+# Rank-stage fan-out: buckets must be monotone in the sort key. The Morton
+# code has exactly ZQ_CELLS^2 values, so using it verbatim gives 256-way
+# parallel rank windows; the natural layout quantizes orderkey to the same
+# resolution.
+RANK_BUCKETS = ZQ_CELLS * ZQ_CELLS
 
 
 def _interleave_sql(xq: str, yq: str) -> str:
@@ -174,26 +187,32 @@ def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("maxp") - F.col("minp"))
         ),
     ).cast("bigint")
-    z = j.select(
-        "o_orderkey",
-        "mino",
-        "maxo",
-        "n",
-        xq.alias("xq"),
-        yq.alias("yq"),
-    ).withColumn("zv", _interleave(F.col("xq"), F.col("yq")))
+    # materialize the quantized frame once — both layout branches (and the
+    # bucket-count aggregates inside their rank computations) reuse it, so
+    # the orders scan and the bounds aggregate run a single time
+    z = reliable_checkpoint(
+        j.select(
+            "o_orderkey",
+            "mino",
+            "maxo",
+            "n",
+            xq.alias("xq"),
+            yq.alias("yq"),
+        ).withColumn("zv", _interleave(F.col("xq"), F.col("yq")))
+    )
 
     # natural order: bucket on the (monotone) orderkey range; z-order:
-    # bucket on the top ZQ_BITS of the Morton code (monotone in zv)
+    # the Morton code itself is the bucket (256 values) — both give the
+    # rank stage RANK_BUCKETS-way parallelism
     nat_bucket = F.floor(
         (F.col("o_orderkey") - F.col("mino"))
-        * float(ZQ_CELLS)
+        * float(RANK_BUCKETS)
         / (F.col("maxo") - F.col("mino") + 1)
     )
     branches = []
     for layout, sortcol, bucketcol in (
         ("natural", F.col("o_orderkey"), nat_bucket),
-        ("zorder", F.col("zv"), F.shiftright(F.col("zv"), ZQ_BITS)),
+        ("zorder", F.col("zv"), F.col("zv")),
     ):
         ranked = _global_rank(z, sortcol, bucketcol)
         branches.append(
