@@ -14,11 +14,16 @@ from thread_based_map_reduce_spark.operators.curation import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
     EVAL_MOD,
+    MIX_MAX_WEIGHT,
     MIX_RES,
+    PACK_SEQ_LEN,
+    PACK_SHARDS,
     SHARD_SIZE,
     q_decontam_eval_overlap,
+    q_domain_mix_weights,
     q_dup_span_fraction,
     q_mix_quota_sample,
+    q_pack_sequences_stats,
     q_rag_chunk_stats,
     q_shard_assignment_stats,
 )
@@ -99,3 +104,36 @@ def test_dup_span_fraction_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.dup_spans <= r.n_spans or r.dup_spans == 0
         assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_pack_sequences_accounting(spark, sf_dir):
+    """Packing conserves docs/tokens and cannot split more docs than there
+    are window boundaries."""
+    corpus_docs = load_table(spark, sf_dir, "documents").count()
+    rows = q_pack_sequences_stats(spark, sf_dir).collect()
+    assert {r.shard_id for r in rows} <= set(range(PACK_SHARDS))
+    assert sum(r.n_docs for r in rows) == corpus_docs
+    for r in rows:
+        want_seq = -(-r.total_tokens // PACK_SEQ_LEN)  # ceil
+        assert r.n_sequences == want_seq
+        # each of the n_sequences-1 interior boundaries splits at most one doc
+        assert 0 <= r.n_docs_split <= max(r.n_sequences - 1, 0)
+        assert 0.0 <= r.pad_frac < 1.0
+        # pad_frac is exactly the tail shortfall of the last window
+        pad = r.n_sequences * PACK_SEQ_LEN - r.total_tokens
+        assert abs(r.pad_frac - pad / (r.n_sequences * PACK_SEQ_LEN)) < 1e-6
+
+
+def test_domain_mix_weights_contract(spark, sf_dir):
+    """Shares sum to 1, the target mix is uniform, weights respect the cap,
+    and the KL sum is non-negative (Gibbs)."""
+    rows = q_domain_mix_weights(spark, sf_dir).collect()
+    langs = len(rows)
+    assert langs >= 2
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.target_share - round(1.0 / langs, 6)) < 1e-9
+        assert 0.0 < r.mix_weight <= MIX_MAX_WEIGHT
+        uncapped = r.target_share / r.token_share
+        assert abs(r.mix_weight - min(MIX_MAX_WEIGHT, uncapped)) < 1e-3
+    assert sum(r.kl_term for r in rows) >= -1e-6
