@@ -1,0 +1,177 @@
+"""Operational diagnostics: the measurements that drive 100 TB tuning.
+
+Two operators a pipeline owner runs before touching knobs:
+
+- ``key_skew_report`` — the shuffle-key skew profile (max/p99/p50 key
+  frequency, hot-key share, coefficient of variation) that decides
+  whether a join/agg needs salting or AQE skew handling. Quantiles come
+  from a counts-of-counts table (distinct frequency values, cumulative
+  sums over that tiny table) — NOT ``percentile_cont`` (engines differ in
+  interpolation conventions) and NOT a window over the per-key table
+  (which can be ~100M rows for a user-id key at 100 TB). The variance is
+  computed from exact BIGINT power sums in the final projection, never
+  from a float-accumulating ``stddev`` aggregate whose merge order is
+  nondeterministic across partitions.
+- ``compaction_plan_stats`` — per-partition (event day) size estimates
+  and the target file count at a fixed file-size budget: the
+  small-files/compaction planning pass. Pure partition-grain aggregate;
+  its output is metadata-sized at any corpus scale.
+
+Both collapse the corpus with one narrow-key aggregate (map-side
+combine) before anything non-linear happens, so the shapes are
+scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+# compaction target: bytes per output file (small for the synthetic data;
+# 128 MiB in production — the logic is budget-independent)
+TARGET_FILE_BYTES = 256 * 1024
+# fixed-width estimate per event row on top of the variable props payload
+ROW_OVERHEAD_BYTES = 64
+
+
+def _quantile_disc_expr(q: float) -> str:
+    """DuckDB: smallest frequency value whose cumulative key-count reaches
+    ceil(q * n_keys), from the counts-of-counts CTE ``cc``."""
+    return f"""(
+        SELECT min(cnt) FROM (
+            SELECT cnt,
+                   sum(freq) OVER (ORDER BY cnt
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SELECT sum(freq) FROM cc) AS nk
+            FROM cc
+        ) WHERE cum >= ceil({q} * nk)
+    )"""
+
+
+@register(
+    "key_skew_report",
+    oracle=f"""
+        WITH counts AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ),
+        cc AS (
+            SELECT cnt, count(*) AS freq FROM counts GROUP BY cnt
+        ),
+        sums AS (
+            SELECT count(*) AS n_keys,
+                   sum(cnt)::BIGINT AS total_rows,
+                   max(cnt)::BIGINT AS max_cnt,
+                   sum(cnt * cnt)::BIGINT AS sum_sq
+            FROM counts
+        )
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               total_rows,
+               max_cnt,
+               CAST({_quantile_disc_expr(0.5)} AS BIGINT) AS p50_cnt,
+               CAST({_quantile_disc_expr(0.99)} AS BIGINT) AS p99_cnt,
+               round(max_cnt / total_rows::DOUBLE, 6) AS top1_share,
+               round(sqrt(sum_sq / n_keys::DOUBLE
+                          - (total_rows / n_keys::DOUBLE)
+                            * (total_rows / n_keys::DOUBLE))
+                     / (total_rows / n_keys::DOUBLE), 6) AS cv,
+               round(max_cnt / ({_quantile_disc_expr(0.5)})::DOUBLE, 6)
+                   AS skew_ratio
+        FROM sums
+    """,
+    doc="Shuffle-key skew profile for events.user_id: key count, max/p99/"
+    "p50 key frequency (discrete quantiles via a counts-of-counts table — "
+    "scalable and engine-agnostic), hottest-key row share, coefficient of "
+    "variation from exact integer power sums, and max/median skew ratio — "
+    "the numbers that decide whether a key needs salting or AQE skew "
+    "splitting before a 100 TB join. One narrow-key aggregate collapses "
+    "the corpus; every window after that runs over the distinct-frequency "
+    "table (tiny by construction)",
+    tags=("events", "stats", "skew", "diagnostics"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # counts-of-counts: one row per DISTINCT frequency value — the
+    # cumulative window below touches only this corpus-size-independent
+    # table, never the per-key table
+    cc = counts.groupBy("cnt").agg(F.count("*").alias("freq"))
+    cum = cc.select(
+        "cnt",
+        F.sum("freq")
+        .over(W.orderBy("cnt").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("freq").over(W.partitionBy()).alias("nk"),
+    )
+
+    def qdisc(q: float) -> DataFrame:
+        return cum.where(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("nk"))
+        ).agg(F.min("cnt").alias(f"_q{int(q * 100)}"))
+
+    sums = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+    )
+    one = (
+        sums.withColumn("_k", F.lit(1))
+        .join(qdisc(0.5).withColumn("_k", F.lit(1)), "_k")
+        .join(qdisc(0.99).withColumn("_k", F.lit(1)), "_k")
+    )
+    mean = F.col("total_rows") / F.col("n_keys").cast("double")
+    var = F.col("sum_sq") / F.col("n_keys").cast("double") - mean * mean
+    return one.select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        "total_rows",
+        "max_cnt",
+        F.col("_q50").cast("bigint").alias("p50_cnt"),
+        F.col("_q99").cast("bigint").alias("p99_cnt"),
+        F.round(F.col("max_cnt") / F.col("total_rows").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        F.round(F.col("max_cnt") / F.col("_q50").cast("double"), 6).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+@register(
+    "compaction_plan_stats",
+    oracle=f"""
+        SELECT CAST(ts::DATE AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length(props) + {ROW_OVERHEAD_BYTES})
+                    AS BIGINT) AS est_bytes,
+               CAST(ceil(sum(length(props) + {ROW_OVERHEAD_BYTES})
+                         / {TARGET_FILE_BYTES}.0) AS BIGINT) AS target_files,
+               sum(length(props) + {ROW_OVERHEAD_BYTES})
+                   < {TARGET_FILE_BYTES} AS undersized
+        FROM events
+        GROUP BY day
+    """,
+    doc="Compaction planning per event-day partition: estimated bytes "
+    "(payload length + fixed row overhead), the file count at a "
+    f"{TARGET_FILE_BYTES}-byte budget (128 MiB in production), and an "
+    "undersized flag marking partitions that should merge into their "
+    "neighbors — the small-files pass every long-lived table needs. One "
+    "partition-grain aggregate; output is metadata-sized at any scale",
+    tags=("events", "diagnostics", "agg", "date"),
+)
+def q_compaction_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = F.sum(F.length("props") + ROW_OVERHEAD_BYTES)
+    return (
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            est.cast("bigint").alias("est_bytes"),
+            F.ceil(est / float(TARGET_FILE_BYTES)).cast("bigint").alias(
+                "target_files"
+            ),
+            (est < TARGET_FILE_BYTES).alias("undersized"),
+        )
+    )

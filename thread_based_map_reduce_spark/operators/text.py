@@ -625,17 +625,20 @@ def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     tris = toks.select("doc_id", ngrams_of_tokens(F.col("toks"), 3).alias("tris"))
-    n = F.size("tris")
-    return (
-        tris.where(n > 0)
-        .select(
-            "doc_id",
-            n.cast("bigint").alias("n_tri"),
-            F.round(
-                1.0 - F.size(F.array_distinct("tris")) / F.nullif(n.cast("double"), F.lit(0.0)),
-                6,
-            ).alias("rep_ratio"),
-        )
+    # stage size(tris) as a real column: referencing the size EXPRESSION in
+    # the filter and twice in the projection re-evaluates it per reference
+    # once predicate pushdown substitutes the alias (measured ~15% at
+    # sf0.1; same staging trap ngrams_of_tokens documents)
+    sized = tris.select("doc_id", "tris", F.size("tris").alias("_n"))
+    return sized.where(F.col("_n") > 0).select(
+        "doc_id",
+        F.col("_n").cast("bigint").alias("n_tri"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct("tris"))
+            / F.nullif(F.col("_n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rep_ratio"),
     )
 
 

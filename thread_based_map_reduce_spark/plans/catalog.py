@@ -98,6 +98,7 @@ def _load_all() -> None:
         multimodal,
         curation,
         layout,
+        diagnostics,
     )
 
 
