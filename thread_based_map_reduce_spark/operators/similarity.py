@@ -906,3 +906,111 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(q, lambda x: F.abs(x))).cast("bigint").alias("max_q"),
         F.round(F.sqrt(total.cast("double") / 1e18 / F.size("v")), 6).alias("rmse"),
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   [floor(x * 1000000)::BIGINT
+                    for x in embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT i, CAST(sum(qv[i]) AS BIGINT) AS si,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM q, range(1, {DIMS + 1}) t(i)
+            GROUP BY i
+        ),
+        pairs AS (
+            SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sp
+            FROM q, range(1, {DIMS + 1}) t(i), range(1, {DIMS + 1}) u(j)
+            WHERE j >= i
+            GROUP BY i, j
+        )
+        SELECT CAST(p.i AS BIGINT) AS i,
+               CAST(p.j AS BIGINT) AS j,
+               -- + 0.0 collapses IEEE negative zero (round() can yield
+               -- -0.0 here and 0.0 in Spark, which value-hash differently)
+               round((p.sp / a.n::DOUBLE
+                      - (a.si / a.n::DOUBLE) * (b.si / b.n::DOUBLE))
+                     / 1e12, 6) + 0.0 AS cov
+        FROM pairs p JOIN dims a ON p.i = a.i JOIN dims b ON p.j = b.i
+    """,
+    doc=f"Upper-triangle covariance matrix of the embedding corpus ({DIMS}x"
+    f"{DIMS}) — the PCA/whitening preparation step of an ANN index or "
+    "feature pipeline. Inputs are quantized to exact 1e-6 integers, so "
+    "every sum is associative BIGINT arithmetic — bit-identical across "
+    "engines and partition orders with zero float-accumulation drift (the "
+    "same exact-integer convention as embedding_quantize_stats; overflow "
+    "headroom: |q|<=6e5, so pair sums stay under 2^63 up to ~2.5e7 "
+    "vectors — beyond that, production switches the accumulator to "
+    "DECIMAL(38,0), same shape). One explode of D(D+1)/2 products per row "
+    "feeds a hash aggregate with map-side partial combine: the shuffle "
+    "carries at most 2080 rows per map partition regardless of corpus "
+    "size, and the tiny per-dim means broadcast back onto the pair sums",
+    tags=("similarity", "stats", "array"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1e6),
+    )
+    base = emb.select(qv.alias("qv"))
+    # per-dim integer sums (64 rows) — broadcast back onto the pair sums
+    dims = (
+        base.select(F.posexplode("qv").alias("p", "qx"))
+        .groupBy((F.col("p") + 1).cast("bigint").alias("i"))
+        .agg(
+            F.sum("qx").cast("bigint").alias("si"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    # row-local upper-triangle products, exploded into the partial-combine
+    # aggregate; nested HOF lambdas capture the outer index
+    idx = F.sequence(F.lit(1), F.size("qv"))
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.size("qv")),
+                lambda j: F.struct(
+                    i.cast("bigint").alias("i"),
+                    j.cast("bigint").alias("j"),
+                    (F.element_at("qv", i) * F.element_at("qv", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        base.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").cast("bigint").alias("sp"))
+    )
+    a = F.broadcast(dims)
+    b = F.broadcast(
+        dims.select(F.col("i").alias("j"), F.col("si").alias("sj"))
+    )
+    n = F.col("n").cast("double")
+    return (
+        pairs.join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 collapses IEEE negative zero (see oracle comment)
+            (
+                F.round(
+                    (
+                        F.col("sp") / n
+                        - (F.col("si") / n) * (F.col("sj") / n)
+                    )
+                    / 1e12,
+                    6,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+    )
