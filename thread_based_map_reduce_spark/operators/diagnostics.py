@@ -106,9 +106,10 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def qdisc(q: float) -> DataFrame:
+        # round before int(): float products like 0.29*100 truncate to 28
         return cum.where(
             F.col("cum") >= F.ceil(F.lit(q) * F.col("nk"))
-        ).agg(F.min("cnt").alias(f"_q{int(q * 100)}"))
+        ).agg(F.min("cnt").alias(f"_q{int(round(q * 100))}"))
 
     sums = counts.agg(
         F.count("*").alias("n_keys"),

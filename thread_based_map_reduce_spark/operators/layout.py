@@ -74,13 +74,16 @@ def _interleave(xq: Column, yq: Column) -> Column:
     return z
 
 
-def _global_rank(df: DataFrame, sort: Column, bucket: Column) -> DataFrame:
-    """Global row_number by (sort, o_orderkey) without a one-partition window.
+def _global_rank(
+    df: DataFrame, sort: Column, bucket: Column, tiebreak: str = "o_orderkey"
+) -> DataFrame:
+    """Global row_number by (sort, tiebreak) without a one-partition window.
 
-    ``bucket`` must be monotone in ``sort``: per-bucket ranks (parallel
-    windows) plus a broadcast prefix sum of bucket counts then reproduce
-    the single-pass global rank exactly (same trick, and the same
-    cross-engine proof, as shard_assignment_stats).
+    ``bucket`` must be monotone in ``sort``, and ``tiebreak`` must be a
+    unique column of ``df``: per-bucket ranks (parallel windows) plus a
+    broadcast prefix sum of bucket counts then reproduce the single-pass
+    global rank exactly (same trick, and the same cross-engine proof, as
+    shard_assignment_stats).
     """
     base = df.withColumn("_s", sort).withColumn("_b", bucket)
     counts = base.groupBy("_b").agg(F.count("*").alias("_bn"))
@@ -93,7 +96,7 @@ def _global_rank(df: DataFrame, sort: Column, bucket: Column) -> DataFrame:
             F.lit(0),
         ).alias("_off"),
     )
-    within = F.row_number().over(W.partitionBy("_b").orderBy("_s", "o_orderkey"))
+    within = F.row_number().over(W.partitionBy("_b").orderBy("_s", tiebreak))
     return base.join(F.broadcast(offsets), "_b").withColumn(
         "rn", F.col("_off") + within
     )

@@ -166,7 +166,8 @@ _PINNED_FIRST = (
 # them first (the relational basics already have driver-green rows).
 _NOVEL_TAGS = frozenset(
     {"dedup", "similarity", "ann", "lsh", "ivf", "text", "mapreduce",
-     "multimodal", "streaming", "udtf", "cogroup", "udf", "tpch", "layout"}
+     "multimodal", "streaming", "udtf", "cogroup", "udf", "tpch", "layout",
+     "diagnostics"}
 )
 
 
