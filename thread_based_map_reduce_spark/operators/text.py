@@ -814,3 +814,129 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
         F.countDistinct("h").cast("bigint").alias("n_canonical"),
     )
+
+
+# -- vocabulary coverage & unigram-LM quality (training-corpus staples) ------
+
+VOCAB_K = 20  # top-K corpus words form the "tokenizer vocabulary"
+
+_TOKS_EXPLODED_SQL = (
+    "toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "t -> t <> '')) AS w FROM documents)"
+)
+
+
+@register(
+    "vocab_oov_coverage",
+    oracle=f"""
+        WITH {_TOKS_EXPLODED_SQL},
+        freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        vocab AS (SELECT w FROM freq ORDER BY f DESC, w LIMIT {VOCAB_K})
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS oov_tok,
+               round(count(*) FILTER (WHERE v.w IS NULL)
+                     / nullif(count(*), 0)::DOUBLE, 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+    doc=f"Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate "
+    f"against the top-{VOCAB_K} corpus words (freq-desc, word-asc tiebreak "
+    "so the vocabulary cut is deterministic in both engines) — the "
+    "coverage check run before committing to a tokenizer vocab. The token "
+    "pass is materialized once and feeds both the frequency aggregate and "
+    "the per-doc join; the vocabulary is broadcast (a real subword vocab "
+    "is ~100k rows — still broadcast-sized at 100 TB)",
+    tags=("text", "quality", "curation"),
+)
+def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import reliable_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = reliable_checkpoint(
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    vocab = (
+        freq.orderBy(F.desc("f"), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.count(F.when(F.col("_v").isNull(), 1))
+            .cast("bigint")
+            .alias("oov_tok"),
+            F.round(
+                F.count(F.when(F.col("_v").isNull(), 1))
+                / F.nullif(F.count("*"), F.lit(0)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "unigram_nll_quality",
+    oracle=f"""
+        WITH {_TOKS_EXPLODED_SQL},
+        freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        tot AS (SELECT sum(f) AS total FROM freq),
+        -- quantize ln p(w) to exact nano-units BEFORE summing: the per-word
+        -- doubles agree across engines to the ulp, round() pins them to the
+        -- same integer, and BIGINT addition is associative — so the per-doc
+        -- sum is bit-identical regardless of partitioning (same convention
+        -- as embedding_covariance / embedding_quantize_stats)
+        lp AS (
+            SELECT w, CAST(round(ln(f / total::DOUBLE) * 1e9) AS BIGINT)
+                       AS lp_nano
+            FROM freq, tot
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               round(-(sum(l.lp_nano) / 1e9) / count(*), 6) AS avg_nll
+        FROM toks t JOIN lp l ON t.w = l.w
+        GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model negative log-likelihood per document — the "
+    "perplexity-proxy quality filter (CCNet-style): docs whose tokens are "
+    "improbable under the corpus unigram distribution score high and get "
+    "dropped. ln p(w) is quantized to exact integer nano-units before "
+    "summation so the result is partition-order-independent and "
+    "cross-engine exact. Corpus collapses to a word-frequency table "
+    "(narrow shuffle), which broadcasts back over one token pass",
+    tags=("text", "quality", "curation"),
+)
+def q_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import reliable_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = reliable_checkpoint(
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f").alias("total")).withColumn("_k", F.lit(1))
+    lp = (
+        freq.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "w",
+            F.round(F.log(F.col("f") / F.col("total").cast("double")) * 1e9)
+            .cast("bigint")
+            .alias("lp_nano"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.round(
+                -(F.sum("lp_nano") / 1e9) / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
