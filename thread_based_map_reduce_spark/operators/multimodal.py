@@ -606,6 +606,96 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_feature_frames(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over REAL WAV payloads: RIFF parse, then
+    DSP features in EXACT integer arithmetic (zero-crossing count, energy
+    and absolute-amplitude sums as Python ints) so downstream math is
+    associative and oracle-exact."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _sr, n, samples = decode_wav(bytes(row.payload))
+                a = np.frombuffer(samples, dtype=np.uint8).astype(np.int64) - 128
+                sign = np.where(a >= 0, 1, -1)
+                zc = int(np.count_nonzero(sign[1:] != sign[:-1]))
+                out.append(
+                    (
+                        row.doc_id,
+                        n,
+                        zc,
+                        int((a * a).sum()),
+                        int(np.abs(a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "zero_crossings", "energy", "sum_abs"],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, zero_crossings long, "
+        "energy long, sum_abs long",
+    )
+
+
+@register(
+    "multimodal_wav_features",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(zc AS BIGINT) AS zero_crossings,
+               round(zc / (n - 1.0), 6) AS zcr,
+               CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS energy,
+               round(list_sum(list_transform(a, x -> abs(x))) / n::DOUBLE, 6)
+                   AS mean_abs
+        FROM (
+            SELECT doc_id, n, a,
+                   len(list_filter(range(1, n::INT),
+                       i -> (CASE WHEN a[i] >= 0 THEN 1 ELSE 0 END)
+                            <> (CASE WHEN a[i + 1] >= 0 THEN 1 ELSE 0 END))) AS zc
+            FROM (
+                SELECT doc_id, n,
+                       [('0x' || substr(repeat(md5(text), ((n + 15) / 16)::INT),
+                                        2 * i - 1, 2))::INT - 128
+                        for i in range(1, n::INT + 1)] AS a
+                FROM (
+                    SELECT doc_id, text,
+                           ('0x' || substr(md5(text), 5, 3))::BIGINT % 2048 + 16 AS n
+                    FROM documents
+                )
+            )
+        )
+    """,
+    doc="Audio feature extraction over the REAL WAV kernel: zero-crossing "
+    "rate (the classic voiced/unvoiced + noisiness signal) and signal "
+    "energy, both accumulated as exact integers inside the Arrow kernel "
+    "so results are partition-order-independent and SQL-checkable; "
+    "per-row Python only (no shuffle), same scale shape as the other "
+    "decode kernels. n >= 16 samples by construction, so the zcr "
+    "denominator (n - 1) never hits zero.",
+    tags=("multimodal",),
+)
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = wav_feature_frames(with_wav_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "zero_crossings",
+        F.round(F.col("zero_crossings") / (F.col("n_samples") - 1.0), 6).alias(
+            "zcr"
+        ),
+        "energy",
+        F.round(F.col("sum_abs") / F.col("n_samples").cast("double"), 6).alias(
+            "mean_abs"
+        ),
+    )
+
+
 # -- REAL video decode path: Y4M (YUV4MPEG2, C420) ----------------------------
 #
 # Completes the modality triple (image=PGM, audio=WAV, video=Y4M) with a
