@@ -120,6 +120,7 @@ _PYTHON_LANE = {
     "multimodal_wav_features",
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
+    "multimodal_y4m_motion",
 }
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
