@@ -1163,6 +1163,87 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_graph_degree_stats",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b
+            FROM cand
+            JOIN tsets x ON x.doc_id = doc_a
+            JOIN tsets y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.ts, y.ts))::DOUBLE
+                  / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS degree
+            FROM (SELECT a AS doc_id FROM edges
+                  UNION ALL SELECT b FROM edges)
+            GROUP BY doc_id
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+        UNION ALL
+        SELECT 0, n0 FROM (
+            SELECT (SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM deg) AS n0
+        ) WHERE n0 > 0
+    """,
+    doc="Degree histogram of the verified near-dup graph, including the "
+    "degree-0 (isolated, i.e. unique) documents — the shape that tells a "
+    "dedup pipeline whether duplication is pairwise (degree 1-2), "
+    "clustered (hubs), or pathological (a template shared by thousands, "
+    "which needs the hot-block cap). Reuses the checkpointed LSH pair "
+    "pipeline; degrees are one narrow doc_id aggregate over the edge "
+    "list, isolated docs one count difference.",
+    tags=("dedup", "lsh", "graph", "stats"),
+)
+def q_dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ends = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    docs_n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("_nd"))
+        .withColumn("_k", F.lit(1))
+    )
+    deg_n = deg.agg(F.count("*").alias("_ne")).withColumn("_k", F.lit(1))
+    isolated = (
+        docs_n.join(deg_n, "_k")
+        .select(
+            F.lit(0).cast("bigint").alias("degree"),
+            (F.col("_nd") - F.col("_ne")).cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return hist.unionAll(isolated)
+
+
+@register(
     "corpus_curation_stats",
     oracle=f"""
         WITH RECURSIVE {_SHINGLES_SQL.strip()},
