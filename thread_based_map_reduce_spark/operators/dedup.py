@@ -989,6 +989,126 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical_map",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified
+            UNION SELECT doc_a, doc_a FROM verified
+            UNION SELECT doc_b, doc_b FROM verified
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN sym s ON w.root = s.a
+        ),
+        clusters AS (
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(root) AS BIGINT) AS cluster
+            FROM walk GROUP BY node
+        ),
+        quality AS (
+            SELECT doc_id,
+                   round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
+                                / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
+                         + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
+                         + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
+            FROM documents
+        ),
+        winners AS (
+            SELECT cluster, doc_id AS canon
+            FROM (
+                SELECT c.cluster, c.doc_id,
+                       row_number() OVER (PARTITION BY c.cluster
+                                          ORDER BY q.q DESC, c.doc_id) AS rn
+                FROM clusters c JOIN quality q USING (doc_id)
+            )
+            WHERE rn = 1
+        )
+        SELECT c.doc_id, w.canon AS canonical_doc,
+               c.doc_id = w.canon AS is_canonical
+        FROM clusters c JOIN winners w USING (cluster)
+        UNION ALL
+        SELECT d.doc_id, d.doc_id, TRUE
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+    """,
+    doc="The dedup pipeline's output artifact: a total doc_id -> "
+    "canonical_doc mapping (clustered docs map to their highest-quality "
+    "member, singletons to themselves). Joining any downstream table "
+    "against this map and filtering is_canonical IS the dedup; at 100 TB "
+    "it is written as a partitioned table and reused incrementally. "
+    "Reuses the checkpointed cluster pipeline + quality ranking; the "
+    "singleton branch is one broadcast-able anti-join.",
+    tags=("dedup", "lsh", "quality", "iterative"),
+)
+def q_dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.round(quality, 6).alias("q")), "doc_id"
+    )
+    winners = (
+        scored.select(
+            "cluster",
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("cluster").orderBy(F.col("q").desc(), "doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("canon"))
+    )
+    mapped = clusters.join(winners, "cluster").select(
+        "doc_id",
+        F.col("canon").alias("canonical_doc"),
+        (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
+    )
+    singles = docs.join(clusters, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("canonical_doc"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return mapped.unionAll(singles)
+
+
+@register(
     "minhash_estimate_eval",
     oracle=f"""
         WITH {_SHINGLES_SQL.strip()},
