@@ -2507,3 +2507,45 @@ def q_events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+        SELECT n.n_name AS nation, c.c_name AS customer, c.acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 2) AS acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) c
+    """,
+    doc="Correlated LATERAL join (Spark 4 lateral subquery): top-3 "
+    "customers by balance per nation, expressed as the SQL-standard "
+    "lateral form rather than a window+filter. Catalyst decorrelates it "
+    "into the same shuffle+per-group-top-k plan as "
+    "window_topk_per_group — the point is the declarative surface, with "
+    "a unique-key tiebreak keeping the cut deterministic across engines. "
+    "Nations without customers drop out in both engines (inner lateral).",
+    tags=("join", "subquery", "topk", "sql"),
+)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_tbmr_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_tbmr_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_name AS customer, c.acctbal
+        FROM _tbmr_lat_nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 2) AS acctbal
+            FROM _tbmr_lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) c
+        """
+    )
