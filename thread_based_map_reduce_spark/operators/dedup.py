@@ -82,6 +82,63 @@ def _minhash_sig_sql() -> str:
     )"""
 
 
+# ONE quality-score definition shared by dedup_keep_best and
+# dedup_canonical_map (ADVICE r3: the two operators previously duplicated
+# the formula and the winner ranking verbatim — a silent-divergence hazard
+# if the formula is ever tuned in one place only). Both engines' variants
+# live side by side here so any tune touches all four call sites at once.
+_QUALITY_SQL = """quality AS (
+            SELECT doc_id,
+                   round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
+                                / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
+                         + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
+                         + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
+            FROM documents
+        )"""
+
+# winner ranking over cluster members: rank by (quality desc, doc_id),
+# with the member count ridden along for keep_best's output
+_RANKED_MEMBERS_SQL = """ranked_members AS (
+            SELECT c.cluster, c.doc_id, q.q,
+                   row_number() OVER (PARTITION BY c.cluster
+                                      ORDER BY q.q DESC, c.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster) AS n_members
+            FROM clusters c JOIN quality q USING (doc_id)
+        )"""
+
+
+def _quality_col() -> F.Column:
+    """The doc quality score (Spark side of _QUALITY_SQL): lexical
+    diversity + length saturation — the keep-best ranking signal."""
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return (
+        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
+    )
+
+
+def _ranked_members(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame
+) -> DataFrame:
+    """Spark side of _RANKED_MEMBERS_SQL: cluster members scored and
+    ranked by (quality desc, doc_id), member counts attached."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = clusters.join(
+        docs.select("doc_id", F.round(_quality_col(), 6).alias("q")), "doc_id"
+    )
+    w = W.partitionBy("cluster")
+    return scored.select(
+        "cluster",
+        "doc_id",
+        "q",
+        F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id")).alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("n_members"),
+    )
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 8 minhash columns, over distinct word-trigram shingles."""
     docs = load_table(spark, sf_dir, "documents")
@@ -933,22 +990,11 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(root) AS BIGINT) AS cluster
             FROM walk GROUP BY node
         ),
-        quality AS (
-            SELECT doc_id,
-                   round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
-                                / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
-                         + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
-                         + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
-            FROM documents
-        )
+        {_QUALITY_SQL},
+        {_RANKED_MEMBERS_SQL}
         SELECT cluster, doc_id AS kept_doc, CAST(n_members AS BIGINT) AS n_members,
                q AS kept_quality
-        FROM (
-            SELECT c.cluster, c.doc_id, q.q,
-                   row_number() OVER (PARTITION BY c.cluster ORDER BY q.q DESC, c.doc_id) AS rn,
-                   count(*) OVER (PARTITION BY c.cluster) AS n_members
-            FROM clusters c JOIN quality q USING (doc_id)
-        )
+        FROM ranked_members
         WHERE rn = 1
     """,
     doc="Cluster canonicalization by QUALITY (keep-best, not keep-min-id): "
@@ -960,26 +1006,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_dedup_clusters(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    quality = (
-        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
-        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
-    )
-    scored = clusters.join(
-        docs.select("doc_id", F.round(quality, 6).alias("q")), "doc_id"
-    )
-    w = W.partitionBy("cluster")
-    ranked = scored.select(
-        "cluster",
-        "doc_id",
-        "q",
-        F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id")).alias("rn"),
-        F.count("*").over(w).cast("bigint").alias("n_members"),
-    )
+    ranked = _ranked_members(spark, sf_dir, clusters)
     return ranked.where(F.col("rn") == 1).select(
         "cluster",
         F.col("doc_id").alias("kept_doc"),
@@ -1035,22 +1062,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(min(root) AS BIGINT) AS cluster
             FROM walk GROUP BY node
         ),
-        quality AS (
-            SELECT doc_id,
-                   round(0.5 * (len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))::DOUBLE
-                                / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0))
-                         + 0.3 * least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0, 1.0)
-                         + 0.2 * least(length(text) / 100.0, 1.0), 6) AS q
-            FROM documents
-        ),
+        {_QUALITY_SQL},
+        {_RANKED_MEMBERS_SQL},
         winners AS (
             SELECT cluster, doc_id AS canon
-            FROM (
-                SELECT c.cluster, c.doc_id,
-                       row_number() OVER (PARTITION BY c.cluster
-                                          ORDER BY q.q DESC, c.doc_id) AS rn
-                FROM clusters c JOIN quality q USING (doc_id)
-            )
+            FROM ranked_members
             WHERE rn = 1
         )
         SELECT c.doc_id, w.canon AS canonical_doc,
@@ -1073,25 +1089,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_dedup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    quality = (
-        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
-        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-        + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
-    )
-    scored = clusters.join(
-        docs.select("doc_id", F.round(quality, 6).alias("q")), "doc_id"
-    )
     winners = (
-        scored.select(
-            "cluster",
-            "doc_id",
-            F.row_number()
-            .over(W.partitionBy("cluster").orderBy(F.col("q").desc(), "doc_id"))
-            .alias("rn"),
-        )
+        _ranked_members(spark, sf_dir, clusters)
         .where(F.col("rn") == 1)
         .select("cluster", F.col("doc_id").alias("canon"))
     )

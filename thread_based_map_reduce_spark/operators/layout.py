@@ -116,8 +116,12 @@ def _global_rank(
             SELECT o_orderkey, mino, maxo, n,
                    least({ZQ_CELLS - 1}, floor((o_custkey - minc) * {ZQ_CELLS}.0
                          / (maxc - minc + 1)))::BIGINT AS xq,
-                   least({ZQ_CELLS - 1}, floor((o_totalprice - minp) * {ZQ_CELLS}.0
-                         / (maxp - minp)))::BIGINT AS yq
+                   -- nullif+coalesce: a degenerate price range (all rows
+                   -- share one o_totalprice) lands in cell 0 instead of
+                   -- producing NaN (ADVICE r3); the xq path is already
+                   -- safe via its integer +1 denominator
+                   least({ZQ_CELLS - 1}, coalesce(floor((o_totalprice - minp)
+                         * {ZQ_CELLS}.0 / nullif(maxp - minp, 0)), 0))::BIGINT AS yq
             FROM orders, bounds
         ),
         z AS (
@@ -182,12 +186,18 @@ def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("maxc") - F.col("minc") + 1)
         ),
     ).cast("bigint")
+    # nullif+coalesce: a degenerate price range (all rows share one
+    # o_totalprice) lands in cell 0 instead of producing NaN (ADVICE r3);
+    # the xq path is already safe via its integer +1 denominator
     yq = F.least(
         F.lit(ZQ_CELLS - 1),
-        F.floor(
-            (F.col("o_totalprice") - F.col("minp"))
-            * float(ZQ_CELLS)
-            / (F.col("maxp") - F.col("minp"))
+        F.coalesce(
+            F.floor(
+                (F.col("o_totalprice") - F.col("minp"))
+                * float(ZQ_CELLS)
+                / F.nullif(F.col("maxp") - F.col("minp"), F.lit(0.0))
+            ),
+            F.lit(0).cast("bigint"),
         ),
     ).cast("bigint")
     # materialize the quantized frame once — both layout branches (and the

@@ -907,7 +907,11 @@ def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropped. ln p(w) is quantized to exact integer nano-units before "
     "summation so the result is partition-order-independent and "
     "cross-engine exact. Corpus collapses to a word-frequency table "
-    "(narrow shuffle), which broadcasts back over one token pass",
+    "(narrow shuffle) joined back over one token pass; the join strategy "
+    "is left to AQE on purpose (ADVICE r3): a web-scale vocabulary has "
+    "billions of distinct tokens — past any broadcast threshold — so at "
+    "scale this becomes a co-partitioned shuffle join on the narrow token "
+    "key, while small vocabularies still broadcast automatically",
     tags=("text", "quality", "curation"),
 )
 def q_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,8 +933,11 @@ def q_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_nano"),
         )
     )
+    # no broadcast hint: vocabulary size is corpus-dependent (billions of
+    # distinct tokens at web scale) — AQE picks broadcast when lp is small
+    # and a shuffle join on the narrow token key when it is not
     return (
-        tok.join(F.broadcast(lp), "w")
+        tok.join(lp, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tok"),
