@@ -99,6 +99,7 @@ def _load_all() -> None:
         curation,
         layout,
         diagnostics,
+        streaming_runtime,
     )
 
 
@@ -186,6 +187,15 @@ _PINNED_FIRST = (
     "cogroup_user_activity",
 )
 
+# Queries ADDED in round 4, deliberately ranked behind the 50 queries that
+# have been waiting since r3: the driver's sample window is ~50 wide, and
+# finishing the r3 tail (VERDICT r3 next-round #1 — "THE gating item") must
+# not lose a slot to a newer query. These rotate into the window next round.
+_DEFER_NEW_R4 = frozenset({
+    "streaming_tumbling_runtime",
+    "streaming_upsert_runtime",
+})
+
 # Families whose only green signal so far is the local pytest oracle run —
 # these lead the unverified block so the driver's sampled hard gate reaches
 # them first (the relational basics already have driver-green rows).
@@ -219,10 +229,11 @@ def _ordered() -> list[Query]:
     def rank(q: Query) -> int:
         if q.name in DRIVER_VERIFIED:
             return 4  # already has a hard driver row — re-proved last
-        if q.oracle is None:
+        if q.oracle is None or q.name in _DEFER_NEW_R4:
             # A sampled no-oracle query yields a guaranteed rows-only/err
             # row (it happened to ivf_kmeans_assignments in r3) — never let
             # one displace an oracle-backed query from the sample window.
+            # Round-4 additions queue here too so the r3 tail finishes first.
             return 3
         if q.name in _PINNED_FIRST:
             return 0
