@@ -564,3 +564,57 @@ def q_shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+@register(
+    "train_val_test_split_stats",
+    oracle=f"""
+        WITH {_toks_sql()},
+        assigned AS (
+            SELECT doc_id, lang, len(w) AS ntok,
+                   CASE WHEN {portable_hash64_sql("'split:' || doc_id")} % 100 < 98
+                            THEN 'train'
+                        WHEN {portable_hash64_sql("'split:' || doc_id")} % 100 < 99
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM toks
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(count(*) / (sum(count(*)) OVER ())::DOUBLE, 6) AS doc_share
+        FROM assigned
+        GROUP BY split
+    """,
+    doc="Deterministic 98/1/1 train/val/test assignment by content-stable "
+    "hash (doc_id-keyed, so the split survives reshuffles, re-ingests, and "
+    "incremental appends — the property random() splits lack) with "
+    "per-split doc/token totals and language spread. One corpus pass into "
+    "a 3-row aggregate; the share window touches 3 rows",
+    tags=("text", "curation"),
+)
+def q_train_val_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    assigned = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ntok"),
+        F.when(h % 100 < 98, "train").when(h % 100 < 99, "val").otherwise("test").alias("split"),
+    )
+    per = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs_raw"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    # the share window runs over the 3-row aggregate, never the corpus
+    return per.select(
+        "split",
+        F.col("n_docs_raw").cast("bigint").alias("n_docs"),
+        "total_tokens",
+        "n_langs",
+        F.round(
+            F.col("n_docs_raw") / F.sum("n_docs_raw").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("doc_share"),
+    )

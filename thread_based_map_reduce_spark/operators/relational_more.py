@@ -2549,3 +2549,58 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+JOIN_SALT_FANOUT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        )
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS n_after,
+               round(sum(e.value), 2) AS value_after
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.signup_ts
+        GROUP BY e.user_id
+    """,
+    doc="Skew-mitigated JOIN via salting (the join-side counterpart of "
+    "agg_salted_skew): the fact side gets a salt from an engine-side hash "
+    f"of its unique key, the dim side is replicated {JOIN_SALT_FANOUT}x "
+    "with every salt value, and the join key becomes (user_id, salt) — a "
+    "hot user's rows now spread across "
+    f"{JOIN_SALT_FANOUT} reducers instead of pinning one. SHUFFLE_HASH "
+    "hint keeps the exchange in the plan (a broadcast would hide the "
+    "mechanism at test scale; at 100 TB the dim side is too big to "
+    "broadcast and this IS the plan). Result is salt-invariant: per-user "
+    "events at/after that user's first signup",
+    tags=("join", "skew", "events"),
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    # salt from the engine-side hash of the fact's unique key: never in the
+    # output, so the cheap non-portable hash is fine here
+    fact = events.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(JOIN_SALT_FANOUT))
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_FANOUT - 1)))
+    )
+    joined = fact.join(
+        dim_rep.hint("shuffle_hash"),
+        ["user_id", "_salt"],
+    ).where(F.col("ts") >= F.col("signup_ts"))
+    return joined.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.round(F.sum("value"), 2).alias("value_after"),
+    )

@@ -27,6 +27,8 @@ from ..plans.catalog import register
 from ..streaming.events import (
     _events_stream,
     run_stream_to_memory,
+    session_counts_stream,
+    sliding_counts_stream,
     tumbling_counts_stream,
 )
 
@@ -56,6 +58,101 @@ def q_streaming_tumbling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbmr_streaming_tumbling_runtime",
         "complete",
     )
+
+
+@register(
+    "streaming_sliding_runtime",
+    # identical SQL to the batch twin events_sliding_2h
+    oracle="""
+        SELECT CAST(epoch(w_start) AS BIGINT) AS win_start_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (
+            SELECT unnest([
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)
+                   ]) AS w_start,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY w_start, event_type
+    """,
+    doc="Structured Streaming sliding windows (2h length, 1h slide) "
+    "executed to completion in complete mode — every event lands in two "
+    "overlapping open windows held in the state store across micro-batches",
+    tags=("streaming", "runtime", "window"),
+)
+def q_streaming_sliding_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        sliding_counts_stream(spark, sf_dir),
+        "tbmr_streaming_sliding_runtime",
+        "complete",
+    )
+
+
+@register(
+    "streaming_session_runtime",
+    # identical SQL to the batch twin session_window_agg
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming session windows (10-minute gap) executed to "
+    "completion: the state store merges overlapping [ts, ts+gap) intervals "
+    "per user across micro-batches; complete mode emits the final merged "
+    "session set — the streaming-native sessionization the batch twin "
+    "session_window_agg models",
+    tags=("streaming", "runtime", "sessionize"),
+)
+def q_streaming_session_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        session_counts_stream(spark, sf_dir),
+        "tbmr_streaming_session_runtime",
+        "complete",
+    )
+
+
+@register(
+    "streaming_dedup_runtime",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming deduplication executed end-to-end: dropDuplicates over "
+    "the projected key columns keeps first-seen keys in the state store and "
+    "emits each exactly once (append mode) — the streaming half of the "
+    "exact-dedup family. State here is unbounded by design of the demo; "
+    "production bounds it with dropDuplicatesWithinWatermark once keys "
+    "carry event time",
+    tags=("streaming", "runtime", "dedup"),
+)
+def q_streaming_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_stream_to_memory(dedup, "tbmr_streaming_dedup_runtime", "append")
 
 
 @register(

@@ -947,3 +947,46 @@ def q_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "bpe_pair_merge_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest([tok[i:i+1] for i in range(1, length(tok))]) AS pair
+            FROM toks WHERE length(tok) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 20
+    """,
+    doc="The first BPE merge step, as a corpus statistic: occurrence counts "
+    "of adjacent character pairs within tokens, top-20 by frequency (ties "
+    "broken by pair for cross-engine determinism) — exactly the argmax a "
+    "byte-pair-encoding tokenizer trainer computes each merge round. The "
+    "double explode collapses via map-side partial aggregation to the "
+    "pair-vocabulary size per partition; top-k is TakeOrderedAndProject, "
+    "never a global sort",
+    tags=("text", "tokenize", "curation"),
+)
+def q_bpe_pair_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    # the length guard matters in Spark: sequence(1, 0) would DESCEND
+    pairs = toks.where(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

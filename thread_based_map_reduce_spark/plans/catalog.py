@@ -194,6 +194,12 @@ _PINNED_FIRST = (
 _DEFER_NEW_R4 = frozenset({
     "streaming_tumbling_runtime",
     "streaming_upsert_runtime",
+    "streaming_sliding_runtime",
+    "streaming_session_runtime",
+    "streaming_dedup_runtime",
+    "train_val_test_split_stats",
+    "bpe_pair_merge_topk",
+    "join_salted_skew",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
