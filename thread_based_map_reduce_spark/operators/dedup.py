@@ -1443,3 +1443,107 @@ def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(spark, sf_dir, out_dir=None, quality_min=0.5).groupBy(
         "lang"
     ).agg(F.count("*").alias("n_curated"))
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL SELECT doc_b, doc_a FROM verified
+        ),
+        deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1000000::BIGINT AS pr, d FROM deg),
+        in1 AS (
+            SELECT e.dst AS node, sum(p.pr // p.d) AS inbound
+            FROM edges e JOIN pr0 p ON e.src = p.node
+            GROUP BY e.dst
+        ),
+        pr1 AS (
+            SELECT g.node, CAST(150000 + (85 * coalesce(i.inbound, 0)) // 100
+                   AS BIGINT) AS pr, g.d
+            FROM deg g LEFT JOIN in1 i ON g.node = i.node
+        ),
+        in2 AS (
+            SELECT e.dst AS node, sum(p.pr // p.d) AS inbound
+            FROM edges e JOIN pr1 p ON e.src = p.node
+            GROUP BY e.dst
+        ),
+        pr2 AS (
+            SELECT g.node, CAST(150000 + (85 * coalesce(i.inbound, 0)) // 100
+                   AS BIGINT) AS pr, g.d
+            FROM deg g LEFT JOIN in2 i ON g.node = i.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(d AS BIGINT) AS degree,
+               pr AS pr_microunits
+        FROM pr2
+    """,
+    doc="PageRank (2 fixed rounds, damping 0.85) over the verified near-dup "
+    "graph in exact fixed-point microunits: pr0 = 1e6 per node, each round "
+    "sends pr div degree to every neighbor and applies 0.15 + 0.85*inbound "
+    "in integer arithmetic (div = floor on the all-positive values, so "
+    "both engines agree bit-for-bit — the kmeans_train_exact replay "
+    "technique applied to a graph algorithm). High-rank docs are hubs of "
+    "the duplicate graph: template/boilerplate families worth auditing "
+    "first. One edge-join aggregation per round; the edge table is "
+    "checkpointed once and reused by both rounds",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = reliable_checkpoint(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    pr = deg.select("node", F.lit(1000000).cast("bigint").alias("pr"), "d")
+    for _ in range(2):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .select(F.col("dst").alias("node"), F.expr("pr div d").alias("c"))
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("inbound"))
+        pr = deg.join(inbound, "node", "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(inbound, 0) div 100")
+            ).cast("bigint").alias("pr"),
+            "d",
+        )
+    return pr.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("d").cast("bigint").alias("degree"),
+        F.col("pr").alias("pr_microunits"),
+    )

@@ -990,3 +990,124 @@ def q_bpe_pair_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "bigram_nll_quality",
+    oracle="""
+        WITH toksarr AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+            FROM toksarr WHERE len(w) >= 2
+        ),
+        bc AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg),
+        uc AS (
+            SELECT string_split(bg, ' ')[1] AS w1, sum(cb) AS cu
+            FROM bc GROUP BY w1
+        ),
+        -- ln P(w2|w1) quantized to exact nano-units before summing, the
+        -- unigram_nll_quality convention: per-bigram doubles agree across
+        -- engines to the ulp, round() pins them to one integer, and BIGINT
+        -- addition is associative
+        lp AS (
+            SELECT b.bg,
+                   CAST(round(ln(b.cb / u.cu::DOUBLE) * 1e9) AS BIGINT) AS lp_nano
+            FROM bc b JOIN uc u ON string_split(b.bg, ' ')[1] = u.w1
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-(sum(l.lp_nano) / 1e9) / count(*), 6) AS avg_nll
+        FROM big t JOIN lp l ON t.bg = l.bg
+        GROUP BY t.doc_id
+    """,
+    doc="Bigram conditional-NLL per document: -avg ln P(w2|w1) under the "
+    "corpus bigram model — the sharper perplexity-proxy quality filter "
+    "beside unigram_nll_quality (repetitive or template docs score low, "
+    "token-salad docs score high even when their unigrams are common). "
+    "Docs with fewer than 2 tokens have no bigrams and drop out. The "
+    "bigram stream is checkpointed once (counts + join-back both read "
+    "it); join strategies are left to AQE — a web-scale bigram vocabulary "
+    "is far past broadcast thresholds, so at scale both joins become "
+    "shuffle joins on the narrow bigram key",
+    tags=("text", "quality", "curation"),
+)
+def q_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import reliable_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toksarr = docs.select("doc_id", tokens("text").alias("w")).where(
+        F.size("w") >= 2
+    )
+    big = reliable_checkpoint(
+        toksarr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bc = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    uc = bc.select(w1.alias("w1"), "cb").groupBy("w1").agg(F.sum("cb").alias("cu"))
+    lp = (
+        bc.withColumn("w1", w1)
+        .join(uc, "w1")
+        .select(
+            "bg",
+            F.round(F.log(F.col("cb") / F.col("cu").cast("double")) * 1e9)
+            .cast("bigint")
+            .alias("lp_nano"),
+        )
+    )
+    return (
+        big.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(-(F.sum("lp_nano") / 1e9) / F.count("*"), 6).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+        SELECT lang,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(sw) AS BIGINT) AS subword_tokens,
+               round(sum(sw) / nullif(sum(ws), 0)::DOUBLE, 6) AS fertility
+        FROM (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws,
+                   len(regexp_extract_all(text, '[a-z0-9]+')) AS sw
+            FROM documents
+        )
+        GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: subword-ish regex tokens per "
+    "whitespace token — the statistic that decides whether a tokenizer "
+    "under-serves a language (high fertility = more pieces per word = "
+    "fewer effective context tokens). One corpus pass, per-row regex "
+    "counting, tiny per-language aggregate",
+    tags=("text", "tokenize", "stats"),
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_row = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("sw"),
+    )
+    return per_row.groupBy("lang").agg(
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("sw").cast("bigint").alias("subword_tokens"),
+        F.round(
+            F.sum("sw") / F.nullif(F.sum("ws"), F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+    )

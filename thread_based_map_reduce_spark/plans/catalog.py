@@ -200,6 +200,9 @@ _DEFER_NEW_R4 = frozenset({
     "train_val_test_split_stats",
     "bpe_pair_merge_topk",
     "join_salted_skew",
+    "bigram_nll_quality",
+    "tokenizer_fertility_by_lang",
+    "dup_graph_pagerank",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
