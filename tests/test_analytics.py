@@ -1,0 +1,118 @@
+"""Invariant tests for the round-4 analytics operators (skyline, streaks,
+decayed trend, PQ, vocabulary growth). The DuckDB hash parity is covered
+by test_catalog_oracle.py; these pin the semantic contracts an oracle
+match alone would not localize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thread_based_map_reduce_spark.operators import analytics, similarity, text
+from thread_based_map_reduce_spark.plans.catalog import CATALOG
+from thread_based_map_reduce_spark.sources.registry import load_table
+
+
+def test_skyline_members_are_non_dominated(spark, sf_dir):
+    sky = CATALOG["skyline_pareto_parts"].fn(spark, sf_dir).collect()
+    parts = [
+        (r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    assert sky, "skyline must be non-empty"
+    for m in sky:
+        dominated = any(
+            qp <= m.price and qs >= m.size and (qp < m.price or qs > m.size)
+            for qp, qs in parts
+        )
+        assert not dominated, f"dominated member {m}"
+
+
+def test_skyline_frontier_is_a_chain(spark, sf_dir):
+    # ordered by ascending price the skyline sizes must strictly increase
+    # (a pricier member that isn't bigger would be dominated); members at
+    # the same price must share the price's best size
+    sky = sorted(
+        CATALOG["skyline_pareto_parts"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.price, r.size),
+    )
+    for a, b in zip(sky, sky[1:]):
+        if b.price > a.price:
+            assert b.size > a.size
+        else:
+            assert b.price == a.price and b.size == a.size
+
+
+def test_longest_streak_one_row_per_user_and_bounds(spark, sf_dir):
+    rows = CATALOG["longest_streak_per_user"].fn(spark, sf_dir).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)), "exactly one winner per user"
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(users) == n_users
+    per_user_max = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in rows:
+        assert 1 <= r.streak_len <= per_user_max[r.user_id]
+
+
+def test_decayed_trend_lower_bound_is_own_count(spark, sf_dir):
+    # every hour's decayed_units include its own count at weight 128
+    rows = CATALOG["events_decayed_trend"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.decayed_units >= 128 * r.n
+        assert abs(r.decayed - round(r.decayed_units / 255.0, 6)) < 1e-9
+
+
+def test_pq_partition_of_corpus(spark, sf_dir):
+    rows = CATALOG["pq_codebook_stats"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert all(0 <= r.code < similarity.PQ_CODES for r in rows)
+    assert all(0 <= r.subspace < similarity.PQ_SUBSPACES for r in rows)
+    # each subspace's assignments partition the corpus exactly
+    per_sub: dict[int, int] = {}
+    for r in rows:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_assigned
+    assert per_sub == {s: n_vecs for s in range(similarity.PQ_SUBSPACES)}
+
+
+def test_pq_codewords_have_zero_error(spark, sf_dir):
+    # a codebook member's own subvector must snap to itself exactly: the
+    # per-(subspace, code) SSE attributable to vec_id < PQ_CODES is 0, so
+    # every (subspace, code) bucket holds at least its own codeword
+    rows = CATALOG["pq_codebook_stats"].fn(spark, sf_dir).collect()
+    covered = {(r.subspace, r.code) for r in rows}
+    assert covered == {
+        (s, c)
+        for s in range(similarity.PQ_SUBSPACES)
+        for c in range(similarity.PQ_CODES)
+    }
+
+
+def test_vocab_growth_conservation(spark, sf_dir):
+    rows = sorted(
+        CATALOG["vocab_growth_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.shard,
+    )
+    assert rows[0].shard == 0 and rows[-1].shard == text.GROWTH_SHARDS - 1
+    # cum_types is the running sum of new_types and ends at the distinct
+    # type count of the whole corpus
+    running = 0
+    for r in rows:
+        running += r.new_types
+        assert r.cum_types == running
+    docs = load_table(spark, sf_dir, "documents")
+    n_types = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert running == n_types
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs

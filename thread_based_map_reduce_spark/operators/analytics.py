@@ -1,0 +1,254 @@
+"""Round-4 analytical operators: Pareto skyline, gaps-and-islands streaks,
+and exact exponential-decay trend scoring.
+
+These fill classic-OLAP gaps the catalog did not yet cover (dominance
+queries, longest-run islands, decayed popularity) — each a pattern a
+training-data curation stack leans on (Pareto-filtering quality/cost
+tradeoffs, per-user behavioral runs, recency-weighted source trending).
+The reference engine has no relational surface at all (it is a ~580-LoC
+pthread MapReduce library, ``MapReduceFramework.cpp``), so these are
+engine extensions in the SURVEY §2.3 sense; correctness is proven by the
+independent DuckDB oracle, not by reference parity.
+
+Scale notes are inline per operator; the common theme is: no global
+single-task window anywhere — the skyline's cumulative max runs as
+256 parallel range-bucket windows plus a broadcast bucket-prefix
+(the ``_global_rank`` shape from ``layout.py`` lifted from ranks to
+maxima), streaks shuffle once on ``user_id``, and the decay operator
+works entirely on the tiny (hour × type) aggregate grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..plans.catalog import register
+from ..sources.registry import load_table
+
+# Fan-out of the skyline's cumulative-max stage. Buckets are uniform price
+# ranges, so bucket id is monotone in price — the precondition for the
+# two-level (local window + broadcast prefix) reconstruction.
+SKYLINE_BUCKETS = 256
+
+# Exponential-decay window: 8 trailing hours with weights 128,64,...,1
+# (w_k = 2^(7-k) for lag k). Integer weights over integer counts keep the
+# weighted sum EXACT in both engines; the single final division by the
+# weight total (255) is the only float op, rounded on both sides.
+DECAY_HOURS = 8
+
+
+@register(
+    "skyline_pareto_parts",
+    # Independent oracle: the textbook NOT-EXISTS dominance test — a
+    # deliberately different algorithm from the Spark two-level cumulative
+    # max, so an implementation bug cannot cancel out in the comparison.
+    oracle="""
+        SELECT p.p_partkey,
+               round(p.p_retailprice, 2) AS price,
+               CAST(p.p_size AS BIGINT) AS size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+    """,
+    doc="Pareto skyline (minimize price, maximize size) without any "
+    "all-pairs stage: best-size-per-price aggregate, then the strictly-"
+    "cheaper running max reconstructed from 256 parallel range-bucket "
+    "windows plus a broadcast bucket-prefix — the oracle is the O(n^2) "
+    "NOT-EXISTS definition, the plan is O(n log n)-ish with no single-task "
+    "window, so it survives a 100 TB part table",
+    tags=("relational", "skyline", "window"),
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    # Stage 1: collapse to the (distinct price -> best size) frontier
+    # candidates. One hash aggregation on the narrow price key; output
+    # cardinality is #distinct prices, typically orders of magnitude
+    # smaller than the table.
+    bp = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("bs")
+    )
+    # Stage 2: M(pr) = max bs over STRICTLY cheaper prices, computed as
+    # local per-bucket running max + broadcast prefix of per-bucket maxima.
+    # nullif guards the degenerate all-one-price input (ADVICE r3 lesson).
+    bounds = bp.agg(
+        F.min("pr").alias("minp"), F.max("pr").alias("maxp")
+    )
+    bucketed = bp.crossJoin(F.broadcast(bounds)).select(
+        "pr",
+        "bs",
+        F.least(
+            F.lit(SKYLINE_BUCKETS - 1),
+            F.coalesce(
+                F.floor(
+                    (F.col("pr") - F.col("minp"))
+                    * SKYLINE_BUCKETS
+                    / F.nullif(F.col("maxp") - F.col("minp"), F.lit(0.0))
+                ),
+                F.lit(0),
+            ),
+        ).alias("_b"),
+    )
+    wlocal = (
+        W.partitionBy("_b").orderBy("pr").rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("_mloc", F.max("bs").over(wlocal))
+    # Bucket prefix: one row per bucket (<= 256), so this window is bounded
+    # by construction — broadcast back to the candidates.
+    bmax = bucketed.groupBy("_b").agg(F.max("bs").alias("_bm"))
+    wpre = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bmax.select("_b", F.max("_bm").over(wpre).alias("_mpre"))
+    m = local.join(F.broadcast(prefix), "_b").select(
+        "pr", "bs", F.greatest(F.col("_mloc"), F.col("_mpre")).alias("m")
+    )
+    # Stage 3: join the frontier verdict back to the parts. A part is on
+    # the skyline iff it has the best size AT its price and no strictly
+    # cheaper price reaches that size. Equi-join on price — hash, AQE-
+    # splittable; no inequality join anywhere.
+    return (
+        part.join(m, part.p_retailprice == m.pr)
+        .where(
+            (F.col("p_size") == F.col("bs"))
+            & (F.col("m").isNull() | (F.col("m") < F.col("p_size")))
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+    )
+
+
+@register(
+    "longest_streak_per_user",
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )
+                   - row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) AS grp
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS streak_len,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
+            FROM numbered
+            GROUP BY user_id, event_type, grp
+        )
+        SELECT user_id, event_type, streak_len, start_us
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY streak_len DESC, start_us, event_type
+                   ) AS rk
+            FROM islands
+        )
+        WHERE rk = 1
+    """,
+    doc="Longest run of consecutive identical event types per user via the "
+    "gaps-and-islands double row_number — all three windows partition by "
+    "user_id, so the whole query is ONE shuffle on the user key and every "
+    "window task is bounded by a single user's history (the natural unit "
+    "at any scale); ties broken by start time then type for cross-engine "
+    "determinism",
+    tags=("relational", "window", "sessionize"),
+)
+def q_longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    islands = numbered.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("streak_len"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+    )
+    w_best = W.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "start_us", "event_type"
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_type", "streak_len", "start_us")
+    )
+
+
+@register(
+    "events_decayed_trend",
+    oracle=f"""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT event_type,
+                   hour_s + k * 3600 AS target_s,
+                   n * (128 >> k) AS wn
+            FROM hc, (SELECT unnest(range(0, {DECAY_HOURS})) AS k)
+        )
+        SELECT hc.event_type,
+               hc.hour_s AS hour_start_s,
+               hc.n,
+               CAST(sum(c.wn) AS BIGINT) AS decayed_units,
+               round(sum(c.wn) / 255.0, 6) AS decayed
+        FROM hc
+        JOIN contrib c
+          ON c.event_type = hc.event_type AND c.target_s = hc.hour_s
+        GROUP BY hc.event_type, hc.hour_s, hc.n
+    """,
+    doc="Recency-decayed hourly trend score: each hour's count contributes "
+    "2^(7-k) weight-units to the k hours after it (8-hour exponential "
+    "half-life-per-hour decay), via explode+re-aggregate on the tiny "
+    "(hour x type) grid — robust to missing hours (a gap contributes "
+    "nothing, unlike a lag()-chain which would silently read the wrong "
+    "row), exact in integer units in both engines, one float division at "
+    "the very end; the grid is metadata-sized however large events gets",
+    tags=("relational", "timeseries", "window"),
+)
+def q_events_decayed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("hour_s"),
+    ).agg(F.count("*").alias("n"))
+    # weights 128,64,...,1 for lags 0..7: shiftright keeps it integer-exact
+    contrib = hc.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DECAY_HOURS - 1))).alias("k"),
+        "hour_s",
+        "n",
+    ).select(
+        "event_type",
+        (F.col("hour_s") + F.col("k") * 3600).alias("target_s"),
+        (F.col("n") * F.expr("shiftright(128L, CAST(k AS INT))")).alias("wn"),
+    )
+    summed = contrib.groupBy(
+        F.col("event_type").alias("c_type"), "target_s"
+    ).agg(F.sum("wn").alias("units"))
+    # inner join back to the real hour grid: only hours that actually
+    # occurred are emitted (and we recover their own raw count n)
+    return hc.join(
+        summed,
+        (hc.event_type == summed.c_type) & (hc.hour_s == summed.target_s),
+    ).select(
+        "event_type",
+        F.col("hour_s").alias("hour_start_s"),
+        "n",
+        F.col("units").cast("bigint").alias("decayed_units"),
+        F.round(F.col("units") / 255.0, 6).alias("decayed"),
+    )

@@ -1168,3 +1168,114 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# Product quantization (round 4): 8 subspaces x 8 dims, 16 codes per
+# subspace. Codebook init is deterministic — the subvectors of the 16
+# lowest vec_ids — the same replayable-init convention as the k-means
+# oracle (similarity.py q_kmeans_train). Distances are EXACT squared
+# micro-unit L2 (floor(v*1e6) per element, bigint math): |diff| <= ~2e6,
+# squared <= 4e12, x8 dims <= 3.2e13, x16 tiebreak-packing <= 5.2e14 —
+# five orders of magnitude of bigint headroom.
+PQ_SUBSPACES = 8
+PQ_SUBDIM = DIMS // PQ_SUBSPACES
+PQ_CODES = 16
+
+
+@register(
+    "pq_codebook_stats",
+    oracle=f"""
+        WITH subs AS (
+            SELECT vec_id, s,
+                   list_transform(embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}],
+                                  x -> floor(x * 1e6)::BIGINT) AS iv
+            FROM embeddings, (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s)
+        ),
+        codes AS (
+            SELECT vec_id AS code, s, iv AS civ FROM subs WHERE vec_id < {PQ_CODES}
+        ),
+        assigned AS (
+            SELECT u.vec_id, u.s,
+                   -- dist*16+code packs the deterministic tiebreak into the
+                   -- min() itself: primary order distance, then code id
+                   min(list_sum(list_transform(list_zip(u.iv, c.civ),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT
+                       * {PQ_CODES} + c.code) AS key
+            FROM subs u JOIN codes c USING (s)
+            GROUP BY u.vec_id, u.s
+        )
+        SELECT CAST(s AS BIGINT) AS subspace,
+               key % {PQ_CODES} AS code,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(sum(key // {PQ_CODES}) AS BIGINT) AS sse_units,
+               round(sqrt(((sum(key // {PQ_CODES})::DOUBLE / count(*)) / {PQ_SUBDIM}) / 1e12), 6) AS rms_err
+        FROM assigned
+        GROUP BY s, key % {PQ_CODES}
+    """,
+    doc="Product-quantization codebook assignment (IVF-PQ's second stage): "
+    "every vector's 8 subvectors snap to the nearest of 16 deterministic "
+    "codes per subspace; output is the (subspace, code) occupancy histogram "
+    "plus exact integer-unit SSE and per-dim RMS reconstruction error. The "
+    "codebook (128 subvectors) is broadcast; assignment is a per-row argmin "
+    "folded into min(dist*16+code) — no shuffle of the embedding column, "
+    "one narrow aggregation, which is exactly the PQ encode shape a "
+    "100 TB vector corpus needs",
+    tags=("similarity", "ann", "quantization"),
+)
+def q_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one exploded row per (vector, subspace), subvector in exact micro-units
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("s"),
+                        F.transform(
+                            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                            lambda x: F.floor(x * 1e6).cast("bigint"),
+                        ).alias("iv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sub"),
+    ).select("vec_id", F.col("sub.s").alias("s"), F.col("sub.iv").alias("iv"))
+    codes = subs.where(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), F.col("s").alias("cs"), F.col("iv").alias("civ")
+    )
+    dist = F.aggregate(
+        F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        subs.join(F.broadcast(codes), F.col("s") == F.col("cs"))
+        .select("vec_id", "s", (dist * PQ_CODES + F.col("code")).alias("k"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("k").alias("key"))
+    )
+    return (
+        assigned.groupBy(
+            F.col("s").alias("subspace"), (F.col("key") % PQ_CODES).alias("code")
+        )
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(F.floor(F.col("key") / PQ_CODES)).cast("bigint").alias("sse_units"),
+        )
+        .select(
+            "subspace",
+            "code",
+            "n_assigned",
+            "sse_units",
+            F.round(
+                F.sqrt(
+                    (F.col("sse_units").cast("double") / F.col("n_assigned"))
+                    / PQ_SUBDIM
+                    / 1e12
+                ),
+                6,
+            ).alias("rms_err"),
+        )
+    )

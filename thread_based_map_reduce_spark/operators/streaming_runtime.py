@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.catalog import register
+from ..sources.registry import load_table
 from ..streaming.events import (
     _events_stream,
     run_stream_to_memory,
@@ -201,4 +202,41 @@ def q_streaming_upsert_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("n_events"),
             F.round(F.sum("value_sum"), 2).alias("total_value"),
         )
+    )
+
+
+@register(
+    "streaming_static_join_runtime",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1
+    """,
+    doc="Stream-static enrichment join executed end-to-end: the events "
+    "stream broadcast-joins the static customer dimension per micro-batch "
+    "(the canonical Kafka-enrichment shape — the dim is re-resolvable each "
+    "trigger, no state store involvement), then a complete-mode per-segment "
+    "aggregation; the oracle checks the sink equals one batch join+agg of "
+    "the same inputs. At 100 TB/day of events the dim side stays a "
+    "broadcast and the only shuffle is the 5-row segment aggregate",
+    tags=("streaming", "runtime", "join"),
+)
+def q_streaming_static_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return run_stream_to_memory(
+        enriched, "tbmr_streaming_static_join_runtime", "complete"
     )

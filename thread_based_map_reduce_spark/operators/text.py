@@ -1111,3 +1111,101 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("sw") / F.nullif(F.sum("ws"), F.lit(0)).cast("double"), 6
         ).alias("fertility"),
     )
+
+
+# Vocabulary growth (round 4): Heaps'-law diagnostics — how many NEW word
+# types each successive corpus slice contributes. The slice id is a pure
+# function of doc_id (16 contiguous id ranges), so the "growth order" is
+# deterministic and replayable in both engines.
+GROWTH_SHARDS = 16
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        d AS (
+            SELECT doc_id, text,
+                   least({GROWTH_SHARDS - 1},
+                         CAST(floor(doc_id * {GROWTH_SHARDS} / (mx + 1)) AS BIGINT)) AS shard
+            FROM documents, mx
+        ),
+        tok AS (
+            SELECT shard, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM d
+        ),
+        per_shard AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY shard
+        ),
+        firsts AS (
+            SELECT min(shard) AS fs FROM tok GROUP BY w
+        ),
+        new_types AS (
+            SELECT fs AS shard, CAST(count(*) AS BIGINT) AS new_types FROM firsts GROUP BY fs
+        ),
+        docs_per AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY shard
+        )
+        SELECT p.shard, dp.n_docs, p.n_tokens,
+               coalesce(nt.new_types, 0) AS new_types,
+               CAST(sum(coalesce(nt.new_types, 0)) OVER (
+                   ORDER BY p.shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_types,
+               round(coalesce(nt.new_types, 0) / nullif(p.n_tokens, 0), 6) AS novelty
+        FROM per_shard p
+        JOIN docs_per dp ON dp.shard = p.shard
+        LEFT JOIN new_types nt ON nt.shard = p.shard
+    """,
+    doc="Vocabulary growth curve (Heaps'-law diagnostic): per contiguous "
+    "corpus slice, the count of word types never seen in an earlier slice, "
+    "cumulative vocabulary size, and per-token novelty — the signal that "
+    "tells a data-curation pipeline when more raw corpus stops buying new "
+    "vocabulary. One token aggregation (min-shard per type, narrow string "
+    "key) plus metadata-sized slice rollups; the only window runs over "
+    f"{GROWTH_SHARDS} rows by construction",
+    tags=("text", "diagnostics"),
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        "text",
+        F.least(
+            F.lit(GROWTH_SHARDS - 1).cast("bigint"),
+            F.floor(
+                F.col("doc_id") * GROWTH_SHARDS / (F.col("mx") + 1)
+            ).cast("bigint"),
+        ).alias("shard"),
+    )
+    tok = d.select("shard", F.explode(tokens("text")).alias("w"))
+    per_shard = tok.groupBy("shard").agg(F.count("*").alias("n_tokens"))
+    firsts = tok.groupBy("w").agg(F.min("shard").alias("fs"))
+    new_types = firsts.groupBy(F.col("fs").alias("nshard")).agg(
+        F.count("*").alias("new_types")
+    )
+    docs_per = d.groupBy(F.col("shard").alias("dshard")).agg(
+        F.count("*").alias("n_docs")
+    )
+    # the cumulative window scans <= GROWTH_SHARDS rows — bounded by
+    # construction, same class as the 256-row bucket prefix sums
+    w_cum = W.orderBy("shard").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_shard.join(docs_per, F.col("shard") == F.col("dshard"))
+        .join(new_types, F.col("shard") == F.col("nshard"), "left")
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn(
+            "cum_types", F.sum("new_types").over(w_cum).cast("bigint")
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.col("new_types") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+            ),
+        )
+    )

@@ -100,6 +100,7 @@ def _load_all() -> None:
         layout,
         diagnostics,
         streaming_runtime,
+        analytics,
     )
 
 
@@ -203,6 +204,13 @@ _DEFER_NEW_R4 = frozenset({
     "bigram_nll_quality",
     "tokenizer_fertility_by_lang",
     "dup_graph_pagerank",
+    # round-4 additions (analytics / PQ / vocab growth / streaming join):
+    "skyline_pareto_parts",
+    "longest_streak_per_user",
+    "events_decayed_trend",
+    "pq_codebook_stats",
+    "vocab_growth_curve",
+    "streaming_static_join_runtime",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
