@@ -188,3 +188,38 @@ def test_zorder_rank_stage_shape(spark, sf_dir):
         "zorder branches re-scan parquet instead of reusing the "
         "checkpointed quantized frame"
     )
+
+
+def test_skyline_windows_are_bucketed(spark, sf_dir):
+    # the strictly-cheaper cumulative max must run per range-bucket (_b),
+    # not as one global window over the distinct prices; the bucket prefix
+    # and minmax bounds ship as broadcasts; no cartesian anywhere
+    plan = plan_of(spark, sf_dir, "skyline_pareto_parts")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(_b\S*, pr", plan), (
+        "cumulative max no longer partitioned by the price bucket"
+    )
+    assert count_nodes(plan, "BroadcastExchange") >= 2, (
+        "bounds / bucket-prefix no longer broadcast"
+    )
+
+
+def test_streak_windows_all_partition_by_user(spark, sf_dir):
+    # every windowspec in the streak plan must lead with user_id — the
+    # per-user bound is the whole scale story
+    plan = plan_of(spark, sf_dir, "longest_streak_per_user")
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+
+
+def test_pq_codes_are_broadcast(spark, sf_dir):
+    # the 128-row codebook must be the broadcast side; assignment must not
+    # shuffle the exploded subvector frame before the argmin aggregation
+    plan = plan_of(spark, sf_dir, "pq_codebook_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "codebook join is not broadcast"
+
+
+def test_decayed_trend_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_decayed_trend")
+    assert "CartesianProduct" not in plan

@@ -252,3 +252,122 @@ def q_events_decayed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("units").cast("bigint").alias("decayed_units"),
         F.round(F.col("units") / 255.0, 6).alias("decayed"),
     )
+
+
+@register(
+    "ohlc_bars_hourly",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id
+                   ) AS rf,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rl
+            FROM events
+        )
+        SELECT event_type, hour_start_s,
+               CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rf = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rl = 1 THEN value END) AS close
+        FROM ranked
+        GROUP BY event_type, hour_start_s
+    """,
+    doc="OHLC bars: per (event_type, hour) the first/max/min/last value — "
+    "the standard time-series downsampling rollup. First/last are picked "
+    "by (ts, event_id) row_numbers so ties are deterministic; both windows "
+    "and the final aggregate share the same (type, hour) partition key, so "
+    "the whole query is one shuffle and every window task is bounded by "
+    "one hour of one event type. Values are selected, never accumulated — "
+    "bit-exact across engines without rounding",
+    tags=("relational", "timeseries", "window"),
+)
+def q_ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value",
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    w_f = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_l = W.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        F.unix_seconds("hour").alias("hour_start_s"),
+        "value",
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_l).alias("rl"),
+    )
+    return ranked.groupBy("event_type", "hour_start_s").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+    )
+
+
+@register(
+    "mad_outliers_by_type",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(any_value(d.med), 6) AS med,
+               round(any_value(m.mad), 6) AS mad,
+               CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                              THEN 1 ELSE 0 END) / count(*), 6) AS outlier_frac
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection via median absolute deviation: per event "
+    "type, median, MAD, and the count beyond the 3-sigma-equivalent "
+    "(1.4826*MAD) robust fence — the heavy-tail-safe twin of the "
+    "zscore_outliers query (one extreme value shifts a mean/stddev fence, "
+    "not a median/MAD one). Exact interpolated medians on both engines; "
+    "two narrow passes over events with the tiny per-type medians "
+    "broadcast back — no sort of the full table",
+    tags=("relational", "diagnostics"),
+)
+def q_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.median("adev").alias("mad")
+    )
+    fenced = dev.join(
+        F.broadcast(mad), F.col("event_type") == F.col("m_type")
+    ).withColumn(
+        "is_out",
+        F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0),
+    )
+    return fenced.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.sum("is_out").cast("bigint").alias("n_outliers"),
+        F.round(F.sum("is_out") / F.count("*"), 6).alias("outlier_frac"),
+    )

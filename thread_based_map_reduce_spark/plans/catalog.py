@@ -211,6 +211,10 @@ _DEFER_NEW_R4 = frozenset({
     "pq_codebook_stats",
     "vocab_growth_curve",
     "streaming_static_join_runtime",
+    "pq_adc_topk",
+    "ohlc_bars_hourly",
+    "mad_outliers_by_type",
+    "pq_adc_rerank_topk",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
