@@ -8,8 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from thread_based_map_reduce_spark.operators import analytics, similarity, text
-from thread_based_map_reduce_spark.plans.catalog import CATALOG
+from thread_based_map_reduce_spark.plans.catalog import CATALOG, queries
 from thread_based_map_reduce_spark.sources.registry import load_table
+
+queries()  # load every operator module so CATALOG covers curation too
 
 
 def test_skyline_members_are_non_dominated(spark, sf_dir):
@@ -176,3 +178,58 @@ def test_pq_adc_rerank_recall_floor(spark, sf_dir):
     # every raw-ADC top-3 member's own shortlist bound
     assert {(r.qid, r.rnk) for r in rer} == {(q, k) for q in by_q for k in (1, 2, 3)}
     assert all(r.rnk in (1, 2, 3) for r in adc)
+
+
+def test_cdc_chunks_conserve_tokens(spark, sf_dir):
+    # chunk lengths must partition the token stream: sum over langs of
+    # n_chunks * avg_chunk_len equals the corpus token count exactly
+    rows = CATALOG["cdc_chunk_stats"].fn(spark, sf_dir).collect()
+    total = sum(round(r.n_chunks * r.avg_chunk_len) for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .count()
+    )
+    assert total == n_tokens
+    for r in rows:
+        assert 1 <= r.min_chunk_len <= r.avg_chunk_len <= r.max_chunk_len
+
+
+def test_cdc_boundaries_are_content_defined():
+    # the defining CDC property, pinned in pure python with the same
+    # portable hash: inserting one token shifts POSITIONS after it but
+    # preserves every boundary TOKEN-IDENTITY beyond the edited chunk —
+    # fixed-size chunking would re-cut everything downstream
+    import hashlib
+
+    def h(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    toks = [f"w{i}" for i in range(200)]
+    def boundary_suffix(ts):
+        # boundary token indices expressed as suffix token lists
+        cuts = [i for i, w in enumerate(ts) if h(w) % 16 == 0]
+        return [tuple(ts[i + 1 :][:3]) for i in cuts]
+
+    base = boundary_suffix(toks)
+    edited = boundary_suffix(toks[:100] + ["INSERTED"] + toks[100:])
+    # every boundary whose context lies fully after the edit survives
+    surviving = [s for s in base if s and int(s[0][1:]) > 103]
+    assert all(s in edited for s in surviving)
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    row = CATALOG["k_anonymity_stats"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert row.n_groups >= 1 and row.k_min >= 1
+    assert 0 <= row.n_docs_below_k <= n_docs
+    assert abs(row.frac_below_k - round(row.n_docs_below_k / n_docs, 6)) < 1e-9
+
+
+def test_percentile_bands_ordered(spark, sf_dir):
+    rows = CATALOG["value_percentile_bands"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99

@@ -371,3 +371,37 @@ def q_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_out").cast("bigint").alias("n_outliers"),
         F.round(F.sum("is_out") / F.count("*"), 6).alias("outlier_frac"),
     )
+
+
+@register(
+    "value_percentile_bands",
+    oracle="""
+        SELECT event_type,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.90), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="P50/P90/P99 bands per (event_type, day) — the standard latency/"
+    "value dashboard rollup. Exact interpolated percentiles (Spark "
+    "percentile == DuckDB quantile_cont, the median_by_status-proven "
+    "equivalence) grouped on a narrow composite key: one shuffle whose "
+    "per-group sort is bounded by a single day of one event type; at "
+    "100 TB the same query swaps percentile for percentile_approx and "
+    "keeps the identical plan shape",
+    tags=("relational", "timeseries", "percentile"),
+)
+def q_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("day", "ts")).alias("day_start_s"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -618,3 +618,128 @@ def q_train_val_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_share"),
     )
+
+
+# Content-defined chunking (round 4): a token ENDS a chunk when its
+# portable hash is 0 mod CDC_MOD, giving ~CDC_MOD-token expected chunks
+# whose boundaries depend only on CONTENT — insert one token into a doc
+# and only the chunk containing it changes, unlike fixed-size chunking
+# where every later chunk shifts (the rsync/LBFS/restic boundary trick,
+# applied at token granularity for dedup-friendly RAG/corpus chunking).
+CDC_MOD = 16
+
+
+@register(
+    "cdc_chunk_stats",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, CAST(p.i AS BIGINT) AS pos, p.t AS w
+            FROM (
+                SELECT doc_id, lang,
+                       unnest([{{'i': i, 't': toks[i]}} for i in range(1, len(toks) + 1)]) AS p
+                FROM (
+                    SELECT doc_id, lang,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                    FROM documents
+                )
+            )
+        ),
+        flagged AS (
+            SELECT doc_id, lang, pos,
+                   CASE WHEN {portable_hash64_sql('w')} % {CDC_MOD} = 0
+                        THEN 1 ELSE 0 END AS bnd
+            FROM tok
+        ),
+        chunked AS (
+            SELECT doc_id, lang,
+                   coalesce(sum(bnd) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS chunk_id
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, lang, chunk_id, CAST(count(*) AS BIGINT) AS clen
+            FROM chunked GROUP BY doc_id, lang, chunk_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               round(avg(clen), 4) AS avg_chunk_len,
+               CAST(max(clen) AS BIGINT) AS max_chunk_len,
+               CAST(min(clen) AS BIGINT) AS min_chunk_len
+        FROM chunks
+        GROUP BY lang
+    """,
+    doc="Content-defined chunking statistics: chunk boundaries fall after "
+    "tokens whose portable hash is 0 mod 16 (expected ~16-token chunks), "
+    "so boundaries are a pure function of content — an edit perturbs one "
+    "chunk, not every subsequent one like the fixed-size rag_chunk_stats "
+    "split; this is what makes chunk-level dedup stable across document "
+    "revisions. The running boundary count windows per doc_id (bounded by "
+    "one document's tokens); everything else is narrow aggregation",
+    tags=("curation", "chunking", "text"),
+)
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    flagged = tok.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.when(portable_hash64(F.col("w")) % CDC_MOD == 0, 1)
+        .otherwise(0)
+        .alias("bnd"),
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.sum("bnd").over(w_prev), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "lang", "chunk_id").agg(
+        F.count("*").alias("clen")
+    )
+    return chunks.groupBy("lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg("clen"), 4).alias("avg_chunk_len"),
+        F.max("clen").cast("bigint").alias("max_chunk_len"),
+        F.min("clen").cast("bigint").alias("min_chunk_len"),
+    )
+
+
+@register(
+    "k_anonymity_stats",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS gsize
+            FROM documents GROUP BY lang, source
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(gsize) AS BIGINT) AS k_min,
+               CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+                   AS n_docs_below_k,
+               round(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
+                     / sum(gsize), 6) AS frac_below_k
+        FROM g
+    """,
+    doc="k-anonymity audit over the (lang, source) quasi-identifier pair: "
+    "the smallest equivalence class, and how many documents sit in classes "
+    "below k=5 — the release-gate metric privacy review asks of a corpus "
+    "before publication. One narrow-key aggregation then a scalar rollup; "
+    "metadata-sized at any corpus scale",
+    tags=("curation", "privacy", "diagnostics"),
+)
+def q_k_anonymity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("gsize"))
+    below = F.when(F.col("gsize") < 5, F.col("gsize")).otherwise(0)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("gsize").cast("bigint").alias("k_min"),
+        F.sum(below).cast("bigint").alias("n_docs_below_k"),
+        F.round(F.sum(below) / F.sum("gsize"), 6).alias("frac_below_k"),
+    )

@@ -215,6 +215,9 @@ _DEFER_NEW_R4 = frozenset({
     "ohlc_bars_hourly",
     "mad_outliers_by_type",
     "pq_adc_rerank_topk",
+    "cdc_chunk_stats",
+    "k_anonymity_stats",
+    "value_percentile_bands",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
