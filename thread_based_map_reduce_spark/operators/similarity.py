@@ -1485,3 +1485,88 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("qid", "vec_id", "rnk", "exact_units", "adc_units")
     )
+
+
+@register(
+    "text_embedding_alignment",
+    oracle="""
+        WITH joined AS (
+            SELECT d.doc_id,
+                   d.n_chars AS x,
+                   list_sum(list_transform(e.embedding,
+                       v -> floor(v * 1e3)::BIGINT * floor(v * 1e3)::BIGINT)
+                   )::BIGINT AS y
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM joined
+        )
+        SELECT n,
+               round(sx::DOUBLE / n, 6) AS avg_chars,
+               round(sy::DOUBLE / n / 1e6, 6) AS avg_sq_norm,
+               -- moments are EXACT bigints; the combining arithmetic runs
+               -- in double (n*syy would overflow bigint past ~sf1) — the
+               -- int->double conversions and every subsequent IEEE op are
+               -- identical in both engines, so parity holds at any scale
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                     6) AS corr
+        FROM sums
+    """,
+    doc="Cross-modal alignment check: documents equi-joined to their "
+    "embedding rows (doc_id = vec_id), then the Pearson correlation of "
+    "document length vs squared embedding norm computed from five exact "
+    "BIGINT power sums (milli-unit quantized norms keep sum(y*y) inside "
+    "bigint range) with ONE float expression at the end — the drift "
+    "detector a text+vector pipeline runs to catch embedding/text "
+    "misalignment after a backfill. Equi-join on the id key, scalar "
+    "output: a metadata-cost audit at any corpus size",
+    tags=("similarity", "text", "diagnostics"),
+)
+def q_text_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings")
+    y = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v * 1e3).cast("bigint") * F.floor(v * 1e3).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    joined = docs.join(
+        emb.select(F.col("vec_id"), y.alias("y")),
+        F.col("doc_id") == F.col("vec_id"),
+    ).select(F.col("n_chars").alias("x"), "y")
+    sums = joined.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    dn, dsx, dsy, dsxy, dsxx, dsyy = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    ]
+    # moments are exact bigints; combine in double (n*syy would overflow
+    # bigint past ~sf1) — identical IEEE ops in both engines preserve the
+    # hash parity at any scale
+    return sums.select(
+        n,
+        F.round(dsx / n, 6).alias("avg_chars"),
+        F.round(dsy / n / 1e6, 6).alias("avg_sq_norm"),
+        F.round(
+            (dn * dsxy - dsx * dsy)
+            / (F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy)),
+            6,
+        ).alias("corr"),
+    )

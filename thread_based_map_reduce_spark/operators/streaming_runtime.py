@@ -240,3 +240,36 @@ def q_streaming_static_join_runtime(spark: SparkSession, sf_dir: str) -> DataFra
     return run_stream_to_memory(
         enriched, "tbmr_streaming_static_join_runtime", "complete"
     )
+
+
+@register(
+    "streaming_stateful_runtime",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="The CUSTOM stateful operator (applyInPandasWithState: per-user "
+    "running count+total carried in typed group state across triggers) "
+    "executed end-to-end. Update mode appends one row per (user, trigger) "
+    "to the sink; n_events is strictly monotone per user, so max_by "
+    "recovers each user's FINAL state row, which must equal one batch "
+    "aggregation of the same events — the arbitrary-state API's whole "
+    "contract, under the driver's hash gate. State is one (long, double) "
+    "pair per user however many events flow through",
+    tags=("streaming", "runtime", "stateful", "udf"),
+)
+def q_streaming_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import user_running_totals_stream
+
+    sink = run_stream_to_memory(
+        user_running_totals_stream(spark, sf_dir),
+        "tbmr_streaming_stateful_runtime",
+        "update",
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )

@@ -218,6 +218,8 @@ _DEFER_NEW_R4 = frozenset({
     "cdc_chunk_stats",
     "k_anonymity_stats",
     "value_percentile_bands",
+    "streaming_stateful_runtime",
+    "text_embedding_alignment",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
