@@ -70,3 +70,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
     li = load_table(spark, sf_dir, "lineitem")
     want = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
     assert joined.count() == want > 0
+
+
+def test_bucket_pruning_on_key_equality(spark, sf_dir, bucketed_tables):
+    # an equality predicate on the bucketing key scans ONE bucket of eight
+    # (SelectedBucketsCount) — the bucketing analog of partition pruning.
+    # autoBucketedScan disables bucketed reading when no operator needs the
+    # distribution (a bare filter), so pin it on for this plan.
+    from pyspark.sql import functions as F
+
+    ot, _ = bucketed_tables
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table(ot).where(F.col("o_orderkey") == 42)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "no bucket pruning in scan"
+    assert int(m.group(1)) == 1 and int(m.group(2)) == N_BUCKETS
