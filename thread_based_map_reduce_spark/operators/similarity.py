@@ -1570,3 +1570,137 @@ def q_text_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+@register(
+    "pq_recall_eval",
+    oracle=f"""
+        WITH {_PQ_BASE_SQL},
+        {_PQ_ADC_SQL},
+        units AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> floor(x * 1e6)::BIGINT) AS ue
+            FROM embeddings
+        ),
+        gt AS (
+            -- ground truth: exact integer-L2 top-3 per query
+            SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_sum(list_transform(list_zip(q.ue, e.ue),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT,
+                                    e.vec_id
+                       ) AS rnk
+                FROM units q JOIN units e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rnk <= 3
+        ),
+        adc3 AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc_units, vec_id
+                       ) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
+        ),
+        short AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc_units, vec_id
+                       ) AS ar
+                FROM scored
+            ) WHERE ar <= {PQ_RERANK_SHORTLIST}
+        ),
+        rer3 AS (
+            SELECT qid, vec_id FROM (
+                SELECT s.qid, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.qid
+                           ORDER BY list_sum(list_transform(list_zip(qe.ue, ce.ue),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT,
+                                    s.vec_id
+                       ) AS rnk
+                FROM short s
+                JOIN units qe ON qe.vec_id = s.qid
+                JOIN units ce ON ce.vec_id = s.vec_id
+            ) WHERE rnk <= 3
+        )
+        SELECT g.qid,
+               CAST(count(a.vec_id) AS BIGINT) AS adc_hits,
+               CAST(count(r.vec_id) AS BIGINT) AS rerank_hits,
+               round(count(a.vec_id) / 3.0, 6) AS recall_adc,
+               round(count(r.vec_id) / 3.0, 6) AS recall_rerank
+        FROM gt g
+        LEFT JOIN adc3 a ON a.qid = g.qid AND a.vec_id = g.vec_id
+        LEFT JOIN rer3 r ON r.qid = g.qid AND r.vec_id = g.vec_id
+        GROUP BY g.qid
+    """,
+    doc="PQ evaluation: recall@3 of the raw ADC scan AND the shortlist-"
+    "rerank path against the exact integer-L2 ground truth, per query — "
+    "the compression-quality measurement an IVF-PQ deployment re-runs "
+    "whenever the codebook or corpus shifts (on a sampled query set at "
+    "scale, like ann_recall_eval). Every stage is exact bigint math, so "
+    "the recall numbers themselves are oracle-checkable",
+    tags=("similarity", "ann", "quantization", "eval"),
+)
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    units = emb.select(
+        F.col("vec_id").alias("u_id"),
+        F.transform("embedding", lambda x: F.floor(x * 1e6).cast("bigint")).alias("ue"),
+    )
+    qunits = units.where(F.col("u_id") < N_QUERIES).select(
+        F.col("u_id").alias("qid"), F.col("ue").alias("qe")
+    )
+    w_gt = W.partitionBy("qid").orderBy("exact_units", "u_id")
+    gt = (
+        units.crossJoin(F.broadcast(qunits))
+        .where(F.col("u_id") != F.col("qid"))
+        .select("qid", "u_id", _pq_sqdist("qe", "ue").alias("exact_units"))
+        .withColumn("rnk", F.row_number().over(w_gt))
+        .where(F.col("rnk") <= 3)
+        .select("qid", F.col("u_id").alias("vec_id"))
+    )
+    scored = _pq_adc_scored(_pq_subvectors(emb))
+    w_adc = W.partitionBy("qid").orderBy("adc_units", "vec_id")
+    ranked = scored.withColumn("ar", F.row_number().over(w_adc))
+    adc3 = ranked.where(F.col("ar") <= 3).select(
+        F.col("qid").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    short = ranked.where(F.col("ar") <= PQ_RERANK_SHORTLIST).select(
+        "qid", "vec_id"
+    )
+    w_rer = W.partitionBy("qid").orderBy("exact_units", "vec_id")
+    rer3 = (
+        short.join(
+            F.broadcast(qunits.select(F.col("qid").alias("sq"), "qe")),
+            F.col("qid") == F.col("sq"),
+        )
+        .join(units, F.col("vec_id") == F.col("u_id"))
+        .select("qid", "vec_id", _pq_sqdist("qe", "ue").alias("exact_units"))
+        .withColumn("rnk", F.row_number().over(w_rer))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("r_qid"), F.col("vec_id").alias("r_vid"))
+    )
+    return (
+        gt.join(
+            adc3,
+            (F.col("qid") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .join(
+            rer3,
+            (F.col("qid") == F.col("r_qid")) & (F.col("vec_id") == F.col("r_vid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("a_vid").alias("adc_hits"),
+            F.count("r_vid").alias("rerank_hits"),
+            F.round(F.count("a_vid") / 3.0, 6).alias("recall_adc"),
+            F.round(F.count("r_vid") / 3.0, 6).alias("recall_rerank"),
+        )
+    )

@@ -220,6 +220,7 @@ _DEFER_NEW_R4 = frozenset({
     "value_percentile_bands",
     "streaming_stateful_runtime",
     "text_embedding_alignment",
+    "pq_recall_eval",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
