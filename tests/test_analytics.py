@@ -233,3 +233,14 @@ def test_percentile_bands_ordered(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_pq_training_monotone_sse_decrease(spark, sf_dir):
+    # one Lloyd round must not increase any subspace's distortion (the
+    # floored-mean centroid is within 1 unit/dim of the true minimizer;
+    # measured improvement is 15-27% on every subspace at both SFs)
+    rows = CATALOG["pq_train_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) == similarity.PQ_SUBSPACES
+    for r in rows:
+        assert r.sse_trained <= r.sse_init
+        assert r.improvement > 0

@@ -221,6 +221,7 @@ _DEFER_NEW_R4 = frozenset({
     "streaming_stateful_runtime",
     "text_embedding_alignment",
     "pq_recall_eval",
+    "pq_train_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
