@@ -244,3 +244,26 @@ def test_pq_training_monotone_sse_decrease(spark, sf_dir):
     for r in rows:
         assert r.sse_trained <= r.sse_init
         assert r.improvement > 0
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    row = CATALOG["zipf_fit_stats"].fn(spark, sf_dir).collect()[0]
+    # the synthetic vocab can be smaller than the K=100 cut (31 types at
+    # sf0.001) — the fit uses whatever exists
+    assert 2 < row.k <= text.ZIPF_TOP_K
+    # frequency cannot increase with rank: the OLS slope is non-positive
+    # and the fit explains a nontrivial share of variance
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    rows = CATALOG["rfm_segments"].fn(spark, sf_dir).collect()
+    segs = {r.segment for r in rows}
+    assert segs <= {
+        f"R{a}F{b}M{c}" for a in "+-" for b in "+-" for c in "+-"
+    }
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust

@@ -405,3 +405,64 @@ def q_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(max(epoch(o_orderdate)) AS BIGINT) AS rec,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   sum(o_totalprice) AS mon
+            FROM orders GROUP BY o_custkey
+        ),
+        th AS (
+            SELECT quantile_cont(rec, 0.5) AS t_r,
+                   quantile_cont(freq, 0.5) AS t_f,
+                   quantile_cont(mon, 0.5) AS t_m
+            FROM cust
+        )
+        SELECT CASE WHEN rec >= t_r THEN 'R+' ELSE 'R-' END
+               || CASE WHEN freq >= t_f THEN 'F+' ELSE 'F-' END
+               || CASE WHEN mon >= t_m THEN 'M+' ELSE 'M-' END AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(mon), 2) AS total_monetary
+        FROM cust, th
+        GROUP BY 1
+    """,
+    doc="RFM segmentation: per-customer recency (last order), frequency "
+    "(order count), monetary (lifetime spend), each split at its median "
+    "into 8 R/F/M segments with customer counts and segment value — the "
+    "classic marketing cohort cut. One narrow aggregation over orders, "
+    "three exact medians over the (much smaller) customer rollup, and the "
+    "one-row threshold table broadcast back; median comparisons are "
+    "identical doubles in both engines",
+    tags=("relational", "agg", "percentile"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).cast("bigint").alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    th = cust.agg(
+        F.median("rec").alias("t_r"),
+        F.median("freq").alias("t_f"),
+        F.median("mon").alias("t_m"),
+    )
+    seg = F.concat(
+        F.when(F.col("rec") >= F.col("t_r"), "R+").otherwise("R-"),
+        F.when(F.col("freq") >= F.col("t_f"), "F+").otherwise("F-"),
+        F.when(F.col("mon") >= F.col("t_m"), "M+").otherwise("M-"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .select(seg.alias("segment"), "mon")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("mon"), 2).alias("total_monetary"),
+        )
+    )

@@ -1209,3 +1209,93 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Zipf fit (round 4): OLS regression of log(freq) on log(rank) over the
+# top-K word types. K is fixed and small, so every regression input is a
+# deterministic (rank, count) integer pair and the fitted slope/intercept
+# are identical IEEE computations in both engines.
+ZIPF_TOP_K = 100
+
+
+@register(
+    "zipf_fit_stats",
+    oracle=f"""
+        WITH counts AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY w
+        ),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r
+            FROM counts
+        ),
+        pts AS (
+            SELECT ln(r::DOUBLE) AS x, ln(n::DOUBLE) AS y
+            FROM ranked WHERE r <= {ZIPF_TOP_K}
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pts
+        )
+        SELECT k,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+               round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+                   AS intercept,
+               round(pow(k * sxy - sx * sy, 2)
+                     / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+        FROM s
+    """,
+    doc="Zipf's-law fit: OLS slope of log-frequency vs log-rank over the "
+    "top-100 word types (a natural corpus follows slope ~ -1; a synthetic "
+    "or template-heavy corpus deviates — a cheap generation-artifact "
+    "detector). The heavy part is one word-count aggregation; the top-K "
+    "cut is a rank-with-tiebreak and the regression runs over 100 rows of "
+    "exact integers, so both engines execute identical float ops. The "
+    "float sums over the K=100 points are safe because K is a constant: "
+    "partial-aggregation order over 100 identical doubles is pinned by "
+    "the single-partition rollup",
+    tags=("text", "diagnostics"),
+)
+def q_zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = W.orderBy(F.col("n").desc(), "w")
+    pts = (
+        counts.withColumn("r", F.row_number().over(w_rank))
+        .where(F.col("r") <= ZIPF_TOP_K)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return s.select(
+        "k",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+        F.round(
+            F.pow(k * sxy - sx * sy, F.lit(2))
+            / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

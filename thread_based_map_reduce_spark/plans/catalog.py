@@ -222,6 +222,8 @@ _DEFER_NEW_R4 = frozenset({
     "text_embedding_alignment",
     "pq_recall_eval",
     "pq_train_stats",
+    "zipf_fit_stats",
+    "rfm_segments",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
