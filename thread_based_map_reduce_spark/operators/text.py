@@ -1269,14 +1269,14 @@ def q_zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
+    # top-K via orderBy+limit (TakeOrderedAndProject — distributed top-k,
+    # never a one-task sort of the whole vocabulary); the rank window then
+    # runs over <= K rows, bounded by construction
+    top = counts.orderBy(F.col("n").desc(), "w").limit(ZIPF_TOP_K)
     w_rank = W.orderBy(F.col("n").desc(), "w")
-    pts = (
-        counts.withColumn("r", F.row_number().over(w_rank))
-        .where(F.col("r") <= ZIPF_TOP_K)
-        .select(
-            F.log(F.col("r").cast("double")).alias("x"),
-            F.log(F.col("n").cast("double")).alias("y"),
-        )
+    pts = top.withColumn("r", F.row_number().over(w_rank)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
     )
     s = pts.agg(
         F.count("*").alias("k"),
