@@ -267,3 +267,16 @@ def test_rfm_segments_partition_customers(spark, sf_dir):
         load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r.n_customers for r in rows) == n_cust
+
+
+def test_cohort_matrix_consistency(spark, sf_dir):
+    rows = CATALOG["cohort_retention_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    # offset-0 cell of every cohort is the whole cohort (retention 1.0)
+    by_cohort = {}
+    for r in rows:
+        assert 0 <= r.n_active <= r.cohort_size
+        assert 0.0 < r.retention <= 1.0
+        by_cohort.setdefault(r.cohort_week_s, {})[r.week_offset] = r
+    for cw, cells in by_cohort.items():
+        assert 0 in cells and cells[0].n_active == cells[0].cohort_size

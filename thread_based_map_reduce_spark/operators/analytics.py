@@ -466,3 +466,64 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("mon"), 2).alias("total_monetary"),
         )
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        ),
+        c AS (
+            SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id
+        ),
+        sz AS (
+            SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM c GROUP BY cw
+        )
+        SELECT CAST(epoch(c.cw) AS BIGINT) AS cohort_week_s,
+               CAST(date_diff('day', c.cw, uw.w) / 7 AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active,
+               any_value(sz.cohort_size) AS cohort_size,
+               round(count(*) / any_value(sz.cohort_size)::DOUBLE, 6) AS retention
+        FROM uw
+        JOIN c ON c.user_id = uw.user_id
+        JOIN sz ON sz.cw = c.cw
+        GROUP BY c.cw, uw.w
+    """,
+    doc="The full cohort-retention triangle: users grouped by first-active "
+    "week, one row per (cohort, week offset) with the surviving-user count "
+    "and retention fraction — the generalization of retention_weekly's "
+    "single N/N+1 step to the whole matrix. Built entirely on the distinct "
+    "(user, week) grid, which is tiny relative to raw events; the per-user "
+    "min is one narrow aggregation and cohort sizes broadcast back. Week "
+    "boundaries are ISO Mondays in both engines",
+    tags=("relational", "events", "agg"),
+)
+def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    c = uw.groupBy(F.col("user_id").alias("c_uid")).agg(F.min("w").alias("cw"))
+    sz = c.groupBy(F.col("cw").alias("s_cw")).agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        uw.join(c, F.col("user_id") == F.col("c_uid"))
+        .join(F.broadcast(sz), F.col("cw") == F.col("s_cw"))
+        .groupBy("cw", "w")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.any_value("cohort_size").alias("csize"),
+        )
+        .select(
+            F.unix_seconds("cw").alias("cohort_week_s"),
+            (F.datediff("w", "cw") / 7).cast("bigint").alias("week_offset"),
+            "n_active",
+            F.col("csize").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("csize").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

@@ -224,6 +224,7 @@ _DEFER_NEW_R4 = frozenset({
     "pq_train_stats",
     "zipf_fit_stats",
     "rfm_segments",
+    "cohort_retention_matrix",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
