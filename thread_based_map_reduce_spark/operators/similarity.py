@@ -1514,9 +1514,11 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- in double (n*syy would overflow bigint past ~sf1) — the
                -- int->double conversions and every subsequent IEEE op are
                -- identical in both engines, so parity holds at any scale
+               -- nullif: a zero-variance side (all-equal lengths or norms)
+               -- yields NULL corr instead of a div-by-zero NaN
                round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                     / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                        * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                     / nullif(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 0),
                      6) AS corr
         FROM sums
     """,
@@ -1564,9 +1566,13 @@ def q_text_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         n,
         F.round(dsx / n, 6).alias("avg_chars"),
         F.round(dsy / n / 1e6, 6).alias("avg_sq_norm"),
+        # nullif: zero-variance side -> NULL corr, not NaN
         F.round(
             (dn * dsxy - dsx * dsy)
-            / (F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy)),
+            / F.nullif(
+                F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy),
+                F.lit(0.0),
+            ),
             6,
         ).alias("corr"),
     )
@@ -1752,7 +1758,9 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(s AS BIGINT) AS subspace,
                sse_init,
                sse_trained,
-               round(1.0 - sse_trained::DOUBLE / sse_init, 6) AS improvement
+               -- nullif: a zero-distortion subspace (degenerate constant corpus)
+               -- yields NULL improvement instead of a div-by-zero NaN
+               round(1.0 - sse_trained::DOUBLE / nullif(sse_init, 0), 6) AS improvement
         FROM sse0 JOIN sse2 USING (s)
     """,
     doc="PQ codebook TRAINING, one exact Lloyd round per subspace: assign "
@@ -1809,7 +1817,11 @@ def q_pq_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("subspace"),
         "sse_init",
         "sse_trained",
+        # nullif: zero-distortion subspace -> NULL, not a NaN
         F.round(
-            1.0 - F.col("sse_trained").cast("double") / F.col("sse_init"), 6
+            1.0
+            - F.col("sse_trained").cast("double")
+            / F.nullif(F.col("sse_init"), F.lit(0)).cast("double"),
+            6,
         ).alias("improvement"),
     )

@@ -1244,11 +1244,13 @@ ZIPF_TOP_K = 100
             FROM pts
         )
         SELECT k,
-               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
-               round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+               -- nullif: a single-type vocabulary has zero rank variance ->
+               -- NULL slope instead of a div-by-zero NaN
+               round((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0), 6) AS zipf_slope,
+               round((sy - (k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0) * sx) / k, 6)
                    AS intercept,
                round(pow(k * sxy - sx * sy, 2)
-                     / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+                     / nullif((k * sxx - sx * sx) * (k * syy - sy * sy), 0), 6) AS r2
         FROM s
     """,
     doc="Zipf's-law fit: OLS slope of log-frequency vs log-rank over the "
@@ -1288,14 +1290,16 @@ def q_zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    # nullif: single-type vocabulary -> NULL fit, not NaN
+    varx = F.nullif(k * sxx - sx * sx, F.lit(0.0))
+    slope = (k * sxy - sx * sy) / varx
     return s.select(
         "k",
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / k, 6).alias("intercept"),
         F.round(
             F.pow(k * sxy - sx * sy, F.lit(2))
-            / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+            / F.nullif((k * sxx - sx * sx) * (k * syy - sy * sy), F.lit(0.0)),
             6,
         ).alias("r2"),
     )
