@@ -1,0 +1,94 @@
+"""Property-based tests for the round-4 analytic cores: the distributed
+skyline and the gaps-and-islands streak must equal brute-force python
+oracles on RANDOM inputs — catching boundary cases (duplicate points,
+all-one-price, tie storms) the fixed testdata can't."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from thread_based_map_reduce_spark.operators.analytics import (
+    longest_streaks,
+    pareto_skyline,
+)
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+points_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),  # dense -> many ties/dups
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(pts=points_strategy)
+def test_skyline_equals_bruteforce(spark, pts):
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = {
+        (r.id, r.price, r.size)
+        for r in pareto_skyline(df, "price", "size").collect()
+    }
+    want = {
+        (i, float(p), s)
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            (qp <= p and qs >= s and (qp < p or qs > s)) for qp, qs in pts
+        )
+    }
+    assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 2)),  # (user, type) sequence
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(seq=events_strategy)
+def test_longest_streak_equals_python(spark, seq):
+    # event_id doubles as the timestamp tiebreak; ts constant per user to
+    # stress the (ts, event_id) ordering contract
+    rows = [
+        (i, u, f"t{t}", 1000 + i)  # us timestamps via timestamp_micros
+        for i, (u, t) in enumerate(seq)
+    ]
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, us long"
+        )
+        .withColumn("ts", F.timestamp_micros("us"))
+        .drop("us")
+    )
+    got = {
+        r.user_id: (r.event_type, r.streak_len, r.start_us)
+        for r in longest_streaks(df).collect()
+    }
+
+    # python oracle: scan each user's (event_id-ordered) sequence
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for i, (u, t) in enumerate(seq):
+        per_user.setdefault(u, []).append((1000 + i, f"t{t}"))
+    want = {}
+    for u, evs in per_user.items():
+        best = None  # (len, start_us, type)
+        cur_len, cur_start, cur_type = 0, None, None
+        for us, t in evs:
+            if t == cur_type:
+                cur_len += 1
+            else:
+                cur_len, cur_start, cur_type = 1, us, t
+            cand = (-cur_len, cur_start, cur_type)
+            if best is None or cand < best:
+                best = cand
+        want[u] = (best[2], -best[0], best[1])
+    assert got == want

@@ -37,41 +37,21 @@ SKYLINE_BUCKETS = 256
 DECAY_HOURS = 8
 
 
-@register(
-    "skyline_pareto_parts",
-    # Independent oracle: the textbook NOT-EXISTS dominance test — a
-    # deliberately different algorithm from the Spark two-level cumulative
-    # max, so an implementation bug cannot cancel out in the comparison.
-    oracle="""
-        SELECT p.p_partkey,
-               round(p.p_retailprice, 2) AS price,
-               CAST(p.p_size AS BIGINT) AS size
-        FROM part p
-        WHERE NOT EXISTS (
-            SELECT 1 FROM part q
-            WHERE q.p_retailprice <= p.p_retailprice
-              AND q.p_size >= p.p_size
-              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
-        )
-    """,
-    doc="Pareto skyline (minimize price, maximize size) without any "
-    "all-pairs stage: best-size-per-price aggregate, then the strictly-"
-    "cheaper running max reconstructed from 256 parallel range-bucket "
-    "windows plus a broadcast bucket-prefix — the oracle is the O(n^2) "
-    "NOT-EXISTS definition, the plan is O(n log n)-ish with no single-task "
-    "window, so it survives a 100 TB part table",
-    tags=("relational", "skyline", "window"),
-)
-def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", "p_size"
-    )
+def pareto_skyline(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """Generic distributed 2-D skyline: rows of ``df`` not dominated under
+    (minimize ``minimize``, maximize ``maximize``). Returns ``df``'s rows
+    filtered to the frontier. Algorithm: best-per-price aggregate, then the
+    strictly-cheaper running max rebuilt from range-bucket windows plus a
+    broadcast bucket-prefix — no all-pairs stage, no single-task window.
+    Property-tested against a brute-force python oracle on random inputs
+    (tests/test_property_analytics.py)."""
+    part = df
     # Stage 1: collapse to the (distinct price -> best size) frontier
     # candidates. One hash aggregation on the narrow price key; output
     # cardinality is #distinct prices, typically orders of magnitude
     # smaller than the table.
-    bp = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
-        F.max("p_size").alias("bs")
+    bp = part.groupBy(F.col(minimize).alias("pr")).agg(
+        F.max(maximize).alias("bs")
     )
     # Stage 2: M(pr) = max bs over STRICTLY cheaper prices, computed as
     # local per-bucket running max + broadcast prefix of per-bucket maxima.
@@ -106,21 +86,53 @@ def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = local.join(F.broadcast(prefix), "_b").select(
         "pr", "bs", F.greatest(F.col("_mloc"), F.col("_mpre")).alias("m")
     )
-    # Stage 3: join the frontier verdict back to the parts. A part is on
+    # Stage 3: join the frontier verdict back to the rows. A row is on
     # the skyline iff it has the best size AT its price and no strictly
     # cheaper price reaches that size. Equi-join on price — hash, AQE-
     # splittable; no inequality join anywhere.
     return (
-        part.join(m, part.p_retailprice == m.pr)
+        part.join(m, part[minimize] == m.pr)
         .where(
-            (F.col("p_size") == F.col("bs"))
-            & (F.col("m").isNull() | (F.col("m") < F.col("p_size")))
+            (F.col(maximize) == F.col("bs"))
+            & (F.col("m").isNull() | (F.col("m") < F.col(maximize)))
         )
-        .select(
-            "p_partkey",
-            F.round("p_retailprice", 2).alias("price"),
-            F.col("p_size").cast("bigint").alias("size"),
+        .select(*df.columns)
+    )
+
+
+@register(
+    "skyline_pareto_parts",
+    # Independent oracle: the textbook NOT-EXISTS dominance test — a
+    # deliberately different algorithm from the Spark two-level cumulative
+    # max, so an implementation bug cannot cancel out in the comparison.
+    oracle="""
+        SELECT p.p_partkey,
+               round(p.p_retailprice, 2) AS price,
+               CAST(p.p_size AS BIGINT) AS size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
         )
+    """,
+    doc="Pareto skyline (minimize price, maximize size) without any "
+    "all-pairs stage: best-size-per-price aggregate, then the strictly-"
+    "cheaper running max reconstructed from 256 parallel range-bucket "
+    "windows plus a broadcast bucket-prefix — the oracle is the O(n^2) "
+    "NOT-EXISTS definition, the plan is O(n log n)-ish with no single-task "
+    "window, so it survives a 100 TB part table",
+    tags=("relational", "skyline", "window"),
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_skyline(part, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
     )
 
 
@@ -166,6 +178,14 @@ def q_longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
+    return longest_streaks(ev)
+
+
+def longest_streaks(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands longest run of identical ``event_type`` per
+    ``user_id``, ordered by (ts, event_id). Property-tested against a
+    single-pass python oracle on random sequences
+    (tests/test_property_analytics.py)."""
     w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     numbered = ev.withColumn(
