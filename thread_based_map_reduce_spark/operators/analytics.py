@@ -547,3 +547,89 @@ def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "association_rules_lift",
+    oracle="""
+        WITH dl AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM dl
+        ),
+        item AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM dl GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM dl a JOIN dl b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, support,
+               round(support::DOUBLE / ia.s, 6) AS conf_ab,
+               round(n.n_orders * support::DOUBLE / (ia.s * ib.s), 6) AS lift
+        FROM pairs
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN n
+        ORDER BY n.n_orders * support::DOUBLE / (ia.s * ib.s) DESC, part_a, part_b
+        LIMIT 20
+    """,
+    doc="Association rules over co-ordered part pairs: support, confidence "
+    "a->b, and lift (how much more often the pair co-occurs than "
+    "independence predicts), top-20 by lift. Pair supports come from the "
+    "basket-local expansion (no corpus self-join, same shape as "
+    "basket_part_pairs); item supports and the order count are narrow "
+    "aggregates joined back; ranking on the unrounded lift (identical "
+    "doubles both engines) with part-id tiebreaks. The market-basket "
+    "classic, feasible at 100 TB because everything after the basket "
+    "expansion is metadata-sized",
+    tags=("relational", "agg", "basket"),
+)
+def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dl = li.select("l_orderkey", "l_partkey").distinct()
+    n = dl.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = dl.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    # basket-local pair expansion (the basket_part_pairs shape): pairs are
+    # generated inside each order's sorted distinct-part array
+    baskets = dl.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("ia_k"), F.col("s").alias("sa"))
+    ib = item.select(F.col("l_partkey").alias("ib_k"), F.col("s").alias("sb"))
+    lift = F.col("n_orders") * F.col("support").cast("double") / (
+        F.col("sa") * F.col("sb")
+    )
+    return (
+        pairs.join(ia, F.col("part_a") == F.col("ia_k"))
+        .join(ib, F.col("part_b") == F.col("ib_k"))
+        .crossJoin(F.broadcast(n))
+        .orderBy(lift.desc(), "part_a", "part_b")
+        .limit(20)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(F.col("support").cast("double") / F.col("sa"), 6).alias("conf_ab"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

@@ -82,6 +82,40 @@ def _minhash_sig_sql() -> str:
     )"""
 
 
+def _verified_pairs_sql() -> str:
+    """The standard band→candidate→exact-Jaccard-verify chain ending in
+    ``vpairs(doc_a, doc_b, jacc)`` (unrounded). ONE definition shared by
+    dedup_minhash_lsh_pairs and dup_pairs_edit_distance (the same
+    shared-SQL convention as _QUALITY_SQL)."""
+    return f"""
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        vpairs AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(a.ts, b.ts))::DOUBLE
+                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jacc
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        )"""
+
+
 # ONE quality-score definition shared by dedup_keep_best and
 # dedup_canonical_map (ADVICE r3: the two operators previously duplicated
 # the formula and the winner ranking verbatim — a silent-divergence hazard
@@ -209,30 +243,8 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_SHINGLES_SQL.strip()},
         {_HASHED_SQL.strip()},
         {_minhash_sig_sql().strip()},
-        bands AS (
-            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
-                        AND b.doc_id > a.doc_id
-        ),
-        tsets AS (
-            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
-            FROM shingles GROUP BY doc_id
-        )
-        SELECT doc_a, doc_b,
-               round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        FROM cand
-        JOIN tsets a ON a.doc_id = doc_a
-        JOIN tsets b ON b.doc_id = doc_b
-        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        {_verified_pairs_sql().strip()}
+        SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM vpairs
     """,
     doc="Near-dup pairs via MinHash LSH: 4 bands x 2 rows -> bucket join -> "
     "exact-Jaccard verify of candidates only (no O(n^2) stage anywhere; "
@@ -1546,4 +1558,54 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("d").cast("bigint").alias("degree"),
         F.col("pr").alias("pr_microunits"),
+    )
+
+
+@register(
+    "dup_pairs_edit_distance",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()}
+        SELECT v.doc_a, v.doc_b,
+               round(v.jacc, 6) AS jaccard,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+               round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                     / greatest(length(da.text), length(db.text), 1), 6) AS char_sim
+        FROM vpairs v
+        JOIN documents da ON da.doc_id = v.doc_a
+        JOIN documents db ON db.doc_id = v.doc_b
+    """,
+    doc="Character-level confirmation of the LSH-verified near-dup pairs: "
+    "exact Levenshtein distance and normalized similarity per pair — the "
+    "second-opinion signal a dedup pipeline logs before destructive "
+    "canonicalization (token-set Jaccard is order-blind; edit distance "
+    "catches reordered-but-distinct docs). Levenshtein is O(len_a*len_b) "
+    "PER PAIR, which is exactly why it runs only on the LSH-shortlisted "
+    "pairs and never corpus x corpus; texts reach the pairs via two "
+    "id-equi-joins (the fetch step), all JVM-side builtins",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    db = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    lev = F.levenshtein("a_text", "b_text")
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("a_id"))
+        .join(db, F.col("doc_b") == F.col("b_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard"),
+            lev.cast("bigint").alias("lev"),
+            F.round(
+                1.0
+                - lev.cast("double")
+                / F.greatest(F.length("a_text"), F.length("b_text"), F.lit(1)),
+                6,
+            ).alias("char_sim"),
+        )
     )

@@ -225,6 +225,8 @@ _DEFER_NEW_R4 = frozenset({
     "zipf_fit_stats",
     "rfm_segments",
     "cohort_retention_matrix",
+    "dup_pairs_edit_distance",
+    "association_rules_lift",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
