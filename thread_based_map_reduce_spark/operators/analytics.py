@@ -633,3 +633,151 @@ def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+@register(
+    "orders_backlog_monthly",
+    oracle="""
+        WITH closes AS (
+            SELECT l_orderkey, max(l_shipdate) AS close_d FROM lineitem GROUP BY 1
+        ),
+        deltas AS (
+            SELECT date_trunc('month', o_orderdate) AS m, 1 AS opened, 0 AS closed
+            FROM orders
+            UNION ALL
+            SELECT date_trunc('month', c.close_d), 0, 1
+            FROM closes c JOIN orders o ON o.o_orderkey = c.l_orderkey
+        ),
+        monthly AS (
+            SELECT m, CAST(sum(opened) AS BIGINT) AS opened,
+                   CAST(sum(closed) AS BIGINT) AS closed
+            FROM deltas GROUP BY m
+        )
+        SELECT CAST(epoch(m) AS BIGINT) AS month_start_s,
+               opened, closed,
+               CAST(sum(opened - closed) OVER (
+                   ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_at_end
+        FROM monthly
+    """,
+    doc="Open-order backlog over time via the event-balance pattern: +1 at "
+    "the order month, -1 at the month of its last shipment, cumulative sum "
+    "= orders in flight at each month end — the WIP/backlog curve every "
+    "operations dashboard needs. Raw tables collapse to one row per order "
+    "then to ~80 month rows, so the cumulative window is metadata-sized "
+    "(bounded by the calendar, not the data volume)",
+    tags=("relational", "timeseries", "window"),
+)
+def q_orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("c_key")).agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    opened = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closed = (
+        closes.join(orders, F.col("o_orderkey") == F.col("c_key"))
+        .select(
+            F.date_trunc("month", "close_d").alias("m"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    monthly = (
+        opened.unionAll(closed)
+        .groupBy("m")
+        .agg(
+            F.sum("opened").cast("bigint").alias("opened"),
+            F.sum("closed").cast("bigint").alias("closed"),
+        )
+    )
+    # cumulative over ~80 calendar-month rows — bounded by the calendar
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    return monthly.select(
+        F.unix_seconds("m").alias("month_start_s"),
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("bigint").alias("open_at_end"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, a.c AS x, b.c AS y
+            FROM hc a JOIN hc b
+              ON b.event_type = a.event_type AND b.h = a.h + 3600
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / nullif(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 0),
+                     6) AS r1
+        FROM s
+    """,
+    doc="Lag-1 autocorrelation of hourly event counts per type — the "
+    "burstiness/seasonality scalar a traffic model starts from. "
+    "Consecutive-hour pairs come from an equi-join on (type, h+3600) over "
+    "the tiny hourly grid (gap hours simply produce no pair, no "
+    "lag()-misalignment); moments are exact bigints combined in double "
+    "with identical IEEE ops both engines (the text_embedding_alignment "
+    "convention); zero-variance types yield NULL, not NaN",
+    tags=("relational", "timeseries", "diagnostics"),
+)
+def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        F.col("c").alias("y"),
+    )
+    pairs = hc.join(
+        b, (F.col("b_type") == F.col("event_type")) & (F.col("b_h") == F.col("h") + 3600)
+    ).select("event_type", F.col("c").alias("x"), "y")
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dn, dsx, dsy, dsxy, dsxx, dsyy = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    ]
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (dn * dsxy - dsx * dsy)
+            / F.nullif(
+                F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r1"),
+    )

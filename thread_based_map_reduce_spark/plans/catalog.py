@@ -227,6 +227,8 @@ _DEFER_NEW_R4 = frozenset({
     "cohort_retention_matrix",
     "dup_pairs_edit_distance",
     "association_rules_lift",
+    "orders_backlog_monthly",
+    "events_autocorr_lag1",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
