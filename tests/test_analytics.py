@@ -280,3 +280,17 @@ def test_cohort_matrix_consistency(spark, sf_dir):
         by_cohort.setdefault(r.cohort_week_s, {})[r.week_offset] = r
     for cw, cells in by_cohort.items():
         assert 0 in cells and cells[0].n_active == cells[0].cohort_size
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    # deterministic sketch: exact when distinct <= K, and the estimator's
+    # ~1/sqrt(K) error bound holds with margin beyond (measured 5.1% at
+    # 2000 distinct with K=256)
+    row = CATALOG["kmv_distinct_estimate"].fn(spark, sf_dir).collect()[0]
+    from thread_based_map_reduce_spark.operators.relational_ext import KMV_K
+
+    assert row.k <= KMV_K
+    if row.true_distinct <= KMV_K:
+        assert row.kmv_estimate == row.true_distinct
+    else:
+        assert row.rel_err < 0.15

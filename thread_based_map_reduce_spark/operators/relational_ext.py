@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..functions.textfns import tokens
 from ..plans.catalog import register
 from ..sources.registry import load_table
@@ -238,4 +239,67 @@ def q_distinct_counts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         F.count("*").alias("n"),
+    )
+
+
+# KMV sketch size: estimate quality ~ 1/sqrt(K) (±6% at K=256)
+KMV_K = 256
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle=f"""
+        WITH hashes AS (
+            SELECT DISTINCT {portable_hash64_sql('CAST(l_partkey AS VARCHAR)')} AS h
+            FROM lineitem
+        ),
+        mink AS (
+            SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}
+        ),
+        kth AS (
+            SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k FROM mink
+        )
+        SELECT k,
+               hk AS kth_hash,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct,
+               CAST(floor((kth.k - 1) * pow(2.0, 60) / kth.hk) AS BIGINT) AS kmv_estimate,
+               round(abs((kth.k - 1) * pow(2.0, 60) / kth.hk
+                         - count(DISTINCT l_partkey))
+                     / count(DISTINCT l_partkey), 6) AS rel_err
+        FROM lineitem, kth
+        GROUP BY kth.k, kth.hk
+    """,
+    doc="K-minimum-values distinct-count sketch, the ORACLE-CHECKABLE "
+    "approximate-distinct: keep the K=256 smallest 60-bit key hashes; the "
+    "K-th smallest estimates density, so distinct ~ (K-1)*2^60/h_K. "
+    "Unlike engine-native HLL (approx_aggregates, whose sketch internals "
+    "legitimately differ per engine), KMV over the portable hash is "
+    "DETERMINISTIC and bit-identical in both engines, so the estimate "
+    "itself sits under the hash gate — with the true count and relative "
+    "error (~1/sqrt(K)) alongside. Scale shape: the min-K is "
+    "TakeOrderedAndProject over de-duplicated hashes; production keeps "
+    "per-partition K-heaps and merges (the Spark-native partial-aggregate "
+    "path approx_aggregates demonstrates)",
+    tags=("agg", "approx", "sampling"),
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        portable_hash64(F.col("l_partkey").cast("string")).alias("h")
+    ).distinct()
+    mink = hashes.orderBy("h").limit(KMV_K)
+    kth = mink.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    true_d = li.agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    est = (F.col("k") - 1) * F.pow(F.lit(2.0), F.lit(60)) / F.col("hk")
+    return (
+        kth.crossJoin(F.broadcast(true_d))
+        .select(
+            "k",
+            F.col("hk").alias("kth_hash"),
+            F.col("true_distinct").cast("bigint").alias("true_distinct"),
+            F.floor(est).cast("bigint").alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 6
+            ).alias("rel_err"),
+        )
     )

@@ -229,6 +229,7 @@ _DEFER_NEW_R4 = frozenset({
     "association_rules_lift",
     "orders_backlog_monthly",
     "events_autocorr_lag1",
+    "kmv_distinct_estimate",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
