@@ -273,3 +273,39 @@ def q_streaming_stateful_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("bigint").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@register(
+    "streaming_stream_join_runtime",
+    oracle="""
+        SELECT p.user_id AS p_user,
+               p.event_id AS p_event,
+               CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+               CAST(epoch_us(s.ts) AS BIGINT) AS s_us
+        FROM events p
+        JOIN events s
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup'
+         AND p.event_type = 'purchase'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 24 HOUR
+    """,
+    doc="The stream-STREAM interval join executed end-to-end: purchases "
+    "joined to the same user's signups within the following 24 h, both "
+    "sides watermarked so the planner derives a bounded state-eviction "
+    "horizon from the interval condition (signup state lives <= 24 h + "
+    "watermark). Append-mode memory sink; the oracle is the batch interval "
+    "join of the same events — completing the runtime family: every "
+    "streaming operator class (window, session, dedup, stateful, "
+    "stream-static join, stream-stream join, foreachBatch sink) now has a "
+    "hard driver row",
+    tags=("streaming", "runtime", "join"),
+)
+def q_streaming_stream_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import signup_purchase_join_stream
+
+    return run_stream_to_memory(
+        signup_purchase_join_stream(spark, sf_dir),
+        "tbmr_streaming_stream_join_runtime",
+        "append",
+    )

@@ -230,6 +230,7 @@ _DEFER_NEW_R4 = frozenset({
     "orders_backlog_monthly",
     "events_autocorr_lag1",
     "kmv_distinct_estimate",
+    "streaming_stream_join_runtime",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
