@@ -1,0 +1,68 @@
+"""Invariant tests for the engineering operators (operators/engineering.py):
+contracts the DuckDB hash gate cannot express — one-sided sketch error,
+Bloom completeness, incremental-vs-full equivalence recomputed
+independently, and assignment exhaustiveness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thread_based_map_reduce_spark.operators.engineering import (
+    BLOOM_K,
+    BLOOM_M,
+    CM_TOPN,
+    q_ab_test_zstat,
+    q_bloom_filter_join_stats,
+    q_countmin_topk_estimate,
+    q_mv_incremental_refresh,
+)
+from thread_based_map_reduce_spark.sources.registry import load_table
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = q_countmin_topk_estimate(spark, sf_dir).collect()
+    assert len(rows) == CM_TOPN
+    for r in rows:
+        # CM's defining guarantee: estimates only ever overcount.
+        assert r.cm_est >= r.true_n
+        assert r.overcount == r.cm_est - r.true_n
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    row = q_bloom_filter_join_stats(spark, sf_dir).first()
+    # Bloom filters never reject a true member...
+    assert row.n_pass >= row.n_true_members
+    assert row.n_false_pos == row.n_pass - row.n_true_members
+    # ...and the bit array can't hold more set bits than insertions made.
+    assert 0 < row.n_bits_set <= min(BLOOM_M, BLOOM_K * row.n_build_keys)
+    if row.fpr_measured is not None:
+        assert 0.0 <= row.fpr_measured <= 1.0
+
+
+def test_mv_refresh_equals_full_recompute(spark, sf_dir):
+    # Independent full recompute in Spark (the oracle does it in DuckDB).
+    got = {
+        r.month: (r.n_orders, r.total_price)
+        for r in q_mv_incremental_refresh(spark, sf_dir).collect()
+    }
+    full = {
+        r.month: (r.n, float(round(r.s, 4)))
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_ab_assignment_partitions_users(spark, sf_dir):
+    row = q_ab_test_zstat(spark, sf_dir).first()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # Hash-parity assignment is exhaustive and disjoint.
+    assert row.n_a + row.n_b == n_users
+    assert 0 <= row.conv_a <= row.n_a and 0 <= row.conv_b <= row.n_b

@@ -101,6 +101,7 @@ def _load_all() -> None:
         diagnostics,
         streaming_runtime,
         analytics,
+        engineering,
     )
 
 
@@ -231,6 +232,11 @@ _DEFER_NEW_R4 = frozenset({
     "events_autocorr_lag1",
     "kmv_distinct_estimate",
     "streaming_stream_join_runtime",
+    # engineering.py (CM sketch / bloom probe / incremental MV / A/B test):
+    "countmin_topk_estimate",
+    "bloom_filter_join_stats",
+    "mv_incremental_refresh",
+    "ab_test_zstat",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
