@@ -294,3 +294,53 @@ def test_kmv_estimate_accuracy(spark, sf_dir):
         assert row.kmv_estimate == row.true_distinct
     else:
         assert row.rel_err < 0.15
+
+
+def test_gini_bounds_and_coverage(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.operators.analytics import (
+        q_revenue_gini_by_nation,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    rows = q_revenue_gini_by_nation(spark, sf_dir).collect()
+    # Gini over non-negative revenues lies in [0, 1).
+    assert all(0.0 <= r.gini < 1.0 for r in rows)
+    n_with_orders = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_with_orders
+
+
+def test_attribution_shares_partition_purchases(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.operators.analytics import (
+        q_funnel_attribution_last_touch,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    rows = q_funnel_attribution_last_touch(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert {r.attributed_type for r in rows} <= {"click", "view", "none"}
+
+
+def test_semantic_dedup_counts_partition_vectors(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.similarity import (
+        q_semantic_dedup_stats,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    rows = q_semantic_dedup_stats(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_kept + r.n_pruned == r.n_vectors
+        assert r.n_pruned <= r.n_dup_pairs or r.n_dup_pairs == 0
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == total

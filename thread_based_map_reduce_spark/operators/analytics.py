@@ -781,3 +781,278 @@ def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Least-squares trend per group: the autocorr pattern's sibling. x is the
+# hour index REBASED to the corpus's first hour, so every sum (sx, sy, sxy,
+# sxx) is an exact small bigint and slope/intercept derive from one
+# division each — bit-identical across engines, no per-row float math.
+@register(
+    "trend_slope_per_type",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        h0 AS (SELECT min(h) AS h0 FROM hc),
+        xy AS (
+            SELECT event_type, (h - h0) / 3600 AS x, y FROM hc CROSS JOIN h0
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / nullif(CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx, 0), 6) AS slope_per_hour,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / nullif(CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx, 0)) * sx)
+                     / n, 6) AS intercept
+        FROM s
+    """,
+    doc="Per-event-type least-squares trend: slope (events/hour drift) and "
+    "intercept of hourly counts regressed on the hour index. Hour grid "
+    "rebased to the corpus start so all regression sums are exact small "
+    "bigints (the autocorr/alignment-audit convention); the nullif guards "
+    "the single-hour degenerate grid. Scale: one (type, hour) aggregation "
+    "— partial-aggregated map-side — then a per-type 5-sum rollup on the "
+    "metadata-sized grid; the h0 rebase is a broadcast one-row join",
+    tags=("events", "stats", "timeseries"),
+)
+def q_trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("y"))
+    h0 = hc.agg(F.min("h").alias("h0"))
+    xy = hc.crossJoin(F.broadcast(h0)).select(
+        "event_type",
+        ((F.col("h") - F.col("h0")) / F.lit(3600)).cast("bigint").alias("x"),
+        "y",
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    dn, dsx, dsy, dsxy, dsxx = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    ]
+    slope = (dn * dsxy - dsx * dsy) / F.nullif(dn * dsxx - dsx * dsx, F.lit(0.0))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((dsy - slope * dsx) / dn, 6).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer revenue per nation. The rank-weighted
+# formula G = 2*S/(n*T) - (n+1)/n needs each customer's rank WITHIN its
+# nation by revenue — computed scale-right as 64 range-bucket local windows
+# plus a (nation x bucket)-sized prefix offset, never one window task per
+# nation scanning all of that nation's customers. Revenue is carried as
+# DECIMAL(30,6), so ranks, S and T are exact and engine-identical.
+GINI_BUCKETS = 64
+
+
+@register(
+    "revenue_gini_by_nation",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   sum(CAST(o.o_totalprice AS DECIMAL(30,6))) AS r
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_nationkey, r,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY r, o_custkey
+                   ) AS i
+            FROM rev
+        ),
+        g AS (
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   sum(r) AS t,
+                   sum(CAST(i AS DECIMAL(18,0)) * CAST(r AS DECIMAL(18,6))) AS s
+            FROM ranked GROUP BY c_nationkey
+        )
+        SELECT n.n_name,
+               n_customers,
+               CAST(round(t, 4) AS DOUBLE) AS total_rev,
+               round(2.0 * CAST(s AS DOUBLE)
+                     / nullif(n_customers * CAST(t AS DOUBLE), 0)
+                     - (n_customers + 1.0) / n_customers, 6) AS gini
+        FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+    doc="Gini coefficient of customer-revenue concentration per nation "
+    "(rank-weighted formula over DECIMAL-exact revenues). The within-"
+    "nation rank is NOT a per-nation window: revenues bucket into 64 "
+    "uniform ranges (bucket id monotone in revenue), rank = local "
+    "row_number per (nation, bucket) + broadcast per-nation bucket-prefix "
+    "offset — the layout.py _global_rank shape parameterized by nation, "
+    "so no task ever sorts a whole nation. Oracle uses the plain "
+    "window-rank formulation; the hash gate proves the two-level rank "
+    "reconstruction exact",
+    tags=("agg", "stats", "window"),
+)
+def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("r"))
+    )
+    # Range buckets: monotone in revenue, so (bucket asc, r asc) is the
+    # global within-nation order. Bounds come from a broadcast one-row agg;
+    # +1.0 in the denominator guards the all-equal-revenue degenerate case.
+    bounds = rev.agg(
+        F.min(F.col("r").cast("double")).alias("lo"),
+        F.max(F.col("r").cast("double")).alias("hi"),
+    )
+    bucketed = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.least(
+            F.lit(GINI_BUCKETS - 1),
+            F.floor(
+                (F.col("r").cast("double") - F.col("lo"))
+                * GINI_BUCKETS
+                / (F.col("hi") - F.col("lo") + F.lit(1.0))
+            ).cast("int"),
+        ),
+    )
+    wl = W.partitionBy("c_nationkey", "bkt").orderBy("r", "o_custkey")
+    local = bucketed.withColumn("rn", F.row_number().over(wl))
+    sizes = bucketed.groupBy("c_nationkey", "bkt").agg(F.count("*").alias("sz"))
+    wo = (
+        W.partitionBy("c_nationkey")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "off", F.coalesce(F.sum("sz").over(wo), F.lit(0))
+    ).select("c_nationkey", "bkt", "off")
+    ranked = local.join(F.broadcast(offsets), ["c_nationkey", "bkt"]).withColumn(
+        "i", (F.col("off") + F.col("rn")).cast("bigint")
+    )
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("r").alias("t"),
+        # i*r as DECIMAL(18,0) x DECIMAL(18,6): product precision 37 stays
+        # under both engines' 38-digit cap, so no scale truncation ever
+        # applies and the rank-weighted sum is exact on both sides.
+        F.sum(
+            F.col("i").cast("decimal(18,0)") * F.col("r").cast("decimal(18,6)")
+        ).alias("s"),
+    )
+    dt = F.col("t").cast("double")
+    dn = F.col("n_customers").cast("double")
+    return g.join(F.broadcast(nation), nation.n_nationkey == g.c_nationkey).select(
+        "n_name",
+        "n_customers",
+        F.round(F.col("t"), 4).cast("double").alias("total_rev"),
+        F.round(
+            F.lit(2.0) * F.col("s").cast("double") / F.nullif(dn * dt, F.lit(0.0))
+            - (dn + F.lit(1.0)) / dn,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Marketing-style last-touch attribution: each purchase credits the latest
+# click/view by the same user within a 24 h lookback. One per-user ordered
+# window (the sessionize shape) carrying a (ts, type) struct through
+# last(ignorenulls) — no self-join, no per-row Python.
+ATTR_WINDOW_S = 86400
+
+
+@register(
+    "funnel_attribution_last_touch",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS) OVER w AS lt_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        purchases AS (
+            SELECT CASE WHEN lt_ts IS NULL
+                             OR epoch(ts) - epoch(lt_ts) > {ATTR_WINDOW_S}
+                        THEN 'none' ELSE lt_type END AS attributed_type
+            FROM tagged WHERE event_type = 'purchase'
+        )
+        SELECT attributed_type,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM purchases), 6) AS share
+        FROM purchases GROUP BY attributed_type
+    """,
+    doc="Last-touch funnel attribution: every purchase credits the user's "
+    f"most recent click/view within {ATTR_WINDOW_S} s, else 'none'. The "
+    "preceding-touch lookup is ONE per-user ordered window (last over a "
+    "(ts, type) struct with ignorenulls, frame ending 1 PRECEDING) — the "
+    "sessionize scale shape: one shuffle on user_id, per-task work "
+    "bounded by a user's own history, no self-join. (ts, event_id) "
+    "ordering makes simultaneous-event attribution deterministic",
+    tags=("events", "window", "pipeline"),
+)
+def q_funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(F.col("ts").alias("t"), F.col("event_type").alias("y")),
+    )
+    tagged = ev.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+    purchases = tagged.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt").isNull()
+            | (
+                F.unix_seconds("ts") - F.unix_seconds(F.col("lt.t"))
+                > ATTR_WINDOW_S
+            ),
+            F.lit("none"),
+        )
+        .otherwise(F.col("lt.y"))
+        .alias("attributed_type")
+    )
+    total = purchases.agg(F.count("*").alias("tot"))
+    return (
+        purchases.groupBy("attributed_type")
+        .agg(F.count("*").alias("n_purchases"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "attributed_type",
+            "n_purchases",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("tot"), 6
+            ).alias("share"),
+        )
+    )

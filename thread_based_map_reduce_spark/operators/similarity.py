@@ -1825,3 +1825,136 @@ def q_pq_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("improvement"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+# 2303.09540): cluster the embedding space, then prune near-identical
+# items WITHIN each cluster only — the cluster assignment bounds the
+# quadratic verify stage the way LSH bands bound MinHash verification.
+SEMDEDUP_TAU = 0.4  # cosine prune threshold (corpus cosines: see dedup.py)
+
+
+@register(
+    "semantic_dedup_stats",
+    oracle=f"""
+        WITH dims AS (
+            SELECT label, i, round(avg(embedding[i]), 6) AS c
+            FROM embeddings, generate_series(1, {DIMS}) AS g(i)
+            GROUP BY label, i
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rc = 1
+        ),
+        dup AS (
+            SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+            FROM assigned a
+            JOIN assigned b ON b.cell = a.cell AND b.vec_id > a.vec_id
+            WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {SEMDEDUP_TAU}
+        ),
+        per_cell AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM assigned GROUP BY cell
+        ),
+        pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dup GROUP BY cell),
+        pr AS (SELECT cell, CAST(count(DISTINCT vb) AS BIGINT) AS n_pruned FROM dup GROUP BY cell)
+        SELECT CAST(cell AS BIGINT) AS cell,
+               n_vectors,
+               coalesce(n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
+               coalesce(n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
+               n_vectors - coalesce(n_pruned, CAST(0 AS BIGINT)) AS n_kept,
+               round(CAST(coalesce(n_pruned, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / n_vectors, 6) AS prune_rate
+        FROM per_cell LEFT JOIN pc USING (cell) LEFT JOIN pr USING (cell)
+    """,
+    doc="SemDeDup-style semantic dedup (cluster -> prune within cluster): "
+    "vectors assign to their nearest centroid via broadcast argmin (the "
+    "ivf_search shape), then ONLY same-cell pairs are cosine-verified; a "
+    f"vector is pruned when a lower-id cell-mate matches at cos >= {SEMDEDUP_TAU} "
+    "(deterministic keep-lowest-id rule). Per-cell output: sizes, dup "
+    "pairs, pruned/kept counts, prune rate. Scale: the quadratic stage is "
+    "bounded per cell — with k centroids sized so cells stay ~capped "
+    "(production: finer k-means cells, the kmeans_train path), the "
+    "verify cost is sum(cell^2), never corpus^2; norms are computed once "
+    "per vector before the pair join (the dedup_embedding_cosine lesson)",
+    tags=("similarity", "dedup", "embedding"),
+)
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    centroids = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_similarity("embedding", "ce").alias("ccos"),
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rc", F.row_number().over(wc))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    # Norms once per vector, THEN the (cell-bounded) pair join.
+    withn = assigned.select(
+        "vec_id",
+        "cell",
+        F.col("embedding").alias("e"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("b.cell") == F.col("a.cell"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .where(
+            dot_product("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm"))
+            >= SEMDEDUP_TAU
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+        )
+    )
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    pc = dup.groupBy("cell").agg(F.count("*").alias("n_dup_pairs"))
+    pr = dup.groupBy("cell").agg(F.countDistinct("vb").alias("n_pruned"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        per_cell.join(pc, "cell", "left")
+        .join(pr, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", zero).alias("n_dup_pairs"),
+            F.coalesce("n_pruned", zero).alias("n_pruned"),
+            (F.col("n_vectors") - F.coalesce("n_pruned", zero)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_pruned", zero).cast("double") / F.col("n_vectors"),
+                6,
+            ).alias("prune_rate"),
+        )
+    )

@@ -237,6 +237,11 @@ _DEFER_NEW_R4 = frozenset({
     "bloom_filter_join_stats",
     "mv_incremental_refresh",
     "ab_test_zstat",
+    # late r4 analytics/similarity batch:
+    "trend_slope_per_type",
+    "revenue_gini_by_nation",
+    "funnel_attribution_last_touch",
+    "semantic_dedup_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
