@@ -176,3 +176,150 @@ def q_compaction_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est < TARGET_FILE_BYTES).alias("undersized"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: the dbt-test / Great-Expectations pattern as one
+# oracle-checked query — referential integrity, primary-key uniqueness,
+# null and range contracts, each reported as (checked, violations, pass).
+@register(
+    "dq_audit_stats",
+    oracle="""
+        SELECT 'lineitem_orphan_orderkey' AS check_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders),
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer_orphan_nationkey',
+               (SELECT CAST(count(*) AS BIGINT) FROM customer),
+               (SELECT CAST(count(*) AS BIGINT) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'orders_pk_duplicates',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders),
+               (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders)
+        UNION ALL
+        SELECT 'lineitem_pk_duplicates',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+                            AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_quantity_range',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'documents_empty_text',
+               (SELECT CAST(count(*) AS BIGINT) FROM documents),
+               (SELECT CAST(sum(CASE WHEN text IS NULL OR text = ''
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+    """,
+    doc="Data-quality audit suite (the dbt-test / expectations pattern): "
+    "referential integrity (lineitem->orders, orders->customer, "
+    "customer->nation via anti-join counts), primary-key uniqueness "
+    "(count minus distinct), and range/null contracts — one row per "
+    "check with checked/violation counts. Scale: every check is either a "
+    "single-pass conditional aggregate (map-side combined) or an "
+    "anti-join whose dimension side broadcasts; the whole audit is a "
+    "union of one-row aggregates, so checks run in parallel stages and "
+    "the output is metadata-sized regardless of table size",
+    tags=("diagnostics", "quality"),
+)
+def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, checked: DataFrame, violations) -> DataFrame:
+        # violations: Column aggregate over `checked`, or a pre-counted DF
+        if isinstance(violations, DataFrame):
+            v = violations.agg(F.count("*").cast("bigint").alias("n_violations"))
+        else:
+            v = checked.agg(violations.cast("bigint").alias("n_violations"))
+        n = checked.agg(F.count("*").cast("bigint").alias("n_checked"))
+        return (
+            n.crossJoin(v)
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+
+    rows = [
+        check(
+            "lineitem_orphan_orderkey",
+            li,
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "anti"),
+        ),
+        check(
+            "orders_orphan_custkey",
+            orders,
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "anti"),
+        ),
+        check(
+            "customer_orphan_nationkey",
+            cust,
+            cust.join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+                "anti",
+            ),
+        ),
+        check(
+            "orders_pk_duplicates",
+            orders,
+            F.count("*") - F.countDistinct("o_orderkey"),
+        ),
+        check(
+            "lineitem_pk_duplicates",
+            li,
+            F.count("*")
+            - F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber")),
+        ),
+        check(
+            "lineitem_quantity_range",
+            li,
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                ).otherwise(0)
+            ),
+        ),
+        check(
+            "lineitem_discount_range",
+            li,
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                ).otherwise(0)
+            ),
+        ),
+        check(
+            "documents_empty_text",
+            docs,
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1
+                ).otherwise(0)
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -245,3 +245,58 @@ def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@register(
+    "pandas_udaf_micro_mean",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS micro_sum,
+               round(CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000, 6) AS mean_value
+        FROM events GROUP BY event_type
+    """,
+    doc="TRUE grouped-aggregate Pandas UDF (Series -> scalar), closing the "
+    "literal UDAF slot of the UDF surface: per event_type, an exact "
+    "micro-unit mean of `value`. Inside the UDAF each double becomes "
+    "floor(v * 1e6) — the identical IEEE expression both engines evaluate "
+    "— summed as arbitrary-precision Python ints, so the result is "
+    "partition-order-independent and sits under the cross-engine hash "
+    "gate (the multimodal-kernel convention, applied to an aggregate). "
+    "Scale note: GROUPED_AGG pandas UDFs are NOT partially aggregated — "
+    "each group's full series ships to one worker — so this is the "
+    "Python-lane parity twin; the declarative path in the oracle is what "
+    "production runs (same plan as any built-in agg, map-side combined)",
+    tags=("parity", "udf", "events"),
+)
+def q_pandas_udaf_micro_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def micro_sum(values: pd.Series) -> int:
+        # floor(v*1e6) mirrors the oracle bit-for-bit; python-int sum is
+        # associative, so executor partition order can't change the result.
+        import numpy as np
+
+        return int(sum(int(x) for x in np.floor(values.to_numpy() * 1e6)))
+
+    @pandas_udf("bigint")
+    def n_rows(values: pd.Series) -> int:
+        # grouped-agg UDFs can't mix with built-in aggregates in one agg()
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too.
+        return int(len(values))
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        n_rows("value").alias("n"), micro_sum("value").alias("micro_sum")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "micro_sum",
+        F.round(
+            F.col("micro_sum").cast("double") / F.col("n") / F.lit(1000000.0), 6
+        ).alias("mean_value"),
+    )

@@ -242,6 +242,8 @@ _DEFER_NEW_R4 = frozenset({
     "revenue_gini_by_nation",
     "funnel_attribution_last_touch",
     "semantic_dedup_stats",
+    "pandas_udaf_micro_mean",
+    "dq_audit_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
