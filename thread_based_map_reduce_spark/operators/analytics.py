@@ -1056,3 +1056,244 @@ def q_funnel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index drift monitor: compare the value distribution
+# of each event type between the first and second half of the time range
+# (exact integer epoch midpoint), over PSI_BINS uniform bins with +1
+# Laplace smoothing so no bin probability is ever zero. All probabilities
+# derive from exact integer counts; ln/division are IEEE-identical.
+PSI_BINS = 10
+
+
+@register(
+    "psi_drift_stats",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(min(epoch(ts)) AS BIGINT) AS t0,
+                   CAST(max(epoch(ts)) AS BIGINT) AS t1,
+                   min(value) AS lo, max(value) AS hi
+            FROM events
+        ),
+        binned AS (
+            SELECT event_type,
+                   CASE WHEN CAST(epoch(ts) AS BIGINT)
+                             < t0 + (t1 - t0) / 2 THEN 0 ELSE 1 END AS half,
+                   least({PSI_BINS - 1},
+                         CAST(floor((value - lo) * {PSI_BINS}
+                                    / (hi - lo + 1e-9)) AS INT)) AS bin
+            FROM events CROSS JOIN bounds
+        ),
+        cnt AS (
+            SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT event_type, b.bin,
+                   coalesce(max(CASE WHEN half = 0 THEN n END), 0) AS n0,
+                   coalesce(max(CASE WHEN half = 1 THEN n END), 0) AS n1
+            FROM (SELECT DISTINCT event_type FROM cnt) e
+            CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+            LEFT JOIN cnt USING (event_type, bin)
+            GROUP BY event_type, b.bin
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(sum(n0) AS BIGINT) AS t0n, CAST(sum(n1) AS BIGINT) AS t1n
+            FROM grid GROUP BY event_type
+        )
+        SELECT g.event_type,
+               t0n AS n_early, t1n AS n_late,
+               round(sum(
+                   (CAST(n0 + 1 AS DOUBLE) / (t0n + {PSI_BINS})
+                    - CAST(n1 + 1 AS DOUBLE) / (t1n + {PSI_BINS}))
+                   * ln((CAST(n0 + 1 AS DOUBLE) / (t0n + {PSI_BINS}))
+                        / (CAST(n1 + 1 AS DOUBLE) / (t1n + {PSI_BINS})))
+               ), 6) AS psi
+        FROM grid g JOIN tot USING (event_type)
+        GROUP BY g.event_type, t0n, t1n
+    """,
+    doc="PSI drift monitor: per event type, the population stability index "
+    "of `value` between the first and second half of the corpus time "
+    "range (integer epoch midpoint, 10 uniform bins from broadcast "
+    "global bounds, +1 Laplace smoothing so empty bins contribute "
+    "finitely). The standard ML-ops distribution-shift gate: PSI < 0.1 "
+    "stable, > 0.25 drifted. Scale: one (type, half, bin) aggregation — "
+    "map-side combined, key space 5x2x10 — then metadata-sized math; the "
+    "dense bin grid is rebuilt by sparse outer aggregation so absent "
+    "bins still smooth correctly",
+    tags=("events", "stats", "eval", "quality"),
+)
+def q_psi_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_seconds("ts")).alias("t0"),
+        F.max(F.unix_seconds("ts")).alias("t1"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.unix_seconds("ts")
+            < F.col("t0") + (F.col("t1") - F.col("t0")) / F.lit(2),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * PSI_BINS
+                / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("n")
+    )
+    # dense (type x bin) grid so bins empty on one side still smooth
+    types = cnt.select("event_type").distinct()
+    bins = types.sparkSession.range(PSI_BINS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = (
+        types.crossJoin(F.broadcast(bins))
+        .join(cnt, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("half") == 0, F.col("n"))), F.lit(0)
+            ).alias("n0"),
+            F.coalesce(
+                F.max(F.when(F.col("half") == 1, F.col("n"))), F.lit(0)
+            ).alias("n1"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n0").cast("bigint").alias("t0n"),
+        F.sum("n1").cast("bigint").alias("t1n"),
+    )
+    p = (F.col("n0") + 1).cast("double") / (F.col("t0n") + PSI_BINS)
+    q = (F.col("n1") + 1).cast("double") / (F.col("t1n") + PSI_BINS)
+    return (
+        grid.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t0n", "t1n")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("t0n").alias("n_early"),
+            F.col("t1n").alias("n_late"),
+            "psi",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (hour-of-day profile): how much of each type's
+# hourly-count variance the 24-hour cycle explains. R^2 comes from exact
+# bigint power sums via the ANOVA identity SS_between / SS_total — no
+# per-row float accumulation anywhere.
+@register(
+    "seasonal_hod_profile",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        hod AS (SELECT event_type, (h / 3600) % 24 AS hod, y FROM hc),
+        per_hod AS (
+            SELECT event_type, hod,
+                   CAST(count(*) AS BIGINT) AS nh,
+                   CAST(sum(y) AS BIGINT) AS syh
+            FROM hod GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM hod GROUP BY 1
+        ),
+        btw AS (
+            SELECT event_type,
+                   sum(CAST(syh AS DOUBLE) * syh / nh) AS ssb_raw
+            FROM per_hod GROUP BY event_type
+        ),
+        peak AS (
+            SELECT event_type, hod AS peak_hod FROM (
+                SELECT event_type, hod,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(syh AS DOUBLE) / nh DESC, hod
+                       ) AS r
+                FROM per_hod
+            ) WHERE r = 1
+        )
+        SELECT t.event_type, n AS n_hours,
+               round((ssb_raw - CAST(sy AS DOUBLE) * sy / n)
+                     / nullif(syy - CAST(sy AS DOUBLE) * sy / n, 0), 6)
+                   AS r2_seasonal,
+               CAST(peak_hod AS BIGINT) AS peak_hod
+        FROM tot t JOIN btw USING (event_type) JOIN peak USING (event_type)
+    """,
+    doc="Hour-of-day seasonality: per event type, the share of hourly-count "
+    "variance explained by the 24-hour cycle (ANOVA R^2 = SS_between / "
+    "SS_total from exact bigint power sums) and the peak hour (UTC, "
+    "deterministic low-hour tiebreak). Scale: the (type, hour) grid is "
+    "metadata-sized after one map-side-combined aggregation; everything "
+    "downstream — 24-cell profiles, power sums, the 24-row peak rank — "
+    "is grid-sized. Epoch arithmetic keeps hour-of-day timezone-free",
+    tags=("events", "stats", "timeseries"),
+)
+def q_seasonal_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("y"))
+    hod = hc.select(
+        "event_type", ((F.col("h") / 3600) % 24).cast("bigint").alias("hod"), "y"
+    )
+    per_hod = hod.groupBy("event_type", "hod").agg(
+        F.count("*").alias("nh"), F.sum("y").cast("bigint").alias("syh")
+    )
+    tot = hod.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    btw = per_hod.groupBy("event_type").agg(
+        F.sum(
+            F.col("syh").cast("double") * F.col("syh") / F.col("nh")
+        ).alias("ssb_raw")
+    )
+    wp = W.partitionBy("event_type").orderBy(
+        (F.col("syh").cast("double") / F.col("nh")).desc(), "hod"
+    )
+    peak = (
+        per_hod.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") == 1)
+        .select("event_type", F.col("hod").alias("peak_hod"))
+    )
+    dsy = F.col("sy").cast("double")
+    return (
+        tot.join(btw, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.round(
+                (F.col("ssb_raw") - dsy * dsy / F.col("n"))
+                / F.nullif(
+                    F.col("syy") - dsy * dsy / F.col("n"), F.lit(0.0)
+                ),
+                6,
+            ).alias("r2_seasonal"),
+            F.col("peak_hod").cast("bigint").alias("peak_hod"),
+        )
+    )

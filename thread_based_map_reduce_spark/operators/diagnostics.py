@@ -323,3 +323,60 @@ def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: fabricated or corrupted monetary columns
+# betray themselves by a first-significant-digit distribution that strays
+# from log10(1 + 1/d). Digit extraction is pure float math (floor/log10 on
+# the identical IEEE doubles), never string formatting — engines disagree
+# on number->string, they agree on arithmetic.
+@register(
+    "benford_digit_stats",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(floor(o_totalprice
+                              / pow(10.0, floor(log10(o_totalprice))))
+                        AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+               round(pow(CAST(n AS DOUBLE) / total
+                         - log10(1.0 + 1.0 / digit), 2)
+                     / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+        FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit audit of o_totalprice: observed vs "
+    "expected log10(1+1/d) frequencies with per-digit chi-square terms — "
+    "the forensic data-quality screen for monetary columns. Digit "
+    "extraction via floor/log10 arithmetic (identical IEEE doubles in "
+    "both engines; string formatting would not be). Scale: one "
+    "map-side-combined 9-key aggregation plus a broadcast one-row total",
+    tags=("diagnostics", "quality", "stats"),
+)
+def q_benford_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    c = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(exp, 6).alias("benford_expected"),
+        F.round(F.pow(obs - exp, F.lit(2.0)) / exp, 6).alias("chi2_term"),
+    )

@@ -1303,3 +1303,56 @@ def q_zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+        WITH pred AS (
+            SELECT lang,
+                   CASE WHEN len(list_filter(toks, w -> w IN ({", ".join(repr(m) for m in EN_MARKERS)})))::DOUBLE
+                             / nullif(len(toks), 0) >= 0.1
+                        THEN 'en' ELSE 'unk' END AS lang_guess
+            FROM (
+                SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents
+            )
+        ),
+        cm AS (
+            SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, lang_guess
+        ),
+        tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY lang)
+        SELECT cm.lang, cm.lang_guess, cm.n,
+               round(CAST(cm.n AS DOUBLE) / tot.t, 6) AS share_of_actual
+        FROM cm JOIN tot USING (lang)
+    """,
+    doc="Classifier-eval confusion matrix for the langid heuristic: "
+    "predicted (marker-ratio rule, identical to langid_heuristic) vs the "
+    "actual lang label, with per-actual-language recall shares — the "
+    "quality-filter evaluation loop a curation pipeline runs before "
+    "trusting a cheap classifier at 100 TB. One narrow (lang, guess) "
+    "aggregation plus a broadcast per-language total join-back",
+    tags=("text", "langid", "eval"),
+)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*EN_MARKERS))).cast("double")
+        / F.nullif(F.size(toks), F.lit(0))
+    )
+    pred = docs.select(
+        "lang",
+        F.when(ratio >= 0.1, "en").otherwise("unk").alias("lang_guess"),
+    )
+    cm = pred.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("bigint").alias("t"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+            "share_of_actual"
+        ),
+    )

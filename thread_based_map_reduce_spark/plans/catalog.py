@@ -244,6 +244,10 @@ _DEFER_NEW_R4 = frozenset({
     "semantic_dedup_stats",
     "pandas_udaf_micro_mean",
     "dq_audit_stats",
+    "langid_confusion_matrix",
+    "benford_digit_stats",
+    "psi_drift_stats",
+    "seasonal_hod_profile",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
