@@ -223,3 +223,62 @@ def test_pq_codes_are_broadcast(spark, sf_dir):
 def test_decayed_trend_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_decayed_trend")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_bit_join_broadcast(spark, sf_dir):
+    # the M-bit set must be the broadcast side of the probe join — that IS
+    # the runtime-filter pattern; the one-row stat crossJoins may be BNLJ
+    # but a real CartesianProduct is always a bug
+    plan = plan_of(spark, sf_dir, "bloom_filter_join_stats")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[bit", plan), (
+        "bloom bit set no longer broadcast to the probe side"
+    )
+    assert "BroadcastHashJoin Inner" in plan
+
+
+def test_countmin_probe_joins_broadcast_sketch(spark, sf_dir):
+    # the fixed-size sketch must broadcast to the probe — at scale the
+    # probe side is the big one
+    plan = plan_of(spark, sf_dir, "countmin_topk_estimate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "sketch lookup join is not broadcast"
+
+
+def test_gini_rank_windows_are_bucketed(spark, sf_dir):
+    # the within-nation rank must run per (nation, bucket), never as one
+    # window per nation scanning all of that nation's customers
+    plan = plan_of(spark, sf_dir, "revenue_gini_by_nation")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(c_nationkey\S*, bkt", plan), (
+        "customer-rank window no longer partitioned by (nation, bucket)"
+    )
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
+    # the quadratic cosine-verify stage must be keyed on the cluster cell
+    # (hash/merge join on cell) — an unkeyed pair join is corpus^2
+    plan = plan_of(spark, sf_dir, "semantic_dedup_stats")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[cell", plan), (
+        "pair join lost its cell equi-key"
+    )
+    # both pair stats must come from ONE pass over the verify join
+    assert len(re.findall(r"SortMergeJoin Inner", plan)) <= 1, (
+        "the quadratic cosine-verify join is executed more than once"
+    )
+
+
+def test_attribution_window_partitions_by_user(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "funnel_attribution_last_touch")
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+
+
+def test_dq_audit_anti_joins_broadcast(spark, sf_dir):
+    # all three referential checks should run as broadcast anti-joins at
+    # this dimension scale (AQE may legitimately pick SMJ for huge dims,
+    # but losing broadcast HERE means a hint/stats regression)
+    plan = plan_of(spark, sf_dir, "dq_audit_stats")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", plan)) >= 3

@@ -1940,12 +1940,16 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
-    pc = dup.groupBy("cell").agg(F.count("*").alias("n_dup_pairs"))
-    pr = dup.groupBy("cell").agg(F.countDistinct("vb").alias("n_pruned"))
+    # ONE aggregation over the pair stream for both stats — a second
+    # reference to `dup` would re-execute the whole quadratic verify join
+    # (it did, as two SortMergeJoins, until the plan gate caught it).
+    pc = dup.groupBy("cell").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("vb").alias("n_pruned"),
+    )
     zero = F.lit(0).cast("bigint")
     return (
         per_cell.join(pc, "cell", "left")
-        .join(pr, "cell", "left")
         .select(
             F.col("cell").cast("bigint").alias("cell"),
             "n_vectors",
