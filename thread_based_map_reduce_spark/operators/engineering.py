@@ -448,3 +448,135 @@ def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE-semantics CDC apply (the lakehouse MERGE INTO / upsert-delete
+# pattern). The changelog derives deterministically from the documents
+# table (op 'D' for doc_id % 7 == 1, else 'U' for even doc_id; base =
+# doc_id % 4 != 0) so matched-update, unmatched-insert and matched-delete
+# all occur; the content checksum proves the merged STATE, not just its
+# cardinality, identical across engines.
+CDC_HASH_MOD = 1_000_000_007
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        ),
+        chg AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 1 THEN 'D'
+                        WHEN doc_id % 2 = 0 THEN 'U' END AS op,
+                   upper(text) AS new_text
+            FROM documents
+            WHERE doc_id % 7 = 1 OR doc_id % 2 = 0
+        ),
+        merged AS (
+            SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                   b.text, c.op, c.new_text,
+                   b.doc_id IS NOT NULL AS in_base,
+                   c.doc_id IS NOT NULL AS in_chg
+            FROM base b FULL OUTER JOIN chg c ON c.doc_id = b.doc_id
+        ),
+        final AS (
+            SELECT doc_id,
+                   CASE WHEN op = 'U' THEN new_text ELSE text END AS text
+            FROM merged WHERE op IS NULL OR op = 'U'
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base,
+            (SELECT CAST(count(*) AS BIGINT) FROM chg) AS n_changelog,
+            (SELECT CAST(count(*) AS BIGINT) FROM merged
+             WHERE op = 'U' AND in_base) AS n_updated,
+            (SELECT CAST(count(*) AS BIGINT) FROM merged
+             WHERE op = 'U' AND NOT in_base) AS n_inserted,
+            (SELECT CAST(count(*) AS BIGINT) FROM merged
+             WHERE op = 'D' AND in_base) AS n_deleted,
+            (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_final,
+            (SELECT CAST(sum({portable_hash64_sql(
+                "(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''))"
+            )} % {CDC_HASH_MOD}) AS BIGINT) FROM final) AS content_checksum
+    """,
+    doc="MERGE INTO semantics (CDC apply): a deterministic changelog of "
+    "updates/deletes/inserts full-outer-joins the base snapshot and "
+    "resolves per the MERGE matched/not-matched rules; output reports "
+    "applied-operation counts AND a portable-hash content checksum of "
+    "the final state — the gate proves the merged DATA, not just row "
+    "counts. Scale: one equi-join shuffle on the key (AQE-splittable; a "
+    "typical small changelog broadcasts), map-side-combined stat "
+    "aggregates; this is the incremental-upkeep sibling of "
+    "mv_incremental_refresh at row granularity",
+    tags=("join", "incremental", "pipeline"),
+)
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    chg = (
+        docs.where((F.col("doc_id") % 7 == 1) | (F.col("doc_id") % 2 == 0))
+        .select(
+            F.col("doc_id").alias("c_doc_id"),
+            F.when(F.col("doc_id") % 7 == 1, "D")
+            .when(F.col("doc_id") % 2 == 0, "U")
+            .alias("op"),
+            F.upper("text").alias("new_text"),
+        )
+    )
+    merged = base.join(
+        chg, chg.c_doc_id == base.doc_id, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "c_doc_id").alias("k"),
+        "text",
+        "op",
+        "new_text",
+        F.col("doc_id").isNotNull().alias("in_base"),
+    )
+    final = merged.where(F.col("op").isNull() | (F.col("op") == "U")).select(
+        "k",
+        F.when(F.col("op") == "U", F.col("new_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    checksum = final.agg(
+        F.sum(
+            portable_hash64(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit(":"),
+                    F.coalesce("text", F.lit("")),
+                )
+            )
+            % CDC_HASH_MOD
+        )
+        .cast("bigint")
+        .alias("content_checksum")
+    )
+    stats = merged.agg(
+        F.sum(F.when((F.col("op") == "U") & F.col("in_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(F.when((F.col("op") == "U") & ~F.col("in_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.sum(F.when((F.col("op") == "D") & F.col("in_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    return (
+        base.agg(F.count("*").alias("n_base"))
+        .crossJoin(chg.agg(F.count("*").alias("n_changelog")))
+        .crossJoin(stats)
+        .crossJoin(final.agg(F.count("*").alias("n_final")))
+        .crossJoin(checksum)
+        .select(
+            "n_base",
+            "n_changelog",
+            "n_updated",
+            "n_inserted",
+            "n_deleted",
+            "n_final",
+            "content_checksum",
+        )
+    )

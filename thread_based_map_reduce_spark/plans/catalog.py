@@ -248,6 +248,7 @@ _DEFER_NEW_R4 = frozenset({
     "benford_digit_stats",
     "psi_drift_stats",
     "seasonal_hod_profile",
+    "cdc_merge_apply",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
