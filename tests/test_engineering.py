@@ -66,3 +66,15 @@ def test_ab_assignment_partitions_users(spark, sf_dir):
     # Hash-parity assignment is exhaustive and disjoint.
     assert row.n_a + row.n_b == n_users
     assert 0 <= row.conv_a <= row.n_a and 0 <= row.conv_b <= row.n_b
+
+
+def test_cdc_merge_accounting(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.engineering import (
+        q_cdc_merge_apply,
+    )
+
+    row = q_cdc_merge_apply(spark, sf_dir).first()
+    # MERGE bookkeeping must balance exactly.
+    assert row.n_final == row.n_base - row.n_deleted + row.n_inserted
+    assert row.n_updated + row.n_inserted + row.n_deleted <= row.n_changelog
+    assert row.content_checksum is not None and row.content_checksum > 0
