@@ -1297,3 +1297,69 @@ def q_seasonal_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_hod").cast("bigint").alias("peak_hod"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of all pairwise slopes over the
+# hourly grid. Outlier hours (incident spikes) move least-squares slopes
+# arbitrarily but barely move the median — this is the robust sibling of
+# trend_slope_per_type. The pair set is GRID-quadratic (hours^2, calendar-
+# bounded), never data-quadratic, so it scales with time span, not volume.
+@register(
+    "theil_sen_trend",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+            FROM hc a JOIN hc b
+              ON b.event_type = a.event_type AND b.x > a.x
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(s, 0.5), 6) AS median_slope
+        FROM slopes GROUP BY event_type
+    """,
+    doc="Theil-Sen estimator: per event type, the MEDIAN of all pairwise "
+    "hourly-count slopes — robust to incident-spike outliers that drag "
+    "the least-squares trend (trend_slope_per_type is the fragile twin). "
+    "Slopes are integer-difference ratios (bit-identical doubles); the "
+    "median is Spark percentile == DuckDB quantile_cont (the "
+    "median_by_status-proven equivalence). Scale: the self-join is over "
+    "the (type, hour) AGGREGATE grid — quadratic in calendar hours, "
+    "independent of event volume; the per-type median is one sort of a "
+    "grid^2/2-sized group, shardable by the standard two-level quantile "
+    "path if the time span ever makes it matter",
+    tags=("events", "stats", "timeseries"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    b = hc.select(
+        F.col("event_type").alias("b_type"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    slopes = hc.join(
+        b,
+        (F.col("b_type") == F.col("event_type")) & (F.col("bx") > F.col("x")),
+    ).select(
+        "event_type",
+        ((F.col("by") - F.col("y")).cast("double") / (F.col("bx") - F.col("x"))).alias(
+            "s"
+        ),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("median_slope"),
+    )

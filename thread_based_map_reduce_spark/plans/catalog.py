@@ -249,6 +249,7 @@ _DEFER_NEW_R4 = frozenset({
     "psi_drift_stats",
     "seasonal_hod_profile",
     "cdc_merge_apply",
+    "theil_sen_trend",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
