@@ -335,9 +335,8 @@ def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_digit_stats",
     oracle="""
         WITH d AS (
-            SELECT CAST(floor(o_totalprice
-                              / pow(10.0, floor(log10(o_totalprice))))
-                        AS BIGINT) AS digit
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
             FROM orders WHERE o_totalprice > 0
         ),
         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
@@ -353,16 +352,20 @@ def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Benford's-law first-digit audit of o_totalprice: observed vs "
     "expected log10(1+1/d) frequencies with per-digit chi-square terms — "
     "the forensic data-quality screen for monetary columns. Digit "
-    "extraction via floor/log10 arithmetic (identical IEEE doubles in "
-    "both engines; string formatting would not be). Scale: one "
-    "map-side-combined 9-key aggregation plus a broadcast one-row total",
+    "extraction: exact integer cents (round(x*100) is exact for 2dp "
+    "money) rendered as a string — INTEGER printing is bit-identical "
+    "everywhere, whereas floor(log10(x)) sits on a discontinuity where "
+    "Java Math.log10 and libm may round a power-of-ten differently, and "
+    "float printing differs across engines. Scale: one map-side-combined "
+    "9-key aggregation plus a broadcast one-row total",
     tags=("diagnostics", "quality", "stats"),
 )
 def q_benford_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    digit = F.floor(
-        F.col("o_totalprice")
-        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
     ).cast("bigint")
     c = (
         orders.where(F.col("o_totalprice") > 0)
