@@ -1363,3 +1363,300 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.percentile("s", F.lit(0.5)), 6).alias("median_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition entropy: how predictable is the next event given the
+# current one? H(next | prev) per prev_type, from the same per-user lag
+# stream as event_type_transitions; all probabilities from exact integer
+# counts (5x5 matrix), so both engines compute identical doubles.
+@register(
+    "event_transition_entropy",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        tm AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT prev_type, CAST(sum(n) AS BIGINT) AS t FROM tm GROUP BY 1
+        )
+        SELECT tm.prev_type,
+               t AS n_transitions,
+               round(-sum((CAST(n AS DOUBLE) / t)
+                          * ln(CAST(n AS DOUBLE) / t)) / ln(2.0), 6)
+                   AS entropy_bits,
+               round(-sum((CAST(n AS DOUBLE) / t)
+                          * ln(CAST(n AS DOUBLE) / t)) / ln(2.0)
+                     / (ln(5.0) / ln(2.0)), 6) AS normalized
+        FROM tm JOIN tot USING (prev_type)
+        GROUP BY tm.prev_type, t
+    """,
+    doc="Conditional entropy of the event Markov chain: H(next | prev) in "
+    "bits per prev_type, plus its normalization by log2(5) (1.0 = next "
+    "event totally unpredictable) — the sequence-predictability signal "
+    "behavioral models gate on. Transition counts reuse the "
+    "event_type_transitions lag shape (one user_id shuffle); the entropy "
+    "math runs on the 5x5 integer matrix. Ratio-of-integer probabilities "
+    "keep both engines bit-identical",
+    tags=("events", "stats", "window"),
+)
+def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tm = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tm.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    h = -F.sum(p * F.log(p)) / F.log(F.lit(2.0))
+    return (
+        tm.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type", "t")
+        .agg(
+            F.round(h, 6).alias("entropy_bits"),
+            F.round(h / (F.log(F.lit(5.0)) / F.log(F.lit(2.0))), 6).alias(
+                "normalized"
+            ),
+        )
+        .select(
+            "prev_type",
+            F.col("t").alias("n_transitions"),
+            "entropy_bits",
+            "normalized",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Categorical drift: KL(P(lang | source) || P(lang)) per source — which
+# ingestion sources skew the language mixture. +1 Laplace smoothing over
+# the dense (source x lang) grid (the PSI convention for categorical
+# columns); all probabilities from exact integer counts.
+@register(
+    "source_lang_kl",
+    oracle="""
+        WITH cnt AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.source, l.lang, coalesce(max(cnt.n), 0) AS n
+            FROM (SELECT DISTINCT source FROM documents) s
+            CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+            LEFT JOIN cnt USING (source, lang)
+            GROUP BY s.source, l.lang
+        ),
+        k AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nl FROM documents),
+        stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS st FROM grid GROUP BY 1),
+        gtot AS (
+            SELECT lang, CAST(sum(n) AS BIGINT) AS gn FROM grid GROUP BY 1
+        ),
+        all_tot AS (SELECT CAST(sum(n) AS BIGINT) AS at FROM grid)
+        SELECT g.source,
+               st AS n_docs,
+               round(sum(
+                   (CAST(g.n + 1 AS DOUBLE) / (st + nl))
+                   * ln((CAST(g.n + 1 AS DOUBLE) / (st + nl))
+                        / (CAST(gn + 1 AS DOUBLE) / (at + nl)))
+               ), 6) AS kl_nats
+        FROM grid g
+        JOIN stot USING (source)
+        JOIN gtot USING (lang)
+        CROSS JOIN k CROSS JOIN all_tot
+        GROUP BY g.source, st, nl, at
+    """,
+    doc="Per-source language-mixture drift: KL(P(lang|source) || P(lang)) "
+    "with +1 Laplace smoothing over the densified (source x lang) grid — "
+    "the categorical sibling of psi_drift_stats, flagging ingestion "
+    "sources that skew the corpus language mix. One narrow (source, "
+    "lang) aggregation; everything downstream is grid-sized with "
+    "broadcast totals; integer-ratio probabilities keep engines "
+    "bit-identical",
+    tags=("text", "stats", "quality"),
+)
+def q_source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    sources = docs.select("source").distinct()
+    langs = docs.select("lang").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(langs))
+        .join(cnt, ["source", "lang"], "left")
+        .groupBy("source", "lang")
+        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("n"))
+    )
+    nl = langs.agg(F.count("*").cast("bigint").alias("nl"))
+    stot = grid.groupBy("source").agg(F.sum("n").cast("bigint").alias("st"))
+    gtot = grid.groupBy("lang").agg(F.sum("n").cast("bigint").alias("gn"))
+    at = grid.agg(F.sum("n").cast("bigint").alias("at"))
+    p = (F.col("n") + 1).cast("double") / (F.col("st") + F.col("nl"))
+    q = (F.col("gn") + 1).cast("double") / (F.col("at") + F.col("nl"))
+    return (
+        grid.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gtot), "lang")
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(at))
+        .groupBy("source", "st")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
+        .select("source", F.col("st").alias("n_docs"), "kl_nats")
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram-based approximate quantiles with a measured error contract —
+# the t-digest/GK role, made oracle-checkable: a 100-bucket equi-width
+# histogram (mergeable, fixed size — the sketch property) yields
+# interpolated P50/P90/P99, reported NEXT TO the exact percentiles and
+# the absolute error. The accuracy-eval sibling of minhash_estimate_eval
+# and pq_recall_eval.
+AQ_BUCKETS = 100
+AQ_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "approx_quantile_eval",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders
+        ),
+        hist AS (
+            SELECT least({AQ_BUCKETS - 1},
+                         CAST(floor((o_totalprice - lo) * {AQ_BUCKETS}
+                                    / (hi - lo + 1e-9)) AS INT)) AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM orders CROSS JOIN bounds
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT b, c,
+                   sum(c) OVER (ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cc
+            FROM hist
+        ),
+        qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+        pick AS (
+            SELECT q, min(b) AS qb FROM cum CROSS JOIN bounds CROSS JOIN qs
+            WHERE cc >= q * n GROUP BY q
+        ),
+        est AS (
+            SELECT q, lo + (qb + 0.5) * (hi - lo + 1e-9) / {AQ_BUCKETS} AS approx
+            FROM pick CROSS JOIN bounds
+        ),
+        exact AS (
+            SELECT quantile_cont(o_totalprice, 0.5) AS e50,
+                   quantile_cont(o_totalprice, 0.9) AS e90,
+                   quantile_cont(o_totalprice, 0.99) AS e99
+            FROM orders
+        ),
+        joined AS (
+            SELECT q, approx,
+                   CASE WHEN q = 0.5 THEN e50
+                        WHEN q = 0.9 THEN e90
+                        ELSE e99 END AS exact
+            FROM est CROSS JOIN exact
+        )
+        SELECT CAST(round(q * 100, 0) AS BIGINT) AS pct,
+               round(approx, 4) AS approx_value,
+               round(exact, 4) AS exact_value,
+               round(abs(approx - exact) / exact, 6) AS rel_err
+        FROM joined
+    """,
+    doc="Approximate quantiles from a 100-bucket equi-width histogram "
+    "(fixed-size, MERGEABLE — the property that lets P50/P90/P99 come "
+    "from one map-side-combined pass at 100 TB, the t-digest/GK role) "
+    "evaluated against the exact percentiles with relative error in the "
+    "same oracle-checked row — the accuracy-contract pattern "
+    "(minhash_estimate_eval, pq_recall_eval) applied to quantile "
+    "sketching. Bucket midpoint estimator; error bounded by bucket width",
+    tags=("agg", "approx", "percentile", "eval"),
+)
+def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    hist = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(AQ_BUCKETS - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    * AQ_BUCKETS
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+                ).cast("int"),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    # cumulative over <= 100 buckets: bounded window by construction
+    cum = hist.withColumn(
+        "cc",
+        F.sum("c").over(
+            W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    qs = orders.sparkSession.createDataFrame(
+        [(q,) for q in AQ_QS], "q double"
+    )
+    pick = (
+        cum.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cc") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("b").alias("qb"))
+    )
+    est = pick.crossJoin(F.broadcast(bounds)).select(
+        "q",
+        (
+            F.col("lo")
+            + (F.col("qb") + 0.5)
+            * (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            / AQ_BUCKETS
+        ).alias("approx"),
+    )
+    # percentile()'s percentage must be foldable — one aggregate row with
+    # literal fractions, mapped back to the q rows by CASE.
+    exact_row = orders.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"e{int(q * 100)}")
+            for q in AQ_QS
+        ]
+    )
+    exact_col = (
+        F.when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.9, F.col("e90"))
+        .otherwise(F.col("e99"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact_row))
+        .withColumn("exact", exact_col)
+        .select(
+        F.round(F.col("q") * 100, 0).cast("bigint").alias("pct"),
+        F.round("approx", 4).alias("approx_value"),
+        F.round("exact", 4).alias("exact_value"),
+        F.round(F.abs(F.col("approx") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_err"
+        ),
+        )
+    )

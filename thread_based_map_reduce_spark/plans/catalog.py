@@ -250,6 +250,9 @@ _DEFER_NEW_R4 = frozenset({
     "seasonal_hod_profile",
     "cdc_merge_apply",
     "theil_sen_trend",
+    "event_transition_entropy",
+    "source_lang_kl",
+    "approx_quantile_eval",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
