@@ -344,3 +344,18 @@ def test_semantic_dedup_counts_partition_vectors(spark, sf_dir):
         assert r.n_pruned <= r.n_dup_pairs or r.n_dup_pairs == 0
     total = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_vectors for r in rows) == total
+
+
+def test_semantic_dedup_cap_excludes_hot_cells(spark, sf_dir, monkeypatch):
+    from thread_based_map_reduce_spark.operators import similarity
+
+    # Force every cell over the cap: the quadratic stage must then verify
+    # nothing, and every row must say so loudly (capped=true, zero pairs).
+    monkeypatch.setattr(similarity, "SEMDEDUP_MAX_CELL", 1)
+    rows = similarity.q_semantic_dedup_stats(spark, sf_dir).collect()
+    assert rows and all(r.capped for r in rows if r.n_vectors > 1)
+    assert all(
+        r.n_dup_pairs == 0 and r.n_pruned == 0
+        for r in rows
+        if r.n_vectors > 1
+    )

@@ -1834,6 +1834,14 @@ def q_pq_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic verify stage the way LSH bands bound MinHash verification.
 SEMDEDUP_TAU = 0.4  # cosine prune threshold (corpus cosines: see dedup.py)
 
+#: Cells larger than this are EXCLUDED from the quadratic cosine-verify
+#: stage (reported with capped=true, pairs/pruned 0) — the jaccard
+#: hot-block convention: one oversized cell at 100 TB is otherwise a
+#: straggler doing O(cell²) work. Capped cells still get near-dup
+#: coverage from dedup_embedding_lsh, whose banding bounds candidate
+#: generation without any quadratic stage.
+SEMDEDUP_MAX_CELL = 10_000
+
 
 @register(
     "semantic_dedup_stats",
@@ -1856,20 +1864,26 @@ SEMDEDUP_TAU = 0.4  # cosine prune threshold (corpus cosines: see dedup.py)
                 FROM embeddings e CROSS JOIN centroids c
             ) WHERE rc = 1
         ),
-        dup AS (
-            SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
-            FROM assigned a
-            JOIN assigned b ON b.cell = a.cell AND b.vec_id > a.vec_id
-            WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {SEMDEDUP_TAU}
-        ),
         per_cell AS (
             SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
             FROM assigned GROUP BY cell
+        ),
+        elig AS (
+            SELECT a.* FROM assigned a
+            JOIN per_cell USING (cell)
+            WHERE n_vectors <= {SEMDEDUP_MAX_CELL}
+        ),
+        dup AS (
+            SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+            FROM elig a
+            JOIN elig b ON b.cell = a.cell AND b.vec_id > a.vec_id
+            WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {SEMDEDUP_TAU}
         ),
         pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dup GROUP BY cell),
         pr AS (SELECT cell, CAST(count(DISTINCT vb) AS BIGINT) AS n_pruned FROM dup GROUP BY cell)
         SELECT CAST(cell AS BIGINT) AS cell,
                n_vectors,
+               n_vectors > {SEMDEDUP_MAX_CELL} AS capped,
                coalesce(n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
                coalesce(n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
                n_vectors - coalesce(n_pruned, CAST(0 AS BIGINT)) AS n_kept,
@@ -1881,12 +1895,15 @@ SEMDEDUP_TAU = 0.4  # cosine prune threshold (corpus cosines: see dedup.py)
     "vectors assign to their nearest centroid via broadcast argmin (the "
     "ivf_search shape), then ONLY same-cell pairs are cosine-verified; a "
     f"vector is pruned when a lower-id cell-mate matches at cos >= {SEMDEDUP_TAU} "
-    "(deterministic keep-lowest-id rule). Per-cell output: sizes, dup "
-    "pairs, pruned/kept counts, prune rate. Scale: the quadratic stage is "
-    "bounded per cell — with k centroids sized so cells stay ~capped "
-    "(production: finer k-means cells, the kmeans_train path), the "
-    "verify cost is sum(cell^2), never corpus^2; norms are computed once "
-    "per vector before the pair join (the dedup_embedding_cosine lesson)",
+    "(deterministic keep-lowest-id rule). Per-cell output: sizes, capped "
+    "flag, dup pairs, pruned/kept counts, prune rate. Scale: cells larger "
+    f"than {SEMDEDUP_MAX_CELL} are EXCLUDED from the quadratic verify and "
+    "flagged capped=true (the jaccard hot-block convention — no silent "
+    "caps), falling back to dedup_embedding_lsh whose banding bounds "
+    "candidates without any quadratic stage; production additionally "
+    "sizes k (kmeans_train) so cells stay under the cap. Norms are "
+    "computed once per vector before the pair join "
+    "(the dedup_embedding_cosine lesson)",
     tags=("similarity", "dedup", "embedding"),
 )
 def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,8 +1932,15 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rc") == 1)
         .select("vec_id", "embedding", "cell")
     )
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    # Hot-cell cap BEFORE the quadratic stage (cells are few: broadcast
+    # semi-join); capped cells surface in the output, never silently.
+    ok_cells = per_cell.where(
+        F.col("n_vectors") <= SEMDEDUP_MAX_CELL
+    ).select("cell")
+    elig = assigned.join(F.broadcast(ok_cells), "cell")
     # Norms once per vector, THEN the (cell-bounded) pair join.
-    withn = assigned.select(
+    withn = elig.select(
         "vec_id",
         "cell",
         F.col("embedding").alias("e"),
@@ -1939,7 +1963,6 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vb"),
         )
     )
-    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     # ONE aggregation over the pair stream for both stats — a second
     # reference to `dup` would re-execute the whole quadratic verify join
     # (it did, as two SortMergeJoins, until the plan gate caught it).
@@ -1953,6 +1976,7 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cell").cast("bigint").alias("cell"),
             "n_vectors",
+            (F.col("n_vectors") > SEMDEDUP_MAX_CELL).alias("capped"),
             F.coalesce("n_dup_pairs", zero).alias("n_dup_pairs"),
             F.coalesce("n_pruned", zero).alias("n_pruned"),
             (F.col("n_vectors") - F.coalesce("n_pruned", zero)).alias("n_kept"),
