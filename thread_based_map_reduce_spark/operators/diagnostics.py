@@ -246,32 +246,65 @@ def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     docs = load_table(spark, sf_dir, "documents")
 
-    def check(name: str, checked: DataFrame, violations) -> DataFrame:
-        # violations: Column aggregate over `checked`, or a pre-counted DF
-        if isinstance(violations, DataFrame):
-            v = violations.agg(F.count("*").cast("bigint").alias("n_violations"))
-        else:
-            v = checked.agg(violations.cast("bigint").alias("n_violations"))
+    def rows_of(agg_df: DataFrame, checks: list[str]) -> DataFrame:
+        # one wide aggregate row -> one output row per check via stack():
+        # the big table is SCANNED ONCE for all its conditional checks.
+        stack_args = ", ".join(
+            f"'{name}', `n_{name}`" for name in checks
+        )
+        return agg_df.selectExpr(
+            f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)",
+            "n_checked",
+        ).select("check_name", "n_checked", "n_violations")
+
+    li_row = li.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber")))
+        .cast("bigint")
+        .alias("n_lineitem_pk_duplicates"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_lineitem_quantity_range"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_lineitem_discount_range"),
+    )
+    orders_row = orders.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_orders_pk_duplicates"),
+    )
+    docs_row = docs.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_documents_empty_text"),
+    )
+
+    def ref_check(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
         n = checked.agg(F.count("*").cast("bigint").alias("n_checked"))
-        return (
-            n.crossJoin(v)
-            .select(
-                F.lit(name).alias("check_name"), "n_checked", "n_violations"
-            )
+        v = violations.agg(F.count("*").cast("bigint").alias("n_violations"))
+        return n.crossJoin(v).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
         )
 
     rows = [
-        check(
+        ref_check(
             "lineitem_orphan_orderkey",
             li,
             li.join(orders, li.l_orderkey == orders.o_orderkey, "anti"),
         ),
-        check(
+        ref_check(
             "orders_orphan_custkey",
             orders,
             orders.join(cust, orders.o_custkey == cust.c_custkey, "anti"),
         ),
-        check(
+        ref_check(
             "customer_orphan_nationkey",
             cust,
             cust.join(
@@ -280,44 +313,16 @@ def q_dq_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "anti",
             ),
         ),
-        check(
-            "orders_pk_duplicates",
-            orders,
-            F.count("*") - F.countDistinct("o_orderkey"),
+        rows_of(orders_row, ["orders_pk_duplicates"]),
+        rows_of(
+            li_row,
+            [
+                "lineitem_pk_duplicates",
+                "lineitem_quantity_range",
+                "lineitem_discount_range",
+            ],
         ),
-        check(
-            "lineitem_pk_duplicates",
-            li,
-            F.count("*")
-            - F.countDistinct(F.col("l_orderkey") * 100 + F.col("l_linenumber")),
-        ),
-        check(
-            "lineitem_quantity_range",
-            li,
-            F.sum(
-                F.when(
-                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
-                ).otherwise(0)
-            ),
-        ),
-        check(
-            "lineitem_discount_range",
-            li,
-            F.sum(
-                F.when(
-                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
-                ).otherwise(0)
-            ),
-        ),
-        check(
-            "documents_empty_text",
-            docs,
-            F.sum(
-                F.when(
-                    F.col("text").isNull() | (F.col("text") == ""), 1
-                ).otherwise(0)
-            ),
-        ),
+        rows_of(docs_row, ["documents_empty_text"]),
     ]
     out = rows[0]
     for r in rows[1:]:
