@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.hashing import portable_hash64_sql
 from ..plans.catalog import register
 from ..sources.registry import load_table
 
@@ -387,4 +388,146 @@ def q_benford_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(obs, 6).alias("observed_freq"),
         F.round(exp, 6).alias("benford_expected"),
         F.round(F.pow(obs - exp, F.lit(2.0)) / exp, 6).alias("chi2_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Consistent-hashing rebalance audit: how many keys MOVE when the shard
+# count changes 16 -> 17, under (a) mod-N assignment (nearly everything
+# moves) vs (b) a fixed-point ring (only ~1/17 moves). The reason every
+# distributed store shards by ring, measured on real keys with the
+# portable hash — pure integer arithmetic, bit-identical in both engines.
+CH_OLD_N = 16
+CH_NEW_N = 17
+CH_RING = 1 << 20  # ring positions; virtual-node count per shard = ring/N
+
+
+@register(
+    "consistent_hash_rebalance",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT {portable_hash64_sql('CAST(o_custkey AS VARCHAR)')} AS h
+            FROM orders
+        ),
+        m AS (
+            SELECT h,
+                   h % {CH_OLD_N} AS mod_old,
+                   h % {CH_NEW_N} AS mod_new,
+                   CAST(floor((h % {CH_RING}) * {CH_OLD_N} / {CH_RING}.0) AS BIGINT)
+                       AS ring_old,
+                   CAST(floor((h % {CH_RING}) * {CH_NEW_N} / {CH_RING}.0) AS BIGINT)
+                       AS ring_new
+            FROM keys
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS moved_mod,
+               CAST(sum(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS moved_ring,
+               round(CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS frac_moved_mod,
+               round(CAST(sum(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS frac_moved_ring
+        FROM m
+    """,
+    doc=f"Shard-rebalance audit ({CH_OLD_N} -> {CH_NEW_N} shards): fraction "
+    "of keys that move under mod-N assignment (~ (N-1)/N, a full "
+    "reshuffle) vs a range-ring assignment (~ 1/(N+1)) — measured on the "
+    "real customer-key distribution with the portable hash, the reason "
+    "resharding a 100 TB store must use ring/range partitioning. One "
+    "distinct-aggregate pass then a single-row conditional aggregate; "
+    "pure integer arithmetic both engines evaluate identically",
+    tags=("diagnostics", "stats"),
+)
+def q_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        portable_hash64(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    ring_pos = F.col("h") % CH_RING
+    m = keys.select(
+        (F.col("h") % CH_OLD_N).alias("mod_old"),
+        (F.col("h") % CH_NEW_N).alias("mod_new"),
+        F.floor(ring_pos * CH_OLD_N / float(CH_RING)).cast("bigint").alias("ring_old"),
+        F.floor(ring_pos * CH_NEW_N / float(CH_RING)).cast("bigint").alias("ring_new"),
+    )
+    moved_mod = F.sum(
+        F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0)
+    ).cast("bigint")
+    moved_ring = F.sum(
+        F.when(F.col("ring_old") != F.col("ring_new"), 1).otherwise(0)
+    ).cast("bigint")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        moved_mod.alias("moved_mod"),
+        moved_ring.alias("moved_ring"),
+        F.round(moved_mod.cast("double") / F.count("*"), 6).alias(
+            "frac_moved_mod"
+        ),
+        F.round(moved_ring.cast("double") / F.count("*"), 6).alias(
+            "frac_moved_ring"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range-partitioner balance audit: exact-percentile cut points (what
+# Spark's RangePartitioner approximates by sampling) and the resulting
+# per-partition row counts — quantifying how balanced a range shuffle or
+# a sorted file layout would be on this column.
+RANGE_PARTS = 32
+_RANGE_FRACS = [k / RANGE_PARTS for k in range(1, RANGE_PARTS)]
+
+
+@register(
+    "range_partition_balance",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice,
+                                 [{", ".join(str(f) for f in _RANGE_FRACS)}])
+                       AS cs
+            FROM orders
+        ),
+        pids AS (
+            SELECT len(list_filter(cs, c -> o_totalprice > c)) AS pid
+            FROM orders CROSS JOIN cuts
+        ),
+        cnt AS (
+            SELECT pid, CAST(count(*) AS BIGINT) AS n_rows FROM pids GROUP BY pid
+        ),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM cnt)
+        SELECT CAST(pid AS BIGINT) AS pid, n_rows,
+               round(CAST(n_rows AS DOUBLE) / t, 6) AS frac
+        FROM cnt CROSS JOIN tot
+    """,
+    doc=f"Range-partitioner balance audit: {RANGE_PARTS} partitions cut at "
+    "EXACT o_totalprice percentiles (the boundary set Spark's "
+    "RangePartitioner estimates by reservoir sampling), with per-"
+    "partition row counts and shares — the skew check you run before "
+    "committing to a sorted layout or range shuffle at 100 TB. Cut "
+    "points broadcast as one array row; partition id is a pure "
+    "column-level array scan (Spark percentile == DuckDB quantile_cont, "
+    "so boundaries agree bit-for-bit)",
+    tags=("diagnostics", "percentile", "stats"),
+)
+def q_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(f) for f in _RANGE_FRACS])
+        ).alias("cs")
+    )
+    pids = orders.crossJoin(F.broadcast(cuts)).select(
+        F.size(
+            F.filter(F.col("cs"), lambda c: F.col("o_totalprice") > c)
+        ).alias("pid")
+    )
+    cnt = pids.groupBy("pid").agg(F.count("*").alias("n_rows"))
+    tot = cnt.agg(F.sum("n_rows").cast("bigint").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("pid").cast("bigint").alias("pid"),
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("t"), 6).alias("frac"),
     )

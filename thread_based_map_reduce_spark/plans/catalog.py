@@ -253,6 +253,8 @@ _DEFER_NEW_R4 = frozenset({
     "event_transition_entropy",
     "source_lang_kl",
     "approx_quantile_eval",
+    "consistent_hash_rebalance",
+    "range_partition_balance",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
