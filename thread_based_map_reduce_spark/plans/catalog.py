@@ -288,13 +288,18 @@ def _ordered() -> list[Query]:
         return items
 
     def rank(q: Query) -> int:
-        if q.name in DRIVER_VERIFIED:
-            return 4  # already has a hard driver row — re-proved last
-        if q.oracle is None or q.name in _DEFER_NEW_R4:
+        if q.oracle is None:
             # A sampled no-oracle query yields a guaranteed rows-only/err
             # row (it happened to ivf_kmeans_assignments in r3) — never let
-            # one displace an oracle-backed query from the sample window.
-            # Round-4 additions queue here too so the r3 tail finishes first.
+            # one displace ANY oracle-backed query, deferred or verified,
+            # from the sample window: strictly last.
+            return 5
+        if q.name in DRIVER_VERIFIED:
+            return 4  # already has a hard driver row — re-proved last
+        if q.name in _DEFER_NEW_R4:
+            # Round-4 additions queue behind the r3 tail so it finishes
+            # first; once the tail is verified (round 5+), this band is
+            # the front of the unverified queue.
             return 3
         if q.name in _PINNED_FIRST:
             return 0
