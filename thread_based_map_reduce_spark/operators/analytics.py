@@ -1660,3 +1660,69 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day reach: DAU, trailing-7-day WAU and the DAU/WAU stickiness
+# ratio — the canonical engagement dashboard. Distinct-over-sliding-window
+# cannot reuse adjacent windows' distincts, so the standard trick applies:
+# dedupe to (day, user) once, then explode each pair to the <=7 target
+# days it can serve and count distinct per target day. Amplification is a
+# fixed 7x of the DEDUPED pairs, not of raw events.
+REACH_DAYS = 7
+
+
+@register(
+    "rolling_reach_7d",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        served AS (
+            SELECT day + CAST(o.off AS INT) AS tday, user_id
+            FROM du CROSS JOIN (SELECT unnest(range({REACH_DAYS})) AS off) o
+        ),
+        wau AS (
+            SELECT tday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM served GROUP BY tday
+        )
+        SELECT CAST(dau.day AS VARCHAR) AS day,
+               dau.dau,
+               wau.wau,
+               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON wau.day = dau.day
+    """,
+    doc="Rolling engagement reach: per day, DAU, trailing-7-day WAU and "
+    "DAU/WAU stickiness. Sliding distinct counts can't be merged from "
+    "daily distincts, so the plan dedupes to (day, user) ONCE and "
+    "explodes each pair to the <= 7 window-end days it serves — a fixed "
+    "7x amplification of the deduped pairs (never of raw events), then "
+    "one countDistinct per target day. Inner join back to observed days "
+    "drops phantom trailing windows. The standard reach shape at any "
+    "scale; swap countDistinct for HLL at 100 TB for the approximate "
+    "variant (approx_aggregates demonstrates the sketch)",
+    tags=("events", "agg", "window", "timeseries"),
+)
+def q_rolling_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    served = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(REACH_DAYS - 1))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("off")).alias("tday"), "user_id")
+    wau = served.groupBy(F.col("tday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -255,6 +255,7 @@ _DEFER_NEW_R4 = frozenset({
     "approx_quantile_eval",
     "consistent_hash_rebalance",
     "range_partition_balance",
+    "rolling_reach_7d",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
