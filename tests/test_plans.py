@@ -250,7 +250,7 @@ def test_gini_rank_windows_are_bucketed(spark, sf_dir):
     # window per nation scanning all of that nation's customers
     plan = plan_of(spark, sf_dir, "revenue_gini_by_nation")
     assert "CartesianProduct" not in plan
-    assert re.search(r"windowspecdefinition\(c_nationkey\S*, bkt", plan), (
+    assert re.search(r"windowspecdefinition\(c_nationkey\S*, _bkt", plan), (
         "customer-rank window no longer partitioned by (nation, bucket)"
     )
 

@@ -92,3 +92,37 @@ def test_longest_streak_equals_python(spark, seq):
                 best = cand
         want[u] = (best[2], -best[0], best[1])
     assert got == want
+
+
+rank_strategy = st.lists(
+    # dense (group, value) space -> duplicate values within and across
+    # groups, empty-bucket runs, single-element groups
+    st.tuples(st.integers(0, 2), st.integers(0, 5)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(rows=rank_strategy)
+def test_bucketed_group_rank_equals_window_rank(spark, rows):
+    from pyspark.sql import Window, functions as F
+
+    from thread_based_map_reduce_spark.operators.analytics import (
+        bucketed_group_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "id long, g int, v double",
+    )
+    got = {
+        (r.g, r.id): r.i
+        for r in bucketed_group_rank(df, "g", "v", "id", buckets=4).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r.g, r.id): r.i
+        for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    assert got == want

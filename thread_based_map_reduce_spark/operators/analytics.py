@@ -870,6 +870,54 @@ def q_trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 GINI_BUCKETS = 64
 
 
+def bucketed_group_rank(
+    df: DataFrame,
+    group: str,
+    value: str,
+    tiebreak: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Within-``group`` dense rank of ``value`` (ties broken by
+    ``tiebreak``) WITHOUT a per-group window: uniform range buckets
+    (bucket id monotone in value) give local per-(group, bucket)
+    row_numbers plus a per-group bucket-prefix offset — the layout.py
+    ``_global_rank`` shape parameterized by a group key, so no window
+    task ever sorts a whole group. Appends column ``i`` (1-based rank).
+    Property-tested against a plain window rank on random inputs
+    (tests/test_property_analytics.py)."""
+    bounds = df.agg(
+        F.min(F.col(value).cast("double")).alias("lo"),
+        F.max(F.col(value).cast("double")).alias("hi"),
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(value).cast("double") - F.col("lo"))
+                * buckets
+                / (F.col("hi") - F.col("lo") + F.lit(1.0))
+            ).cast("int"),
+        ),
+    )
+    wl = W.partitionBy(group, "_bkt").orderBy(value, tiebreak)
+    local = bucketed.withColumn("_rn", F.row_number().over(wl))
+    sizes = bucketed.groupBy(group, "_bkt").agg(F.count("*").alias("_sz"))
+    wo = (
+        W.partitionBy(group)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_sz").over(wo), F.lit(0))
+    ).select(group, "_bkt", "_off")
+    return (
+        local.join(F.broadcast(offsets), [group, "_bkt"])
+        .withColumn("i", (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_bkt", "_rn", "_off", "lo", "hi")
+    )
+
+
 @register(
     "revenue_gini_by_nation",
     oracle="""
@@ -921,37 +969,11 @@ def q_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("r"))
     )
-    # Range buckets: monotone in revenue, so (bucket asc, r asc) is the
-    # global within-nation order. Bounds come from a broadcast one-row agg;
-    # +1.0 in the denominator guards the all-equal-revenue degenerate case.
-    bounds = rev.agg(
-        F.min(F.col("r").cast("double")).alias("lo"),
-        F.max(F.col("r").cast("double")).alias("hi"),
-    )
-    bucketed = rev.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.least(
-            F.lit(GINI_BUCKETS - 1),
-            F.floor(
-                (F.col("r").cast("double") - F.col("lo"))
-                * GINI_BUCKETS
-                / (F.col("hi") - F.col("lo") + F.lit(1.0))
-            ).cast("int"),
-        ),
-    )
-    wl = W.partitionBy("c_nationkey", "bkt").orderBy("r", "o_custkey")
-    local = bucketed.withColumn("rn", F.row_number().over(wl))
-    sizes = bucketed.groupBy("c_nationkey", "bkt").agg(F.count("*").alias("sz"))
-    wo = (
-        W.partitionBy("c_nationkey")
-        .orderBy("bkt")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = sizes.withColumn(
-        "off", F.coalesce(F.sum("sz").over(wo), F.lit(0))
-    ).select("c_nationkey", "bkt", "off")
-    ranked = local.join(F.broadcast(offsets), ["c_nationkey", "bkt"]).withColumn(
-        "i", (F.col("off") + F.col("rn")).cast("bigint")
+    # Two-level rank (range buckets + per-group bucket-prefix): shared
+    # helper; bounds broadcast; +1.0 denominator guards the all-equal-
+    # revenue degenerate case.
+    ranked = bucketed_group_rank(
+        rev, "c_nationkey", "r", "o_custkey", GINI_BUCKETS
     )
     g = ranked.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
