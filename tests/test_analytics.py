@@ -359,3 +359,48 @@ def test_semantic_dedup_cap_excludes_hot_cells(spark, sf_dir, monkeypatch):
         for r in rows
         if r.n_vectors > 1
     )
+
+
+def test_approx_quantile_error_bounded(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.analytics import (
+        q_approx_quantile_eval,
+    )
+
+    rows = q_approx_quantile_eval(spark, sf_dir).collect()
+    assert {r.pct for r in rows} == {50, 90, 99}
+    # bucket-midpoint error is bounded by one bucket width (~1% of range)
+    assert all(r.rel_err < 0.05 for r in rows)
+
+
+def test_consistent_hash_ring_moves_little(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.diagnostics import (
+        q_consistent_hash_rebalance,
+    )
+
+    row = q_consistent_hash_rebalance(spark, sf_dir).first()
+    # ring: ~1/17 moved; mod: ~16/17 moved — the whole point, with slack
+    assert row.frac_moved_ring < 0.2
+    assert row.frac_moved_mod > 0.7
+    assert row.moved_ring < row.moved_mod
+
+
+def test_rolling_reach_wau_dominates_dau(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.analytics import (
+        q_rolling_reach_7d,
+    )
+
+    rows = q_rolling_reach_7d(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau > 0
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.diagnostics import (
+        q_benford_digit_stats,
+    )
+
+    rows = q_benford_digit_stats(spark, sf_dir).collect()
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3

@@ -394,12 +394,14 @@ def q_benford_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Consistent-hashing rebalance audit: how many keys MOVE when the shard
 # count changes 16 -> 17, under (a) mod-N assignment (nearly everything
-# moves) vs (b) a fixed-point ring (only ~1/17 moves). The reason every
+# moves) vs (b) a REAL token ring with virtual nodes (only the new
+# shard's arcs move, ~ vnodes_new / vnodes_total). The reason every
 # distributed store shards by ring, measured on real keys with the
 # portable hash — pure integer arithmetic, bit-identical in both engines.
 CH_OLD_N = 16
 CH_NEW_N = 17
-CH_RING = 1 << 20  # ring positions; virtual-node count per shard = ring/N
+CH_VNODES = 64
+CH_RING = 1 << 30
 
 
 @register(
@@ -409,55 +411,98 @@ CH_RING = 1 << 20  # ring positions; virtual-node count per shard = ring/N
             SELECT DISTINCT {portable_hash64_sql('CAST(o_custkey AS VARCHAR)')} AS h
             FROM orders
         ),
-        m AS (
+        tokens AS (
+            SELECT (t.t // {CH_VNODES}) AS owner,  -- // : DuckDB float-cast ROUNDS
+                   {portable_hash64_sql("('tok:' || CAST(t.t AS VARCHAR))")}
+                       % {CH_RING} AS pos
+            FROM (SELECT unnest(range({CH_NEW_N * CH_VNODES})) AS t) t
+        ),
+        toks AS (  -- dedupe ring positions deterministically
+            SELECT pos, min(owner) AS owner FROM tokens GROUP BY pos
+        ),
+        scored AS (
+            SELECT k.h,
+                   ((toks.pos - (k.h % {CH_RING})) % {CH_RING}
+                    + {CH_RING}) % {CH_RING} AS d,
+                   toks.owner
+            FROM keys k CROSS JOIN toks
+        ),
+        owners AS (
             SELECT h,
-                   h % {CH_OLD_N} AS mod_old,
-                   h % {CH_NEW_N} AS mod_new,
-                   CAST(floor((h % {CH_RING}) * {CH_OLD_N} / {CH_RING}.0) AS BIGINT)
-                       AS ring_old,
-                   CAST(floor((h % {CH_RING}) * {CH_NEW_N} / {CH_RING}.0) AS BIGINT)
-                       AS ring_new
-            FROM keys
+                   arg_min(owner, d) FILTER (WHERE owner < {CH_OLD_N}) AS own_old,
+                   arg_min(owner, d) AS own_new
+            FROM scored GROUP BY h
+        ),
+        m AS (
+            SELECT h, own_old, own_new,
+                   h % {CH_OLD_N} AS mod_old, h % {CH_NEW_N} AS mod_new
+            FROM owners JOIN keys USING (h)
         )
         SELECT CAST(count(*) AS BIGINT) AS n_keys,
                CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT)
                    AS moved_mod,
-               CAST(sum(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN own_old <> own_new THEN 1 ELSE 0 END) AS BIGINT)
                    AS moved_ring,
                round(CAST(sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS frac_moved_mod,
-               round(CAST(sum(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)
+               round(CAST(sum(CASE WHEN own_old <> own_new THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS frac_moved_ring
         FROM m
     """,
     doc=f"Shard-rebalance audit ({CH_OLD_N} -> {CH_NEW_N} shards): fraction "
     "of keys that move under mod-N assignment (~ (N-1)/N, a full "
-    "reshuffle) vs a range-ring assignment (~ 1/(N+1)) — measured on the "
-    "real customer-key distribution with the portable hash, the reason "
-    "resharding a 100 TB store must use ring/range partitioning. One "
-    "distinct-aggregate pass then a single-row conditional aggregate; "
-    "pure integer arithmetic both engines evaluate identically",
+    f"reshuffle) vs a REAL consistent-hash ring with {CH_VNODES} virtual "
+    "nodes per shard (only the new shard's arcs move, ~ 1/(N+1)) — "
+    "measured on the real customer-key distribution with the portable "
+    "hash: the reason resharding a 100 TB store uses rings. Token table "
+    f"is fixed-size ({CH_NEW_N * CH_VNODES} rows, broadcast); ownership "
+    "is an argmin of clockwise distance per key (production replaces the "
+    "argmin scan with an interval join on sorted token arcs — same "
+    "result, same broadcast). Old-ring ownership reuses the SAME tokens "
+    "filtered to the surviving shards, which is exactly the consistency "
+    "property being measured. Pure integer arithmetic in both engines",
     tags=("diagnostics", "stats"),
 )
 def q_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import portable_hash64
 
     orders = load_table(spark, sf_dir, "orders")
+    spark_s = orders.sparkSession
     keys = orders.select(
         portable_hash64(F.col("o_custkey").cast("string")).alias("h")
     ).distinct()
-    ring_pos = F.col("h") % CH_RING
-    m = keys.select(
+    tokens = spark_s.range(CH_NEW_N * CH_VNODES).select(
+        (F.col("id") / CH_VNODES).cast("bigint").alias("owner"),
+        (
+            portable_hash64(F.concat(F.lit("tok:"), F.col("id").cast("string")))
+            % CH_RING
+        ).alias("pos"),
+    )
+    toks = tokens.groupBy("pos").agg(F.min("owner").alias("owner"))
+    d = (
+        (F.col("pos") - (F.col("h") % CH_RING)) % CH_RING + CH_RING
+    ) % CH_RING
+    scored = keys.crossJoin(F.broadcast(toks)).select(
+        "h", d.alias("d"), "owner"
+    )
+    owners = scored.groupBy("h").agg(
+        F.min_by("owner", F.when(F.col("owner") < CH_OLD_N, F.col("d"))).alias(
+            "own_old"
+        ),
+        F.min_by("owner", "d").alias("own_new"),
+    )
+    m = owners.select(
+        "h",
+        "own_old",
+        "own_new",
         (F.col("h") % CH_OLD_N).alias("mod_old"),
         (F.col("h") % CH_NEW_N).alias("mod_new"),
-        F.floor(ring_pos * CH_OLD_N / float(CH_RING)).cast("bigint").alias("ring_old"),
-        F.floor(ring_pos * CH_NEW_N / float(CH_RING)).cast("bigint").alias("ring_new"),
     )
     moved_mod = F.sum(
         F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0)
     ).cast("bigint")
     moved_ring = F.sum(
-        F.when(F.col("ring_old") != F.col("ring_new"), 1).otherwise(0)
+        F.when(F.col("own_old") != F.col("own_new"), 1).otherwise(0)
     ).cast("bigint")
     return m.agg(
         F.count("*").cast("bigint").alias("n_keys"),
