@@ -1392,21 +1392,14 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # current one? H(next | prev) per prev_type, from the same per-user lag
 # stream as event_type_transitions; all probabilities from exact integer
 # counts (5x5 matrix), so both engines compute identical doubles.
+from .relational_more import TRANSITION_COUNTS_SQL as _TCS  # noqa: E402  (shared Markov core)
+
+
 @register(
     "event_transition_entropy",
-    oracle="""
-        WITH seq AS (
-            SELECT user_id, event_type,
-                   lag(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS prev_type
-            FROM events
-        ),
-        tm AS (
-            SELECT prev_type, event_type AS next_type,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM seq WHERE prev_type IS NOT NULL
-            GROUP BY 1, 2
+    oracle=f"""
+        WITH tm AS (
+            {_TCS}
         ),
         tot AS (
             SELECT prev_type, CAST(sum(n) AS BIGINT) AS t FROM tm GROUP BY 1
@@ -1432,16 +1425,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats", "window"),
 )
 def q_event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    tm = (
-        seq.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count("*").alias("n"))
-    )
+    from .relational_more import transition_counts
+
+    tm = transition_counts(load_table(spark, sf_dir, "events"))
     tot = tm.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("t"))
     p = F.col("n").cast("double") / F.col("t")
     h = -F.sum(p * F.log(p)) / F.log(F.lit(2.0))

@@ -2236,9 +2236,11 @@ def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_type_transitions",
-    oracle="""
+# Shared Markov-transition core: ONE definition of the (prev, next)
+# count matrix for both the transition query and the entropy query
+# (analytics.q_event_transition_entropy) — the ADVICE-r3 lesson: two
+# verbatim copies of the same semantic definition silently diverge.
+TRANSITION_COUNTS_SQL = """
         WITH seq AS (
             SELECT user_id, event_type,
                    lag(event_type) OVER (
@@ -2250,14 +2252,12 @@ def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
         WHERE prev_type IS NOT NULL
         GROUP BY prev_type, event_type
-    """,
-    doc="Event-type transition matrix (Markov counts): lag over each "
-    "user's ordered stream, then count (prev, next) pairs — the "
-    "sequence-model feature extraction shape",
-    tags=("events", "window", "agg"),
-)
-def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+"""
+
+
+def transition_counts(e: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n) Markov counts over per-user ordered
+    streams; one shuffle on user_id."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -2267,6 +2267,18 @@ def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle=TRANSITION_COUNTS_SQL,
+    doc="Event-type transition matrix (Markov counts): lag over each "
+    "user's ordered stream, then count (prev, next) pairs — the "
+    "sequence-model feature extraction shape",
+    tags=("events", "window", "agg"),
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_counts(load_table(spark, sf_dir, "events"))
 
 
 @register(
