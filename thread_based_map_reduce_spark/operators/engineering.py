@@ -460,6 +460,32 @@ def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_HASH_MOD = 1_000_000_007
 
 
+def merge_apply(base: DataFrame, chg: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MERGE INTO semantics: ``base(doc_id, text)`` + changelog
+    ``chg(c_doc_id, op, new_text)`` with op in ('U', 'D') -> (merged
+    bookkeeping frame, final state frame). Matched 'U' updates, unmatched
+    'U' inserts, matched 'D' deletes, unmatched 'D' is a no-op. One
+    equi-join shuffle; property-tested against a brute-force python merge
+    (tests/test_property_engineering.py)."""
+    merged = base.join(
+        chg, chg.c_doc_id == base.doc_id, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "c_doc_id").alias("k"),
+        "text",
+        "op",
+        "new_text",
+        F.col("doc_id").isNotNull().alias("in_base"),
+    )
+    final = merged.where(F.col("op").isNull() | (F.col("op") == "U")).select(
+        "k",
+        F.when(F.col("op") == "U", F.col("new_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return merged, final
+
+
+
 @register(
     "cdc_merge_apply",
     oracle=f"""
@@ -524,21 +550,7 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("text").alias("new_text"),
         )
     )
-    merged = base.join(
-        chg, chg.c_doc_id == base.doc_id, "full_outer"
-    ).select(
-        F.coalesce("doc_id", "c_doc_id").alias("k"),
-        "text",
-        "op",
-        "new_text",
-        F.col("doc_id").isNotNull().alias("in_base"),
-    )
-    final = merged.where(F.col("op").isNull() | (F.col("op") == "U")).select(
-        "k",
-        F.when(F.col("op") == "U", F.col("new_text"))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    merged, final = merge_apply(base, chg)
     checksum = final.agg(
         F.sum(
             portable_hash64(
