@@ -1609,3 +1609,106 @@ def q_dup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez & Stolfo 1995): the third classic
+# blocking family next to LSH banding and key-blocking — sort the corpus
+# by a normalized key and compare each record only to its W successors in
+# sort order. Candidate count is W*n by construction (no block-size
+# pathology AT ALL), at the cost of missing dups whose keys sort far
+# apart — which is why production runs multiple passes with different
+# keys; this operator is one such pass.
+SN_WINDOW = 3
+SN_KEY_LEN = 16
+SN_LEV_PREFIX = 64
+SN_LEV_MAX = 24
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, text,
+                   substr(replace(lower(text), ' ', ''), 1, {SN_KEY_LEN}) AS sk
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, text, sk,
+                   row_number() OVER (ORDER BY sk, doc_id) AS rn
+            FROM keyed
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(substr(a.text, 1, {SN_LEV_PREFIX}),
+                                    substr(b.text, 1, {SN_LEV_PREFIX}))
+                        AS BIGINT) AS lev
+            FROM ranked a
+            JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
+        )
+        SELECT doc_a, doc_b, lev
+        FROM pairs WHERE lev <= {SN_LEV_MAX}
+    """,
+    doc="Sorted-neighborhood dedup (Hernandez-Stolfo): sort by a "
+    f"normalized {SN_KEY_LEN}-char key, compare each doc only to its "
+    f"{SN_WINDOW} sort-successors, confirm with a {SN_LEV_PREFIX}-char-"
+    "prefix Levenshtein — the third blocking family beside LSH banding "
+    "and key blocking, with candidate count W*n BY CONSTRUCTION (no "
+    "hot-block pathology possible). The global sort rank runs as the "
+    "layout.py two-level bucket-prefix shape (first-char buckets are "
+    "monotone in the key), and the neighbor join is an EQUI-join on rank "
+    "(each doc explodes to its W probe ranks) — no range join, "
+    "AQE-splittable. Oracle uses the plain window formulation",
+    tags=("dedup", "text"),
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.substring(
+            F.replace(F.lower("text"), F.lit(" "), F.lit("")), 1, SN_KEY_LEN
+        ).alias("sk"),
+    )
+    # Global rank without a one-partition window: first-char buckets are
+    # monotone in sk (sk has no spaces, so the '' sentinel sorts first).
+    bucket = F.ascii(F.substring(F.concat(F.col("sk"), F.lit(" ")), 1, 1))
+    counts = keyed.withColumn("_b", bucket).groupBy("_b").agg(
+        F.count("*").alias("_bn")
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(
+            F.sum("_bn").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.row_number().over(W.partitionBy("_b").orderBy("sk", "doc_id"))
+    ranked = (
+        keyed.withColumn("_b", bucket)
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("rn", (F.col("_off") + within).cast("bigint"))
+        .select("doc_id", "text", "rn")
+    )
+    # Neighbor candidates as an EQUI-join: explode each doc to the W
+    # probe ranks it should compare against.
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.explode(
+            F.array(*[F.col("rn") + k for k in range(1, SN_WINDOW + 1)])
+        ).alias("rn"),
+    )
+    pairs = probes.join(ranked, "rn").select(
+        "doc_a",
+        F.col("doc_id").alias("doc_b"),
+        F.levenshtein(
+            F.substring("text_a", 1, SN_LEV_PREFIX),
+            F.substring("text", 1, SN_LEV_PREFIX),
+        )
+        .cast("bigint")
+        .alias("lev"),
+    )
+    return pairs.where(F.col("lev") <= SN_LEV_MAX)

@@ -256,6 +256,7 @@ _DEFER_NEW_R4 = frozenset({
     "consistent_hash_rebalance",
     "range_partition_balance",
     "rolling_reach_7d",
+    "dedup_sorted_neighborhood",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
