@@ -1062,52 +1062,11 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_covariance",
-    oracle=f"""
-        WITH q AS (
-            SELECT vec_id,
-                   [floor(x * 1000000)::BIGINT
-                    for x in embedding::DOUBLE[]] AS qv
-            FROM embeddings
-        ),
-        dims AS (
-            SELECT i, CAST(sum(qv[i]) AS BIGINT) AS si,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM q, range(1, {DIMS + 1}) t(i)
-            GROUP BY i
-        ),
-        pairs AS (
-            SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sp
-            FROM q, range(1, {DIMS + 1}) t(i), range(1, {DIMS + 1}) u(j)
-            WHERE j >= i
-            GROUP BY i, j
-        )
-        SELECT CAST(p.i AS BIGINT) AS i,
-               CAST(p.j AS BIGINT) AS j,
-               -- + 0.0 collapses IEEE negative zero (round() can yield
-               -- -0.0 here and 0.0 in Spark, which value-hash differently)
-               round((p.sp / a.n::DOUBLE
-                      - (a.si / a.n::DOUBLE) * (b.si / b.n::DOUBLE))
-                     / 1e12, 6) + 0.0 AS cov
-        FROM pairs p JOIN dims a ON p.i = a.i JOIN dims b ON p.j = b.i
-    """,
-    doc=f"Upper-triangle covariance matrix of the embedding corpus ({DIMS}x"
-    f"{DIMS}) — the PCA/whitening preparation step of an ANN index or "
-    "feature pipeline. Inputs are quantized to exact 1e-6 integers, so "
-    "every sum is associative BIGINT arithmetic — bit-identical across "
-    "engines and partition orders with zero float-accumulation drift (the "
-    "same exact-integer convention as embedding_quantize_stats; overflow "
-    "headroom: |q|<=6e5, so pair sums stay under 2^63 up to ~2.5e7 "
-    "vectors — beyond that, production switches the accumulator to "
-    "DECIMAL(38,0), same shape). One explode of D(D+1)/2 products per row "
-    "feeds a hash aggregate with map-side partial combine: the shuffle "
-    "carries at most 2080 rows per map partition regardless of corpus "
-    "size, and the tiny per-dim means broadcast back onto the pair sums",
-    tags=("similarity", "stats", "array"),
-)
-def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def covariance_df(emb: DataFrame) -> DataFrame:
+    """Upper-triangle exact-integer covariance (i, j, cov) of an
+    embedding frame — the shared core of embedding_covariance and
+    pca_power_iteration (one definition; the ADVICE-r3 duplication
+    lesson)."""
     qv = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 1e6),
@@ -1168,6 +1127,65 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# Shared upper-triangle exact-integer covariance CTE chain (ends in a
+# relation `covut(i, j, cov)`): ONE definition for the covariance query
+# and the PCA power iteration built on top of it.
+_COV_SQL = f"""
+        q AS (
+            SELECT vec_id,
+                   [floor(x * 1000000)::BIGINT
+                    for x in embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT i, CAST(sum(qv[i]) AS BIGINT) AS si,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM q, range(1, {DIMS + 1}) t(i)
+            GROUP BY i
+        ),
+        pairs AS (
+            SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sp
+            FROM q, range(1, {DIMS + 1}) t(i), range(1, {DIMS + 1}) u(j)
+            WHERE j >= i
+            GROUP BY i, j
+        ),
+        covut AS (
+            SELECT CAST(p.i AS BIGINT) AS i,
+                   CAST(p.j AS BIGINT) AS j,
+                   -- + 0.0 collapses IEEE negative zero (round() can yield
+                   -- -0.0 here and 0.0 in Spark, which value-hash differently)
+                   round((p.sp / a.n::DOUBLE
+                          - (a.si / a.n::DOUBLE) * (b.si / b.n::DOUBLE))
+                         / 1e12, 6) + 0.0 AS cov
+            FROM pairs p JOIN dims a ON p.i = a.i JOIN dims b ON p.j = b.i
+        )
+"""
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+        WITH {_COV_SQL}
+        SELECT i, j, cov FROM covut
+    """,
+    doc=f"Upper-triangle covariance matrix of the embedding corpus ({DIMS}x"
+    f"{DIMS}) — the PCA/whitening preparation step of an ANN index or "
+    "feature pipeline. Inputs are quantized to exact 1e-6 integers, so "
+    "every sum is associative BIGINT arithmetic — bit-identical across "
+    "engines and partition orders with zero float-accumulation drift (the "
+    "same exact-integer convention as embedding_quantize_stats; overflow "
+    "headroom: |q|<=6e5, so pair sums stay under 2^63 up to ~2.5e7 "
+    "vectors — beyond that, production switches the accumulator to "
+    "DECIMAL(38,0), same shape). One explode of D(D+1)/2 products per row "
+    "feeds a hash aggregate with map-side partial combine: the shuffle "
+    "carries at most 2080 rows per map partition regardless of corpus "
+    "size, and the tiny per-dim means broadcast back onto the pair sums",
+    tags=("similarity", "stats", "array"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return covariance_df(load_table(spark, sf_dir, "embeddings"))
 
 
 # Product quantization (round 4): 8 subspaces x 8 dims, 16 codes per
@@ -1985,4 +2003,119 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("prune_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA top component via exact-replayable power iteration: two fixed
+# matrix-vector rounds over the integer covariance, normalizing to a
+# 1024-unit integer vector between rounds. Every quantity stays an exact
+# integer under 2^53 (|c| <= ~1e6, |v| <= 1024, dot sums <= ~4e15), so
+# DuckDB replays the identical trajectory — the k-means replay-oracle
+# technique applied to iterative linear algebra.
+PCA_NORM = 1024
+PCA_ITERS = 2
+
+
+@register(
+    "pca_power_iteration",
+    oracle=f"""
+        WITH {_COV_SQL},
+        cint AS (
+            SELECT i, j, CAST(round(cov * 1000000, 0) AS BIGINT) AS c
+            FROM covut
+        ),
+        cfull AS (
+            SELECT i, j, c FROM cint
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM cint WHERE i <> j
+        ),
+        w1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM cfull GROUP BY i),
+        m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        v1 AS (
+            SELECT i, CAST(floor(w * {PCA_NORM} / nullif(m, 0)) AS BIGINT) AS v
+            FROM w1 CROSS JOIN m1
+        ),
+        w2 AS (
+            SELECT f.i, CAST(sum(f.c * v1.v) AS BIGINT) AS w2
+            FROM cfull f JOIN v1 ON v1.i = f.j
+            GROUP BY f.i
+        ),
+        r AS (
+            SELECT CAST(sum(v1.v * w2.w2) AS BIGINT) AS num,
+                   CAST(sum(v1.v * v1.v) AS BIGINT) AS den
+            FROM v1 JOIN w2 ON w2.i = v1.i
+        ),
+        tr AS (SELECT CAST(sum(c) AS BIGINT) AS tr FROM cint WHERE i = j)
+        SELECT round(CAST(num AS DOUBLE) / nullif(den, 0) / 1000000, 6) + 0.0
+                   AS lambda_top,
+               round(CAST(tr AS DOUBLE) / 1000000, 6) + 0.0 AS trace_total,
+               round(CAST(num AS DOUBLE) / nullif(den, 0)
+                     / nullif(CAST(tr AS DOUBLE), 0), 6) + 0.0
+                   AS var_explained_top,
+               CAST({PCA_ITERS} AS BIGINT) AS n_iterations
+        FROM r CROSS JOIN tr
+    """,
+    doc="Top principal component via power iteration with an EXACT "
+    f"replayable trajectory: {PCA_ITERS} fixed matrix-vector rounds over "
+    "the integer covariance (shared covariance_df core), re-normalizing "
+    f"to a {PCA_NORM}-unit integer vector between rounds, then the "
+    "Rayleigh-quotient eigenvalue and its share of the trace (variance "
+    "explained) — the PCA/whitening follow-up to embedding_covariance, "
+    "under the hash gate like the k-means and PageRank replays. All "
+    "intermediates are exact integers below 2^53, so both engines "
+    "compute bit-identical doubles. Scale: the iteration runs on the "
+    "64x64 covariance — corpus size only affects the one-pass covariance "
+    "build; matrix-vector rounds are metadata-sized joins",
+    tags=("similarity", "stats", "iterative"),
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov = covariance_df(load_table(spark, sf_dir, "embeddings"))
+    cint = cov.select(
+        "i", "j", F.round(F.col("cov") * 1e6, 0).cast("bigint").alias("c")
+    )
+    cfull = cint.unionAll(
+        cint.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    w1 = cfull.groupBy("i").agg(F.sum("c").cast("bigint").alias("w"))
+    m1 = w1.agg(F.max(F.abs("w")).alias("m"))
+    v1 = w1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.floor(
+            F.col("w") * PCA_NORM / F.nullif(F.col("m"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    w2 = (
+        cfull.join(
+            F.broadcast(v1.select(F.col("i").alias("j"), "v")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("w2"))
+    )
+    r = v1.join(w2, "i").agg(
+        F.sum(F.col("v") * F.col("w2")).cast("bigint").alias("num"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("den"),
+    )
+    tr = cint.where(F.col("i") == F.col("j")).agg(
+        F.sum("c").cast("bigint").alias("tr")
+    )
+    lam = F.col("num").cast("double") / F.nullif(
+        F.col("den").cast("double"), F.lit(0.0)
+    )
+    return r.crossJoin(F.broadcast(tr)).select(
+        (F.round(lam / 1e6, 6) + 0.0).alias("lambda_top"),
+        (F.round(F.col("tr").cast("double") / 1e6, 6) + 0.0).alias(
+            "trace_total"
+        ),
+        (
+            F.round(
+                lam / F.nullif(F.col("tr").cast("double"), F.lit(0.0)), 6
+            )
+            + 0.0
+        ).alias("var_explained_top"),
+        F.lit(PCA_ITERS).cast("bigint").alias("n_iterations"),
     )

@@ -257,6 +257,7 @@ _DEFER_NEW_R4 = frozenset({
     "range_partition_balance",
     "rolling_reach_7d",
     "dedup_sorted_neighborhood",
+    "pca_power_iteration",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
