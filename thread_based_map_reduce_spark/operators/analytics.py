@@ -1734,3 +1734,63 @@ def q_rolling_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-2 path mining: top 10 (e1 -> e2 -> e3) user paths — the Sankey /
+# behavioral-flow rollup one order above event_type_transitions (which
+# shares its lag shape). One user_id shuffle; the path space is at most
+# 5^3 = 125 keys.
+@register(
+    "user_path_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS e3,
+                   lag(event_type, 1) OVER w AS e2,
+                   lag(event_type, 2) OVER w AS e1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE e1 IS NOT NULL
+            GROUP BY e1, e2, e3
+        )
+        SELECT e1, e2, e3, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       ORDER BY n DESC, e1, e2, e3
+                   ) AS rnk
+            FROM paths
+        )
+        WHERE rnk <= 10
+    """,
+    doc="Top-10 order-2 event paths (e1 -> e2 -> e3) per the user-ordered "
+    "stream — the behavioral-flow / Sankey rollup above the transition "
+    "matrix. Double lag over ONE per-user window (one user_id shuffle); "
+    "path key space is |types|^3, so ranking runs on a metadata-sized "
+    "aggregate with a full deterministic tiebreak",
+    tags=("events", "window", "topk"),
+)
+def q_user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    paths = (
+        seq.where(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = paths.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.desc("n"), "e1", "e2", "e3")
+        ),
+    )
+    return ranked.where(F.col("rnk") <= 10).select(
+        "e1", "e2", "e3", "n", F.col("rnk").cast("bigint").alias("rnk")
+    )

@@ -1356,3 +1356,113 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_actual"
         ),
     )
+
+
+@register(
+    "weak_label_vote_stats",
+    oracle=f"""
+        WITH lf AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 40 THEN 1
+                        WHEN length(text) < 15 THEN 0 END AS lf_len,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({", ".join(repr(m) for m in EN_MARKERS)}))) >= 2
+                        THEN 1 END AS lf_stop,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lf_lang
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id,
+                   coalesce(lf_len, -1) AS l1,
+                   coalesce(lf_stop, -1) AS l2,
+                   lf_lang AS l3,
+                   (CASE WHEN lf_len = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN lf_stop = 1 THEN 1 ELSE 0 END
+                    + lf_lang) AS pos,
+                   (CASE WHEN lf_len IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN lf_stop IS NULL THEN 0 ELSE 1 END
+                    + 1) AS n_votes
+            FROM lf
+        ),
+        labeled AS (
+            SELECT doc_id,
+                   CASE WHEN 2 * pos > n_votes THEN 1
+                        WHEN 2 * pos < n_votes THEN 0 END AS label,
+                   l1, l2, l3, n_votes
+            FROM votes
+        )
+        SELECT coalesce(CAST(label AS VARCHAR), 'abstain') AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(CAST(n_votes AS DOUBLE)), 6) AS avg_votes,
+               CAST(sum(CASE WHEN l1 >= 0 AND l2 >= 0 AND l1 <> l2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS len_stop_conflicts,
+               CAST(sum(CASE WHEN l1 >= 0 AND l1 <> l3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS len_lang_conflicts
+        FROM labeled GROUP BY label
+    """,
+    doc="Weak-supervision label aggregation (the Snorkel pattern): three "
+    "deterministic labeling functions — length rule (abstains "
+    "mid-range), stopword-marker rule (abstains when absent), language "
+    "rule — majority-voted into train labels, with per-label coverage, "
+    "mean vote count, and pairwise conflict counts (the signals that "
+    "drive LF reweighting). Pure column logic + one narrow aggregation; "
+    "the 100 TB shape is identical because every LF is a map-side "
+    "expression",
+    tags=("text", "quality", "eval"),
+)
+def q_weak_label_vote_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lf_len = F.when(F.length("text") >= 40, 1).when(F.length("text") < 15, 0)
+    lf_stop = F.when(
+        F.size(F.filter(tokens("text"), lambda w: w.isin(*EN_MARKERS))) >= 2, 1
+    )
+    lf_lang = F.when(F.col("lang") == "en", 1).otherwise(0)
+    votes = docs.select(
+        F.coalesce(lf_len, F.lit(-1)).alias("l1"),
+        F.coalesce(lf_stop, F.lit(-1)).alias("l2"),
+        lf_lang.alias("l3"),
+        (
+            F.when(lf_len == 1, 1).otherwise(0)
+            + F.when(lf_stop == 1, 1).otherwise(0)
+            + lf_lang
+        ).alias("pos"),
+        (
+            F.when(lf_len.isNull(), 0).otherwise(1)
+            + F.when(lf_stop.isNull(), 0).otherwise(1)
+            + F.lit(1)
+        ).alias("n_votes"),
+    )
+    labeled = votes.select(
+        F.when(2 * F.col("pos") > F.col("n_votes"), 1)
+        .when(2 * F.col("pos") < F.col("n_votes"), 0)
+        .alias("label"),
+        "l1",
+        "l2",
+        "l3",
+        "n_votes",
+    )
+    return labeled.groupBy(
+        F.coalesce(F.col("label").cast("string"), F.lit("abstain")).alias(
+            "label"
+        )
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_votes").cast("double")), 6).alias("avg_votes"),
+        F.sum(
+            F.when(
+                (F.col("l1") >= 0)
+                & (F.col("l2") >= 0)
+                & (F.col("l1") != F.col("l2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("len_stop_conflicts"),
+        F.sum(
+            F.when((F.col("l1") >= 0) & (F.col("l1") != F.col("l3")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("len_lang_conflicts"),
+    )

@@ -258,6 +258,8 @@ _DEFER_NEW_R4 = frozenset({
     "rolling_reach_7d",
     "dedup_sorted_neighborhood",
     "pca_power_iteration",
+    "weak_label_vote_stats",
+    "user_path_trigrams",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
