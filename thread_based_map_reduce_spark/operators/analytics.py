@@ -1794,3 +1794,150 @@ def q_user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rnk") <= 10).select(
         "e1", "e2", "e3", "n", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection: per event type, the hour where cumulative
+# deviation from the global hourly mean peaks — locating WHEN a rate
+# shift happened (psi_drift_stats detects THAT a distribution shifted).
+# Deviations are exact integers scaled by the hour count (c*n - sy
+# instead of c - sy/n), so the running sum and its argmax are integer-
+# exact and engine-identical.
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sy
+            FROM hc GROUP BY 1
+        ),
+        cusum AS (
+            SELECT hc.event_type, h, n, sy,
+                   sum(c * n - sy) OVER (
+                       PARTITION BY hc.event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s
+            FROM hc JOIN tot USING (event_type)
+        )
+        SELECT event_type,
+               n AS n_hours,
+               CAST(h AS BIGINT) AS changepoint_hour_s,
+               round(CAST(abs_s AS DOUBLE) / (n * CAST(sy AS DOUBLE)), 6)
+                   AS peak_cusum_norm
+        FROM (
+            SELECT event_type, h, n, sy, abs(s) AS abs_s,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY abs(s) DESC, h
+                   ) AS r
+            FROM cusum
+        ) WHERE r = 1
+    """,
+    doc="CUSUM changepoint per event type: the hour at which the running "
+    "sum of deviations from the per-type mean hourly rate peaks — "
+    "locating WHEN a rate shift happened (the drift-time sibling of "
+    "psi_drift_stats). Deviations are pre-scaled to exact integers "
+    "(c*n - sy), so the cumulative sum, its |argmax| and the "
+    "deterministic low-hour tiebreak are bit-identical in both engines; "
+    "normalization to [0, ~1] divides once at the end. All windows run "
+    "on the metadata-sized (type, hour) grid",
+    tags=("events", "window", "timeseries", "eval"),
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    tot = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").cast("bigint").alias("sy")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = hc.join(F.broadcast(tot), "event_type").withColumn(
+        "s", F.sum(F.col("c") * F.col("n") - F.col("sy")).over(wcum)
+    )
+    wr = W.partitionBy("event_type").orderBy(F.abs("s").desc(), "h")
+    peak = cusum.withColumn("r", F.row_number().over(wr)).where(F.col("r") == 1)
+    return peak.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("h").cast("bigint").alias("changepoint_hour_s"),
+        F.round(
+            F.abs("s").cast("double")
+            / (F.col("n") * F.col("sy").cast("double")),
+            6,
+        ).alias("peak_cusum_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Churn label engineering: a user is "churned" when silent for the final
+# 7 days of the corpus window — the standard label a retention model
+# trains on — rolled up by the user's signup (first-seen) week.
+CHURN_SILENCE_S = 7 * 86400
+
+
+@register(
+    "churn_label_stats",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(max(epoch(ts)) AS BIGINT) AS tmax FROM events
+        ),
+        users AS (
+            SELECT user_id,
+                   CAST(min(epoch(ts)) AS BIGINT) AS first_s,
+                   CAST(max(epoch(ts)) AS BIGINT) AS last_s
+            FROM events GROUP BY user_id
+        ),
+        labeled AS (
+            SELECT (first_s // 604800) * 604800 AS cohort_week_s,
+                   CASE WHEN last_s < tmax - {CHURN_SILENCE_S}
+                        THEN 1 ELSE 0 END AS churned
+            FROM users CROSS JOIN bounds
+        )
+        SELECT CAST(cohort_week_s AS BIGINT) AS cohort_week_s,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(churned) AS BIGINT) AS n_churned,
+               round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS churn_rate
+        FROM labeled GROUP BY cohort_week_s
+    """,
+    doc="Churn label engineering: churned = silent for the corpus's final "
+    "7 days, rolled up by first-seen (signup) week — the label-builder "
+    "step of a retention model, with per-cohort rates. One user_id "
+    "aggregation (min/max epoch as exact integers), a broadcast one-row "
+    "corpus bound, integer week bucketing — no window, no second pass",
+    tags=("events", "agg", "pipeline"),
+)
+def q_churn_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.unix_seconds("ts")).alias("tmax"))
+    users = ev.groupBy("user_id").agg(
+        F.min(F.unix_seconds("ts")).alias("first_s"),
+        F.max(F.unix_seconds("ts")).alias("last_s"),
+    )
+    labeled = users.crossJoin(F.broadcast(bounds)).select(
+        ((F.col("first_s") / 604800).cast("bigint") * 604800).alias(
+            "cohort_week_s"
+        ),
+        F.when(
+            F.col("last_s") < F.col("tmax") - CHURN_SILENCE_S, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    return labeled.groupBy("cohort_week_s").agg(
+        F.count("*").alias("n_users"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.round(
+            F.sum("churned").cast("double") / F.count("*"), 6
+        ).alias("churn_rate"),
+    )

@@ -260,6 +260,8 @@ _DEFER_NEW_R4 = frozenset({
     "pca_power_iteration",
     "weak_label_vote_stats",
     "user_path_trigrams",
+    "events_cusum_changepoint",
+    "churn_label_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
