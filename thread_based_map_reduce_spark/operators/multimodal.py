@@ -897,3 +897,81 @@ def q_multimodal_y4m_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_diff"),
     )
+
+
+# -- REAL image augmentation: horizontal flip over the PGM kernel ------------
+@register(
+    "multimodal_flip_augment",
+    oracle="""
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(list_sum(px) AS BIGINT) AS sum_px,
+               CAST(list_sum([px[i] * ((i - 1) % w + 1)
+                              for i in range(1, (w * h)::INT + 1)])
+                    AS BIGINT) AS wsum_orig,
+               -- mirror identity: flipping columns maps weight c -> w+1-c,
+               -- so the flipped weighted sum is (w+1)*sum - wsum
+               CAST((w + 1) * list_sum(px)
+                    - list_sum([px[i] * ((i - 1) % w + 1)
+                                for i in range(1, (w * h)::INT + 1)])
+                    AS BIGINT) AS wsum_flipped
+        FROM (
+            SELECT doc_id, w, h,
+                   [('0x' || substr(repeat(md5(text), ((w * h + 15) / 16)::INT),
+                                    2 * i - 1, 2))::INT
+                    for i in range(1, (w * h)::INT + 1)] AS px
+            FROM (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
+                       ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
+                FROM documents
+            )
+        )
+    """,
+    doc="REAL image augmentation, oracle-checked: the kernel decodes each "
+    "PGM payload, performs an ACTUAL horizontal flip (numpy fliplr on the "
+    "raster), and reports the column-weighted pixel sum of original and "
+    "flipped images as exact integers. The oracle never flips anything — "
+    "it derives the flipped weighted sum from the mirror identity "
+    "(w+1)*sum - wsum, so a kernel whose flip is anything but the true "
+    "mirror hash-mismatches. Same Arrow-batched mapInPandas scale shape "
+    "as the decode kernels: per-row Python, no shuffle",
+    tags=("multimodal",),
+)
+def q_multimodal_flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, raster = decode_pgm(bytes(row.payload))
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+                flipped = np.fliplr(arr)
+                weights = np.arange(1, w + 1, dtype=np.int64)
+                out.append(
+                    (
+                        row.doc_id,
+                        w,
+                        h,
+                        int(arr.sum(dtype=np.int64)),
+                        int((arr.astype(np.int64) * weights).sum()),
+                        int((flipped.astype(np.int64) * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_px", "wsum_orig", "wsum_flipped",
+                ],
+            )
+
+    return with_pgm_payload(docs).mapInPandas(
+        kernel,
+        schema="doc_id long, width long, height long, "
+        "sum_px long, wsum_orig long, wsum_flipped long",
+    )

@@ -1466,3 +1466,121 @@ def q_weak_label_vote_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("len_lang_conflicts"),
     )
+
+
+# Index-size model: 8-byte doc ids per posting + the term dictionary
+# (term bytes + an 8-byte offset each).
+IDX_POSTING_BYTES = 8
+IDX_TERM_OVERHEAD = 8
+
+
+@register(
+    "inverted_index_stats",
+    oracle=f"""
+        WITH postings AS (
+            SELECT DISTINCT word, doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+        ),
+        terms AS (
+            SELECT word, count(*) AS df FROM postings GROUP BY word
+        ),
+        cc AS (SELECT df, count(*) AS freq FROM terms GROUP BY df),
+        q50 AS (
+            SELECT min(df) AS p50_df FROM (
+                SELECT df,
+                       sum(freq) OVER (ORDER BY df ROWS UNBOUNDED PRECEDING)
+                           AS cum,
+                       (SELECT sum(freq) FROM cc) AS nt
+                FROM cc
+            ) WHERE cum >= ceil(0.5 * nt)
+        ),
+        q99 AS (
+            SELECT min(df) AS p99_df FROM (
+                SELECT df,
+                       sum(freq) OVER (ORDER BY df ROWS UNBOUNDED PRECEDING)
+                           AS cum,
+                       (SELECT sum(freq) FROM cc) AS nt
+                FROM cc
+            ) WHERE cum >= ceil(0.99 * nt)
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(df) AS BIGINT) AS n_postings,
+                   CAST(max(df) AS BIGINT) AS max_df,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_singletons,
+                   CAST(sum(length(word)) AS BIGINT) AS dict_chars
+            FROM terms
+        )
+        SELECT n_terms, n_postings, max_df,
+               CAST(p50_df AS BIGINT) AS p50_df,
+               CAST(p99_df AS BIGINT) AS p99_df,
+               round(CAST(n_singletons AS DOUBLE) / n_terms, 6)
+                   AS singleton_share,
+               n_postings * {IDX_POSTING_BYTES}
+                   + dict_chars + n_terms * {IDX_TERM_OVERHEAD}
+                   AS est_index_bytes
+        FROM sums CROSS JOIN q50 CROSS JOIN q99
+    """,
+    doc="Inverted-index build audit: term count, posting count, document-"
+    "frequency distribution (max / p50 / p99 via the counts-of-counts "
+    "quantile idiom of key_skew_report), singleton-term share (the "
+    "dictionary bloat signal), and a modeled index size (8 B/posting + "
+    "dictionary bytes + 8 B/term offsets) — the sizing pass before "
+    "building a search index over a 100 TB corpus. The corpus collapses "
+    "to (word, doc) postings then to per-term df in two narrow "
+    "aggregations; every window after that touches only the "
+    "distinct-frequency table",
+    tags=("text", "diagnostics", "stats"),
+)
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .distinct()
+    )
+    terms = postings.groupBy("word").agg(F.count("*").alias("df"))
+    cc = terms.groupBy("df").agg(F.count("*").alias("freq"))
+    cum = cc.select(
+        "df",
+        F.sum("freq")
+        .over(W.orderBy("df").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("freq").over(W.partitionBy()).alias("nt"),
+    )
+
+    def qdisc(q: float, alias: str) -> DataFrame:
+        return cum.where(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("nt"))
+        ).agg(F.min("df").alias(alias))
+
+    sums = terms.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.sum(F.length("word")).cast("bigint").alias("dict_chars"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(qdisc(0.5, "p50_df")))
+        .crossJoin(F.broadcast(qdisc(0.99, "p99_df")))
+        .select(
+            "n_terms",
+            "n_postings",
+            "max_df",
+            F.col("p50_df").cast("bigint").alias("p50_df"),
+            F.col("p99_df").cast("bigint").alias("p99_df"),
+            F.round(
+                F.col("n_singletons").cast("double") / F.col("n_terms"), 6
+            ).alias("singleton_share"),
+            (
+                F.col("n_postings") * IDX_POSTING_BYTES
+                + F.col("dict_chars")
+                + F.col("n_terms") * IDX_TERM_OVERHEAD
+            ).alias("est_index_bytes"),
+        )
+    )

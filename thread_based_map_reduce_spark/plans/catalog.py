@@ -262,6 +262,8 @@ _DEFER_NEW_R4 = frozenset({
     "user_path_trigrams",
     "events_cusum_changepoint",
     "churn_label_stats",
+    "multimodal_flip_augment",
+    "inverted_index_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
