@@ -576,3 +576,87 @@ def q_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(F.col("n_rows").cast("double") / F.col("t"), 6).alias("frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimator evaluation: the textbook optimizer estimate
+# |R JOIN S| ~ |R|*|S| / max(ndv_R(k), ndv_S(k)) (uniformity + containment
+# assumptions) against the TRUE join size computed without materializing
+# the join (sum of per-key count products). The diagnostic that explains
+# why a skewed key blows up an optimizer's plan choice.
+@register(
+    "join_cardinality_eval",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1
+        ),
+        actual AS (
+            SELECT CAST(sum(r.c * s.c) AS BIGINT) AS act
+            FROM r JOIN s USING (k)
+        ),
+        stats AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM r) AS nr,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM s) AS ns,
+                   (SELECT CAST(count(*) AS BIGINT) FROM r) AS ndv_r,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s) AS ndv_s
+        )
+        SELECT nr AS n_left, ns AS n_right, ndv_r, ndv_s, act AS actual_rows,
+               CAST(floor(CAST(nr AS DOUBLE) * ns
+                          / greatest(ndv_r, ndv_s)) AS BIGINT) AS estimated_rows,
+               round(CAST(nr AS DOUBLE) * ns / greatest(ndv_r, ndv_s)
+                     / nullif(act, 0), 6) AS est_over_actual
+        FROM stats CROSS JOIN actual
+    """,
+    doc="Join-cardinality estimator evaluation (orders x customer on "
+    "custkey): the classic |R|*|S|/max(ndv) uniformity estimate next to "
+    "the TRUE join size — computed as sum of per-key count products over "
+    "the two count tables, never by materializing the join. The "
+    "over/under ratio is the signal that tells you whether skew will "
+    "invalidate the optimizer's plan choice at 100 TB. Two narrow "
+    "per-key aggregates + a key-grid join of the count tables",
+    tags=("diagnostics", "join", "stats"),
+)
+def q_join_cardinality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    r = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    s = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("c2")
+    )
+    actual = (
+        r.join(s, "k")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("act"))
+    )
+    stats = (
+        r.agg(
+            F.sum("c").cast("bigint").alias("nr"),
+            F.count("*").cast("bigint").alias("ndv_r"),
+        )
+        .crossJoin(
+            s.agg(
+                F.sum("c2").cast("bigint").alias("ns"),
+                F.count("*").cast("bigint").alias("ndv_s"),
+            )
+        )
+    )
+    est = (
+        F.col("nr").cast("double")
+        * F.col("ns")
+        / F.greatest("ndv_r", "ndv_s")
+    )
+    return stats.crossJoin(F.broadcast(actual)).select(
+        F.col("nr").alias("n_left"),
+        F.col("ns").alias("n_right"),
+        "ndv_r",
+        "ndv_s",
+        F.col("act").alias("actual_rows"),
+        F.floor(est).cast("bigint").alias("estimated_rows"),
+        F.round(est / F.nullif(F.col("act"), F.lit(0)), 6).alias(
+            "est_over_actual"
+        ),
+    )

@@ -2119,3 +2119,141 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_explained_top"),
         F.lit(PCA_ITERS).cast("bigint").alias("n_iterations"),
     )
+
+
+# --------------------------------------------------------------------------
+# Davies-Bouldin cluster-quality index over the label cells: RMS scatter
+# per cell and worst (S_i + S_j) / M_ij ratio — the internal clustering
+# validity measure that needs NO ground truth (ann_recall_eval needs a
+# query set; this audits the partitioning itself, e.g. before trusting
+# IVF cells or SemDeDup clusters). All distances derive from exact
+# integer micro-unit vectors and floored-integer centroids, so both
+# engines compute identical doubles.
+@register(
+    "cluster_quality_db_index",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label,
+                   [floor(x * 1000000)::BIGINT
+                    for x in embedding::DOUBLE[]] AS qv
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, i,
+                   CAST(floor(sum(qv[i]) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                       AS ci
+            FROM q, range(1, {DIMS + 1}) t(i)
+            GROUP BY label, i
+        ),
+        member_d2 AS (
+            SELECT q.vec_id, q.label,
+                   CAST(sum((qv[t.i] - ci) * (qv[t.i] - ci)) AS BIGINT) AS d2
+            FROM q, range(1, {DIMS + 1}) t(i)
+            JOIN cent ON cent.label = q.label AND cent.i = t.i
+            GROUP BY q.vec_id, q.label
+        ),
+        scatter AS (
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   sqrt(sum(d2) / CAST(count(*) AS DOUBLE)) AS s
+            FROM member_d2 GROUP BY label
+        ),
+        cdist AS (
+            SELECT a.label AS la, b.label AS lb,
+                   sqrt(CAST(sum((a.ci - b.ci) * (a.ci - b.ci)) AS BIGINT))
+                       AS m
+            FROM cent a JOIN cent b ON b.i = a.i AND b.label <> a.label
+            GROUP BY a.label, b.label
+        )
+        SELECT CAST(sa.label AS BIGINT) AS cell,
+               sa.n_members,
+               round(sa.s / 1000000, 6) AS scatter_rms,
+               round(max((sa.s + sb.s) / nullif(cd.m, 0)), 6) AS db_component
+        FROM scatter sa
+        JOIN cdist cd ON cd.la = sa.label
+        JOIN scatter sb ON sb.label = cd.lb
+        GROUP BY sa.label, sa.n_members, sa.s
+    """,
+    doc="Davies-Bouldin cluster validity over the label cells: per-cell "
+    "RMS scatter around the floored-integer centroid and the worst "
+    "(S_i + S_j) / M_ij similarity ratio against any other cell (lower = "
+    "better-separated clusters) — the no-ground-truth audit you run on "
+    "IVF cells or SemDeDup clusters before trusting them. Micro-unit "
+    "integer vectors keep every squared-distance sum exact; the only "
+    "doubles are final sqrt/ratios, identical in both engines. Scale: "
+    "one pass for centroids, one broadcast-centroid pass for member "
+    "distances, then all math on the k x k grid",
+    tags=("similarity", "stats", "eval"),
+)
+def q_cluster_quality_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1e6),
+            )
+        ).alias("p", "v"),
+    ).select("vec_id", "label", (F.col("p") + 1).alias("i"), "v")
+    cent = q.groupBy("label", "i").agg(
+        F.floor(
+            F.sum("v") / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("ci")
+    )
+    member_d2 = (
+        q.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") - F.col("ci")) * (F.col("v") - F.col("ci")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    scatter = member_d2.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sqrt(F.sum("d2") / F.count("*").cast("double")).alias("s"),
+    )
+    ca, cb = cent.alias("ca"), cent.alias("cb")
+    cdist = (
+        ca.join(
+            cb,
+            (F.col("ca.i") == F.col("cb.i"))
+            & (F.col("ca.label") != F.col("cb.label")),
+        )
+        .groupBy(
+            F.col("ca.label").alias("la"), F.col("cb.label").alias("lb")
+        )
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ca.ci") - F.col("cb.ci"))
+                    * (F.col("ca.ci") - F.col("cb.ci"))
+                ).cast("bigint")
+            ).alias("m")
+        )
+    )
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s").alias("s2"))
+    return (
+        scatter.join(cdist, scatter.label == cdist.la)
+        .join(F.broadcast(sb), "lb")
+        .groupBy(scatter.label, "n_members", "s")
+        .agg(
+            F.round(
+                F.max(
+                    (F.col("s") + F.col("s2"))
+                    / F.nullif(F.col("m"), F.lit(0.0))
+                ),
+                6,
+            ).alias("db_component")
+        )
+        .select(
+            F.col("label").cast("bigint").alias("cell"),
+            "n_members",
+            F.round(F.col("s") / 1e6, 6).alias("scatter_rms"),
+            "db_component",
+        )
+    )

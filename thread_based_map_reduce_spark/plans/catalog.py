@@ -264,6 +264,8 @@ _DEFER_NEW_R4 = frozenset({
     "churn_label_stats",
     "multimodal_flip_augment",
     "inverted_index_stats",
+    "join_cardinality_eval",
+    "cluster_quality_db_index",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
