@@ -1584,3 +1584,42 @@ def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_index_bytes"),
         )
     )
+
+
+@register(
+    "detok_fidelity_stats",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN array_to_string(
+                                  list_filter(string_split(text, ' '),
+                                              w -> w <> ''), ' ') = text
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless,
+               round(CAST(sum(CASE WHEN array_to_string(
+                                        list_filter(string_split(text, ' '),
+                                                    w -> w <> ''), ' ') = text
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS lossless_rate
+        FROM documents GROUP BY lang
+    """,
+    doc="Detokenization-fidelity audit: tokenize -> re-join with single "
+    "spaces -> compare to the original, per language. Documents with "
+    "leading/trailing/repeated whitespace are NOT losslessly "
+    "round-trippable by a whitespace tokenizer — the normalization-loss "
+    "measurement a tokenizer pipeline signs off on before it commits to "
+    "discarding original bytes at 100 TB. Pure column logic + one "
+    "narrow aggregation",
+    tags=("text", "tokenize", "quality"),
+)
+def q_detok_fidelity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lossless = F.when(
+        F.array_join(tokens("text"), " ") == F.col("text"), 1
+    ).otherwise(0)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(lossless).cast("bigint").alias("n_lossless"),
+        F.round(F.sum(lossless).cast("double") / F.count("*"), 6).alias(
+            "lossless_rate"
+        ),
+    )

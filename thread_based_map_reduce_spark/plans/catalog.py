@@ -266,6 +266,7 @@ _DEFER_NEW_R4 = frozenset({
     "inverted_index_stats",
     "join_cardinality_eval",
     "cluster_quality_db_index",
+    "detok_fidelity_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
