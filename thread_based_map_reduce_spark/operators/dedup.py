@@ -1712,3 +1712,153 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lev"),
     )
     return pairs.where(F.col("lev") <= SN_LEV_MAX)
+
+
+# --------------------------------------------------------------------------
+# LSH band-tuning curve: the (rows-per-band, bands) design space of the
+# 8-perm signature, measured. r=1 fires on any single matching perm (max
+# candidates), r=8 requires the full signature to match (min candidates);
+# the production r=2,b=4 setting sits on the S-curve between them. Each
+# config's candidates are exact-Jaccard-verified, giving the
+# precision/candidate-volume tradeoff that picks (r, b) for a corpus.
+_TUNE_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _tune_oracle() -> str:
+    parts = []
+    for r, b in _TUNE_CONFIGS:
+        bands = "\n            UNION ALL ".join(
+            "SELECT doc_id, {k} AS band, concat_ws(':', {cols}) AS key FROM sig".format(
+                k=k,
+                cols=", ".join(f"mh{k * r + i}" for i in range(r)),
+            )
+            for k in range(b)
+        )
+        parts.append(f"""
+        bands_{r} AS (
+            {bands}
+        ),
+        cand_{r} AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands_{r} a
+            JOIN bands_{r} b ON a.band = b.band AND a.key = b.key
+                            AND b.doc_id > a.doc_id
+        ),
+        ver_{r} AS (
+            SELECT count(*) AS nv FROM cand_{r}
+            JOIN tsets ta ON ta.doc_id = da
+            JOIN tsets tb ON tb.doc_id = db
+            WHERE len(list_intersect(ta.ts, tb.ts))::DOUBLE
+                  / (len(ta.ts) + len(tb.ts)
+                     - len(list_intersect(ta.ts, tb.ts))) >= {JACCARD_THRESHOLD}
+        )""")
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS rows_per_band,
+               CAST({b} AS BIGINT) AS n_bands,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand_{r}) AS n_candidates,
+               (SELECT CAST(nv AS BIGINT) FROM ver_{r}) AS n_verified,
+               round((SELECT nv FROM ver_{r})::DOUBLE
+                     / nullif((SELECT count(*) FROM cand_{r}), 0), 6)
+                   AS precision"""
+        for r, b in _TUNE_CONFIGS
+    )
+    return f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        tsets AS (
+            SELECT doc_id, list(DISTINCT h) AS ts FROM hashed GROUP BY doc_id
+        ),{",".join(parts)}
+        {rows}
+    """
+
+
+@register(
+    "lsh_band_tuning_curve",
+    oracle=_tune_oracle(),
+    doc="LSH design-space measurement: for each (rows-per-band, bands) "
+    "split of the 8-perm minhash signature — (1,8) max-recall through "
+    "(8,1) max-precision — the candidate-pair volume, the exact-Jaccard-"
+    "verified count, and precision. This is the tuning curve that picks "
+    "the banding for a corpus's similarity profile before committing an "
+    "LSH dedup pass at 100 TB (candidate volume IS the verify-stage "
+    "cost). Scale: each config is the standard band-bucket self-join on "
+    "a narrow (band, key) string key — never all-pairs; verification "
+    "joins shingle-hash sets only for candidates; the shingle/sig pass "
+    "is shared across all four configs",
+    tags=("dedup", "lsh", "minhash", "eval"),
+)
+def q_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    sig = reliable_checkpoint(sig)  # shared by all four configs
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    tsets = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))
+            ).alias("s"),
+        )
+        .select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("ts"))
+    )
+    tsets = reliable_checkpoint(tsets)
+    out = None
+    for r, b in _TUNE_CONFIGS:
+        bands = None
+        for k in range(b):
+            part = sig.select(
+                "doc_id",
+                F.lit(k).alias("band"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh{k * r + i}") for i in range(r)]
+                ).alias("key"),
+            )
+            bands = part if bands is None else bands.unionAll(part)
+        a, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("b.doc_id") > F.col("a.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .distinct()
+        )
+        inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+        jacc = inter.cast("double") / (
+            F.size("ta") + F.size("tb") - inter
+        )
+        verified = (
+            cand.join(
+                tsets.select(F.col("doc_id").alias("da"), F.col("ts").alias("ta")),
+                "da",
+            )
+            .join(
+                tsets.select(F.col("doc_id").alias("db"), F.col("ts").alias("tb")),
+                "db",
+            )
+            .where(jacc >= JACCARD_THRESHOLD)
+            .agg(F.count("*").cast("bigint").alias("nv"))
+        )
+        row = (
+            cand.agg(F.count("*").cast("bigint").alias("nc"))
+            .crossJoin(verified)
+            .select(
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(b).cast("bigint").alias("n_bands"),
+                F.col("nc").alias("n_candidates"),
+                F.col("nv").alias("n_verified"),
+                F.round(
+                    F.col("nv").cast("double") / F.nullif(F.col("nc"), F.lit(0)),
+                    6,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

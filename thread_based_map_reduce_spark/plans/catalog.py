@@ -267,6 +267,7 @@ _DEFER_NEW_R4 = frozenset({
     "join_cardinality_eval",
     "cluster_quality_db_index",
     "detok_fidelity_stats",
+    "lsh_band_tuning_curve",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
