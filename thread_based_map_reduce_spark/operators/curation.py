@@ -743,3 +743,66 @@ def q_k_anonymity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(below).cast("bigint").alias("n_docs_below_k"),
         F.round(F.sum(below) / F.sum("gsize"), 6).alias("frac_below_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity: the release-audit sibling of k_anonymity_stats — within
+# each (lang, source) quasi-identifier group, how many DISTINCT sensitive
+# values (here: the document-length decile as a stand-in sensitive
+# attribute) appear. A k-anonymous group with one sensitive value still
+# leaks; l >= 2 is the floor.
+@register(
+    "l_diversity_stats",
+    oracle="""
+        WITH sens AS (
+            SELECT lang, source,
+                   least(9, n_chars // 100) AS sv
+            FROM documents
+        ),
+        g AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS gsize,
+                   CAST(count(DISTINCT sv) AS BIGINT) AS l
+            FROM sens GROUP BY lang, source
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_diversity_groups,
+               CAST(sum(CASE WHEN l < 2 THEN gsize ELSE 0 END) AS BIGINT)
+                   AS n_exposed_docs,
+               round(CAST(sum(CASE WHEN l < 2 THEN gsize ELSE 0 END) AS DOUBLE)
+                     / sum(gsize), 6) AS exposed_share
+        FROM g
+    """,
+    doc="l-diversity release audit over the (lang, source) quasi-"
+    "identifier (sensitive attribute: length decile): distinct-sensitive-"
+    "value count per group, groups below l=2, and the exposed-document "
+    "share — the disclosure check k-anonymity alone misses (a uniform "
+    "group of size k still reveals its one sensitive value). Same "
+    "metadata-cost shape as k_anonymity_stats: one narrow aggregate, "
+    "grid-sized everything after",
+    tags=("curation", "privacy", "quality"),
+)
+def q_l_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sens = docs.select(
+        "lang",
+        "source",
+        F.least(F.lit(9), (F.col("n_chars") / 100).cast("bigint")).alias("sv"),
+    )
+    g = sens.groupBy("lang", "source").agg(
+        F.count("*").alias("gsize"),
+        F.countDistinct("sv").alias("l"),
+    )
+    low = F.when(F.col("l") < 2, 1).otherwise(0)
+    exposed = F.when(F.col("l") < 2, F.col("gsize")).otherwise(0)
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(low).cast("bigint").alias("n_low_diversity_groups"),
+        F.sum(exposed).cast("bigint").alias("n_exposed_docs"),
+        F.round(
+            F.sum(exposed).cast("double") / F.sum("gsize"), 6
+        ).alias("exposed_share"),
+    )

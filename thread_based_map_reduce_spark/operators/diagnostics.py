@@ -660,3 +660,89 @@ def q_join_cardinality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_over_actual"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery: for candidate FDs A -> B, the number
+# of A-groups mapping to more than one B value — the data-profiling pass
+# that finds real keys, denormalization opportunities, and broken
+# assumptions before schema decisions. Each FD check is ONE narrow
+# two-column aggregate (count distinct B per A, then counts-of-violators).
+@register(
+    "functional_dependency_audit",
+    oracle="""
+        WITH fd1 AS (
+            SELECT count(*) AS n_groups,
+                   sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating
+            FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS ndv
+                  FROM orders GROUP BY o_orderkey)
+        ),
+        fd2 AS (
+            SELECT count(*) AS n_groups,
+                   sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating
+            FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS ndv
+                  FROM customer GROUP BY c_custkey)
+        ),
+        fd3 AS (
+            SELECT count(*) AS n_groups,
+                   sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating
+            FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS ndv
+                  FROM lineitem GROUP BY l_partkey)
+        ),
+        fd4 AS (
+            SELECT count(*) AS n_groups,
+                   sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating
+            FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS ndv
+                  FROM nation GROUP BY n_nationkey)
+        )
+        SELECT 'o_orderkey->o_custkey' AS fd,
+               CAST(n_groups AS BIGINT) AS n_lhs_groups,
+               CAST(n_violating AS BIGINT) AS n_violating,
+               n_violating = 0 AS holds
+        FROM fd1
+        UNION ALL
+        SELECT 'c_custkey->c_nationkey', CAST(n_groups AS BIGINT),
+               CAST(n_violating AS BIGINT), n_violating = 0 FROM fd2
+        UNION ALL
+        SELECT 'l_partkey->l_suppkey', CAST(n_groups AS BIGINT),
+               CAST(n_violating AS BIGINT), n_violating = 0 FROM fd3
+        UNION ALL
+        SELECT 'n_nationkey->n_regionkey', CAST(n_groups AS BIGINT),
+               CAST(n_violating AS BIGINT), n_violating = 0 FROM fd4
+    """,
+    doc="Functional-dependency discovery over four candidate FDs (two "
+    "true keys, one many-to-many that must FAIL, one dimension "
+    "hierarchy): per FD, the LHS group count, groups mapping to >1 RHS "
+    "value, and a holds verdict — the profiling pass behind key "
+    "inference and normalization decisions. Each check is one narrow "
+    "(A, distinct B) aggregate, map-side combined; output is four rows "
+    "at any scale",
+    tags=("diagnostics", "stats", "quality"),
+)
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fd(df: DataFrame, name: str, a: str, b: str) -> DataFrame:
+        g = df.groupBy(a).agg(F.countDistinct(b).alias("ndv"))
+        return g.agg(
+            F.count("*").cast("bigint").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_lhs_groups",
+            "n_violating",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        fd(orders, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(fd(cust, "c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
+        .unionAll(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionAll(
+            fd(nation, "n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+        )
+    )

@@ -268,6 +268,8 @@ _DEFER_NEW_R4 = frozenset({
     "cluster_quality_db_index",
     "detok_fidelity_stats",
     "lsh_band_tuning_curve",
+    "functional_dependency_audit",
+    "l_diversity_stats",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
