@@ -78,3 +78,23 @@ def test_cdc_merge_accounting(spark, sf_dir):
     assert row.n_final == row.n_base - row.n_deleted + row.n_inserted
     assert row.n_updated + row.n_inserted + row.n_deleted <= row.n_changelog
     assert row.content_checksum is not None and row.content_checksum > 0
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL standard error is 1.04/sqrt(m); assert the estimate lands within
+    5 sigma of truth (a deterministic check — the sketch has no RNG), and
+    that the integer register sum is consistent with the reported zeros."""
+    from thread_based_map_reduce_spark.operators.engineering import (
+        HLL_M,
+        _HLL_POW2K,
+        q_hll_distinct_estimate,
+    )
+
+    row = q_hll_distinct_estimate(spark, sf_dir).collect()[0]
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert row.m == HLL_M
+    assert abs(row.hll_estimate - row.true_distinct) <= 5 * sigma * row.true_distinct
+    # every register contributes at least 2^1 (a present bucket has rho>=1
+    # => term <= 2^52) and zeros contribute exactly 2^53 each
+    assert row.register_sum >= row.n_zero_buckets * _HLL_POW2K
+    assert row.register_sum <= HLL_M * _HLL_POW2K

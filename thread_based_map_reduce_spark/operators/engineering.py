@@ -592,3 +592,155 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_checksum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog over the portable hash. KMV (kmv_distinct_estimate) is the
+# k-smallest-hashes sketch; this is the REGISTER sketch actually used by
+# engine-native approx_count_distinct — re-built here over portable_hash64
+# so the whole estimator (registers, harmonic sum, final estimate) is
+# bit-identical in both engines and sits under the hash gate, unlike the
+# engine-native sketch whose internals legitimately differ per engine.
+#
+# Layout of the 60-bit hash: low 8 bits pick one of m=256 registers, the
+# remaining 52 bits are the suffix whose leading-zero rank feeds the
+# register: rho = (# leading zeros of the 52-bit suffix) + 1, in 1..53.
+# rho is computed with a pure integer comparison ladder (suffix >= 2^51,
+# >= 2^50, ...) — no log2/floor float path, so there is no ulp hazard
+# (the Benford log10 lesson). The harmonic denominator is kept EXACT by
+# integer-scaling: S = sum_j 2^(53 - M_j) as BIGINT (empty registers
+# contribute 2^53), max 256 * 2^53 < 2^62 — order-independent, so Spark's
+# nondeterministic aggregation order cannot perturb the estimate. The
+# final alpha_m * m^2 * 2^53 / S is one fixed double expression tree over
+# exact integer inputs — IEEE-deterministic across engines.
+HLL_M = 256  # registers; standard error ~ 1.04/sqrt(m) = 6.5%
+HLL_SUFFIX_BITS = 52
+_HLL_POW2K = 1 << (HLL_SUFFIX_BITS + 1)  # 2^53: empty-register term
+
+
+def _hll_rho_sql(suffix: str) -> str:
+    arms = " ".join(
+        f"WHEN {suffix} >= {1 << (HLL_SUFFIX_BITS - p)} THEN {p}"
+        for p in range(1, HLL_SUFFIX_BITS + 1)
+    )
+    return f"CASE {arms} ELSE {HLL_SUFFIX_BITS + 1} END"
+
+
+def _hll_rho_col(suffix):
+    expr = None
+    for p in range(1, HLL_SUFFIX_BITS + 1):
+        cond = suffix >= F.lit(1 << (HLL_SUFFIX_BITS - p))
+        expr = F.when(cond, p) if expr is None else expr.when(cond, p)
+    return expr.otherwise(HLL_SUFFIX_BITS + 1)
+
+
+# alpha_256 * m^2 * 2^53, as ONE shared expression tree (identical literal
+# parse + identical op order in both engines -> identical double).
+_HLL_ALPHA_SQL = (
+    "(((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))"
+    f" * {HLL_M * HLL_M}.0) * {float(_HLL_POW2K):.1f})"
+)
+
+
+@register(
+    "hll_distinct_estimate",
+    oracle=f"""
+        WITH hashes AS (
+            SELECT DISTINCT {portable_hash64_sql('CAST(l_orderkey AS VARCHAR)')} AS h
+            FROM lineitem
+        ),
+        regs AS (
+            SELECT h % {HLL_M} AS bucket,
+                   max({_hll_rho_sql(f'(h // {HLL_M})')}) AS m_j
+            FROM hashes GROUP BY 1
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(1::BIGINT << ({HLL_SUFFIX_BITS + 1} - m_j)) AS BIGINT)
+                       AS s_present
+            FROM regs
+        ),
+        est AS (
+            SELECT ({HLL_M} - n_present) AS n_zero_buckets,
+                   s_present + ({HLL_M} - n_present) * {_HLL_POW2K}::BIGINT
+                       AS register_sum,
+                   {_HLL_ALPHA_SQL}
+                       / CAST(s_present + ({HLL_M} - n_present) * {_HLL_POW2K}::BIGINT
+                              AS DOUBLE) AS raw
+            FROM sums
+        )
+        SELECT CAST({HLL_M} AS BIGINT) AS m,
+               CAST(n_zero_buckets AS BIGINT) AS n_zero_buckets,
+               register_sum,
+               CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+                   AS true_distinct,
+               CAST(floor(raw) AS BIGINT) AS hll_estimate,
+               round(abs(raw - (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+                     / (SELECT count(DISTINCT l_orderkey) FROM lineitem), 6)
+                   AS rel_err
+        FROM est
+    """,
+    doc="HyperLogLog distinct-count sketch over the portable hash: 256 "
+    "registers from the hash's low byte, register value = leading-zero "
+    "rank of the 52-bit suffix via a pure integer comparison ladder (no "
+    "float log2 -> no ulp hazard), harmonic denominator integer-scaled to "
+    "an order-independent BIGINT sum, so the ENTIRE estimator is "
+    "bit-identical across engines and hash-gated (the engine-native "
+    "sketch in approx_aggregates cannot be). No small-range branch: "
+    "distinct orderkeys exceed 2.5m at every shipped SF (the "
+    "n_zero_buckets column keeps the linear-counting input auditable). "
+    "Scale shape: one map-side-combined max-aggregate into at most 256 "
+    "groups — the sketch is mergeable, which is exactly why HLL is THE "
+    "100 TB distinct-count structure; the register table is constant-size "
+    "regardless of corpus",
+    tags=("agg", "approx", "sketch"),
+)
+def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = portable_hash64(F.col("l_orderkey").cast("string"))
+    regs = (
+        li.select(h.alias("h"))
+        .distinct()
+        .select(
+            (F.col("h") % HLL_M).alias("bucket"),
+            # h is 60-bit: h / 256 in DOUBLE would round above 2^53, so the
+            # suffix extraction must stay integer — shiftright(h, 8) == the
+            # oracle's exact `h // 256` (m is a power of two by design).
+            _hll_rho_col(F.expr("shiftright(h, 8)")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sums = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_SUFFIX_BITS + 1} - m_j AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    true_d = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct")
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(_HLL_POW2K)
+    ).cast("bigint")
+    raw = F.expr(_HLL_ALPHA_SQL) / s_total.cast("double")
+    return (
+        sums.crossJoin(F.broadcast(true_d))
+        .select(
+            F.lit(HLL_M).cast("bigint").alias("m"),
+            (F.lit(HLL_M) - F.col("n_present")).cast("bigint").alias(
+                "n_zero_buckets"
+            ),
+            s_total.alias("register_sum"),
+            "true_distinct",
+            F.floor(raw).cast("bigint").alias("hll_estimate"),
+            F.round(
+                F.abs(raw - F.col("true_distinct")) / F.col("true_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -270,6 +270,12 @@ _DEFER_NEW_R4 = frozenset({
     "lsh_band_tuning_curve",
     "functional_dependency_audit",
     "l_diversity_stats",
+    # final r4 batch (register sketch / sweep-line / learned NB / OLS / BFS):
+    "hll_distinct_estimate",
+    "peak_concurrency",
+    "nb_langid_train_eval",
+    "ols_price_model",
+    "dup_graph_bfs_hops",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
