@@ -404,3 +404,25 @@ def test_benford_frequencies_sum_to_one(spark, sf_dir):
     rows = q_benford_digit_stats(spark, sf_dir).collect()
     assert all(1 <= r.digit <= 9 for r in rows)
     assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Recompute the sweep-line answer with a brute-force python scan over
+    the collected user-day intervals (closed-interval semantics) and assert
+    the distributed two-level prefix-sum agrees exactly."""
+    row = CATALOG["peak_concurrency"].fn(spark, sf_dir).collect()[0]
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .collect()
+    )
+    points = sorted({r.s for r in iv})
+    best, best_ts = -1, None
+    for t in points:
+        c = sum(1 for r in iv if r.s <= t <= r.e)
+        if c > best:
+            best, best_ts = c, t
+    assert row.peak_concurrency == best
+    assert row.peak_ts == best_ts
+    assert row.n_intervals == len(iv)

@@ -1941,3 +1941,102 @@ def q_churn_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("churned").cast("double") / F.count("*"), 6
         ).alias("churn_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line peak concurrency. The classic interval problem (max number of
+# simultaneously-open sessions) needs a GLOBAL running sum over time-ordered
+# +1/-1 deltas — the textbook single-task-window trap. Distributed shape:
+# per-timestamp delta aggregation (one narrow shuffle), then the two-level
+# prefix-sum reconstruction (day-bucket local windows + a broadcast
+# exclusive prefix over per-day totals — the _global_rank trick lifted from
+# ranks to running sums; the offsets window is bounded by #distinct days).
+# Intra-timestamp ordering ambiguity is designed out: closed intervals are
+# evaluated per DISTINCT ts as conc(ts) = starts(<=ts) - ends(<ts)
+#   = cumsum(starts - ends)(<=ts) + ends_at(ts),
+# which never orders a start against an end at equal ts.
+@register(
+    "peak_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   min(ts) AS s_ts, max(ts) AS e_ts
+            FROM events GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT ts, sum(s) AS s, sum(e) AS e FROM (
+                SELECT s_ts AS ts, 1 AS s, 0 AS e FROM iv
+                UNION ALL
+                SELECT e_ts AS ts, 0 AS s, 1 AS e FROM iv
+            ) GROUP BY ts
+        ),
+        conc AS (
+            SELECT ts, sum(s - e) OVER (ORDER BY ts) + e AS conc FROM deltas
+        ),
+        peak AS (SELECT max(conc) AS p FROM conc)
+        SELECT CAST(p AS BIGINT) AS peak_concurrency,
+               (SELECT min(ts) FROM conc WHERE conc = p) AS peak_ts,
+               (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_intervals,
+               (SELECT CAST(count(*) AS BIGINT) FROM deltas) AS n_distinct_ts
+        FROM peak
+    """,
+    doc="Sweep-line peak concurrency over user-day activity intervals "
+    "[first event, last event]: emit +1/-1 deltas, aggregate per distinct "
+    "timestamp, reconstruct the global running sum with day-bucket local "
+    "windows plus a broadcast per-day prefix (no single-task global "
+    "window), and report the peak, its first timestamp, and interval "
+    "counts. Closed-interval semantics are made order-free by evaluating "
+    "starts(<=t) - ends(<t) per distinct t, so no start-vs-end tiebreak "
+    "at equal timestamps exists to disagree on. Scale: one shuffle on ts "
+    "for the delta aggregate, per-day windows each bounded by a day's "
+    "distinct timestamps, and a #days-sized broadcast — the capacity-"
+    "planning query (max simultaneous sessions) at metadata cost",
+    tags=("events", "window", "analytics"),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    deltas = (
+        iv.select(F.col("s_ts").alias("ts"), F.lit(1).alias("s"), F.lit(0).alias("e"))
+        .unionAll(
+            iv.select(F.col("e_ts").alias("ts"), F.lit(0).alias("s"), F.lit(1).alias("e"))
+        )
+        .groupBy("ts")
+        .agg(F.sum("s").alias("s"), F.sum("e").alias("e"))
+        .withColumn("_b", F.to_date("ts"))
+    )
+    btot = deltas.groupBy("_b").agg(F.sum(F.col("s") - F.col("e")).alias("_bn"))
+    # exclusive prefix over per-day totals: bounded by #distinct days
+    offsets = btot.select(
+        "_b",
+        F.coalesce(
+            F.sum("_bn").over(W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.sum(F.col("s") - F.col("e")).over(
+        W.partitionBy("_b").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    )
+    conc = deltas.join(F.broadcast(offsets), "_b").select(
+        "ts", (F.col("_off") + within + F.col("e")).alias("conc")
+    )
+    peak = conc.agg(F.max("conc").alias("p"))
+    peak_ts = (
+        conc.join(F.broadcast(peak), conc["conc"] == peak["p"])
+        .agg(F.min("ts").alias("peak_ts"))
+    )
+    counts = iv.agg(F.count("*").alias("n_intervals")).crossJoin(
+        deltas.agg(F.count("*").alias("n_distinct_ts"))
+    )
+    return (
+        peak.crossJoin(F.broadcast(peak_ts))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("p").cast("bigint").alias("peak_concurrency"),
+            "peak_ts",
+            F.col("n_intervals").cast("bigint").alias("n_intervals"),
+            F.col("n_distinct_ts").cast("bigint").alias("n_distinct_ts"),
+        )
+    )
