@@ -1,0 +1,66 @@
+"""Invariant tests for operators/ml.py — contracts the DuckDB hash gate
+cannot express: the NB confusion matrix partitions the eval fold exactly,
+and the Cramer-rule OLS solution matches an independent numpy lstsq solve
+of the same normal equations."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from thread_based_map_reduce_spark.functions.hashing import portable_hash64
+from thread_based_map_reduce_spark.operators.ml import (
+    NB_FOLDS,
+    q_nb_langid_train_eval,
+    q_ols_price_model,
+)
+from thread_based_map_reduce_spark.sources.registry import load_table
+
+
+def test_nb_confusion_partitions_eval_fold(spark, sf_dir):
+    conf = q_nb_langid_train_eval(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_eval = docs.where(
+        portable_hash64(F.col("doc_id").cast("string")) % NB_FOLDS == 0
+    ).count()
+    assert sum(r.n_docs for r in conf) == n_eval
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {r.true_lang for r in conf} <= langs
+    assert {r.pred_lang for r in conf} <= langs
+    # exactly one prediction per doc => no (true, pred) pair double-counted
+    assert len({(r.true_lang, r.pred_lang) for r in conf}) == len(conf)
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    rows = q_ols_price_model(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("x2"),
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(feats, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", "x1", "x2", "o_totalprice")
+        .collect()
+    )
+    by_grp: dict[str, list] = {}
+    for r in base:
+        by_grp.setdefault(r.o_orderpriority, []).append(r)
+    for out in rows:
+        grp = by_grp[out.o_orderpriority]
+        X = np.array([[1.0, r.x1, r.x2] for r in grp])
+        y = np.array([round(r.o_totalprice, 2) for r in grp])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert out.n == len(grp)
+        # Cramer on exact sums vs numpy's SVD path: agree to ~1e-4 relative
+        for got, want in zip((out.b0, out.b1, out.b2), beta):
+            assert abs(got - want) <= 1e-4 * max(1.0, abs(want)), (
+                out.o_orderpriority,
+                (out.b0, out.b1, out.b2),
+                beta,
+            )
+        pred = X @ beta
+        sst = ((y - y.mean()) ** 2).sum()
+        r2 = 1.0 - ((y - pred) ** 2).sum() / sst
+        assert abs(out.r2 - r2) <= 1e-4

@@ -102,6 +102,7 @@ def _load_all() -> None:
         streaming_runtime,
         analytics,
         engineering,
+        ml,
     )
 
 
