@@ -80,3 +80,35 @@ def test_matches_label_propagation_on_testdata(spark):
     prop = {(r.doc_id, r.cluster) for r in q_dedup_clusters(spark, SF).collect()}
     star = {(r.doc_id, r.cluster) for r in q_dedup_clusters_twostar(spark, SF).collect()}
     assert star == prop
+
+
+def test_bfs_hops_stays_inside_seed_component(spark, sf_dir):
+    """Every BFS-reached node must share the seed's connected component
+    (cross-checked against dedup_clusters), hop 0 is exactly the seed, and
+    per-hop frontiers are disjoint by construction (min-hop dedup)."""
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.operators.dedup import (
+        q_dup_graph_bfs_hops,
+        q_dedup_clusters,
+        _lsh_verified_pairs,
+    )
+
+    hops = q_dup_graph_bfs_hops(spark, sf_dir).collect()
+    by_hop = {r.hop: r for r in hops}
+    assert by_hop[0].n_docs == 1
+    seed_doc = by_hop[0].min_doc
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    assert seed_doc == pairs.agg(F.min("doc_a")).collect()[0][0]
+
+    clusters = {
+        r.doc_id: r.cluster for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    seed_cluster = clusters[seed_doc]
+    reached = sum(r.n_docs for r in hops)
+    assert reached == sum(1 for c in clusters.values() if c == seed_cluster), (
+        "4-hop BFS did not cover the seed's component (diameter > bound?)"
+    )
+    for r in hops:
+        assert clusters[r.min_doc] == seed_cluster
+        assert clusters[r.max_doc] == seed_cluster

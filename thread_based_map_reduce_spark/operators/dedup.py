@@ -1862,3 +1862,102 @@ def q_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# -- BFS hop distance over the near-dup graph ---------------------------------
+
+# Fixed BFS radius: matches the oracle's recursion bound, and in the dedup
+# use case (near-dup components have tiny diameter — the same property
+# dedup_clusters' propagation leans on) 4 hops covers every component the
+# corpus produces; unreached docs are simply absent, as in the oracle.
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "dup_graph_bfs_hops",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        bands AS (
+            SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                        AND b.doc_id > a.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list(DISTINCT {portable_hash64_sql('s')}) AS ts
+            FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION SELECT doc_b, doc_a FROM verified
+        ),
+        seed AS (SELECT min(a) AS s FROM sym),
+        bfs(node, hop) AS (
+            SELECT s, 0 FROM seed
+            UNION
+            SELECT e.b, f.hop + 1
+            FROM bfs f JOIN sym e ON f.node = e.a
+            WHERE f.hop < {BFS_MAX_HOPS}
+        ),
+        dist AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+        SELECT CAST(hop AS BIGINT) AS hop,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(node) AS BIGINT) AS min_doc,
+               CAST(max(node) AS BIGINT) AS max_doc
+        FROM dist GROUP BY hop
+    """,
+    doc="Breadth-first hop distance over the verified near-dup graph from a "
+    "deterministic seed (the minimum doc id in the edge set), bounded at "
+    f"{BFS_MAX_HOPS} hops: per-hop frontier counts with min/max member "
+    "ids. The Spark side is textbook distributed BFS — per round, one "
+    "frontier-to-edges equi-join expands, a left-anti join against the "
+    "visited set dedups, and reliable_checkpoint truncates lineage — "
+    "O(radius) jobs total, each a narrow integer-key shuffle (the same "
+    "round structure as dedup_clusters, specialized to distances). "
+    "Oracle: bounded recursive-CTE BFS with min-hop dedup. Scale: the "
+    "frontier join is frontier-sized, not graph-sized; the visited set "
+    "only ever holds reached nodes; no stage is all-pairs",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    half = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = reliable_checkpoint(
+        half.unionAll(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    dist = edges.agg(F.min("a").alias("node")).select(
+        "node", F.lit(0).alias("hop")
+    )
+    frontier = dist.select("node")
+    for r in range(1, BFS_MAX_HOPS + 1):
+        nxt = reliable_checkpoint(
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node") == F.col("e.a"))
+            .select(F.col("e.b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(r))
+        )
+        dist = dist.unionAll(nxt)
+        frontier = nxt.select("node")
+    return dist.groupBy(F.col("hop").cast("bigint").alias("hop")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("node").cast("bigint").alias("min_doc"),
+        F.max("node").cast("bigint").alias("max_doc"),
+    )
