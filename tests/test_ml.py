@@ -64,3 +64,87 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
         sst = ((y - y.mean()) ** 2).sum()
         r2 = 1.0 - ((y - pred) ** 2).sum() / sst
         assert abs(out.r2 - r2) <= 1e-4
+
+
+def test_ols_kfold_cv_folds_partition_and_match_numpy(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.ml import (
+        OLS_CV_FOLDS,
+        q_ols_kfold_cv,
+    )
+
+    rows = q_ols_kfold_cv(spark, sf_dir).collect()
+    assert len(rows) == OLS_CV_FOLDS
+    total = rows[0].n_train + rows[0].n_test
+    for r in rows:
+        assert r.n_train + r.n_test == total
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("x2"),
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(feats, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (portable_hash64(F.col("o_orderkey").cast("string")) % OLS_CV_FOLDS)
+            .alias("fold"),
+            "x1",
+            "x2",
+            "o_totalprice",
+        )
+        .collect()
+    )
+    for out in rows:
+        tr = [r for r in base if r.fold != out.fold]
+        te = [r for r in base if r.fold == out.fold]
+        assert (len(tr), len(te)) == (out.n_train, out.n_test)
+        X = np.array([[1.0, r.x1, r.x2] for r in tr])
+        y = np.array([round(r.o_totalprice, 2) for r in tr])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        for got, want in zip((out.b0, out.b1, out.b2), beta):
+            assert abs(got - want) <= 1e-4 * max(1.0, abs(want))
+        Xt = np.array([[1.0, r.x1, r.x2] for r in te])
+        yt = np.array([round(r.o_totalprice, 2) for r in te])
+        rmse = float(np.sqrt(((yt - Xt @ beta) ** 2).mean()))
+        assert abs(out.rmse_holdout - rmse) <= 1e-3 * max(1.0, rmse)
+
+
+def test_decision_stump_matches_bruteforce(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.ml import (
+        STUMP_PRICE_BINS,
+        q_decision_stump_train,
+    )
+
+    rows = {r.feature: r for r in q_decision_stump_train(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    mn = min(r.o_totalprice for r in orders)
+    mx = max(r.o_totalprice for r in orders)
+
+    def bin_of(r, feature):
+        if feature == "month":
+            return r.o_orderdate.month
+        raw = (r.o_totalprice - mn) * STUMP_PRICE_BINS / max(mx - mn, 1e-9)
+        return min(int(raw), STUMP_PRICE_BINS - 1)
+
+    for feature, out in rows.items():
+        pts = [(bin_of(r, feature), 1 if r.o_orderstatus == "F" else 0) for r in orders]
+        best = None
+        for t in sorted({b for b, _ in pts})[:-1]:
+            nl = sum(1 for b, _ in pts if b <= t)
+            pl = sum(p for b, p in pts if b <= t)
+            nr, pr = len(pts) - nl, sum(p for _, p in pts) - pl
+            gini = nl * (1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2) + nr * (
+                1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+            )
+            if best is None or gini < best[1] - 1e-9:
+                best = (t, gini, nl, pl, nr, pr)
+        t, gini, nl, pl, nr, pr = best
+        assert out.threshold_bin == t, (feature, out, best)
+        assert abs(out.gini_weighted - gini) <= 1e-4
+        assert (out.n_left, out.pos_left, out.n_right, out.pos_right) == (
+            nl,
+            pl,
+            nr,
+            pr,
+        )

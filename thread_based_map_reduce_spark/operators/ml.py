@@ -217,14 +217,21 @@ _OLS_DETS = {
     "det1": "(nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))",
     "det2": "(nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))",
 }
+# Unrounded Cramer solutions — reused by ols_kfold_cv, whose SSE needs the
+# raw betas, not the 6-decimal presentation rounding.
+_OLS_BETA_RAW = {
+    "b0r": f"({_OLS_DETS['det0']} / nullif({_OLS_DETS['det']}, 0.0))",
+    "b1r": f"({_OLS_DETS['det1']} / nullif({_OLS_DETS['det']}, 0.0))",
+    "b2r": f"({_OLS_DETS['det2']} / nullif({_OLS_DETS['det']}, 0.0))",
+}
 _OLS_BETA_SQL = {
-    "b0": f"round({_OLS_DETS['det0']} / nullif({_OLS_DETS['det']}, 0.0), 6)",
-    "b1": f"round({_OLS_DETS['det1']} / nullif({_OLS_DETS['det']}, 0.0), 6)",
-    "b2": f"round({_OLS_DETS['det2']} / nullif({_OLS_DETS['det']}, 0.0), 6)",
+    "b0": f"round({_OLS_BETA_RAW['b0r']}, 6)",
+    "b1": f"round({_OLS_BETA_RAW['b1r']}, 6)",
+    "b2": f"round({_OLS_BETA_RAW['b2r']}, 6)",
     "r2": (
-        f"round(1.0 - (syy - ({_OLS_DETS['det0']} / nullif({_OLS_DETS['det']}, 0.0)) * sy"
-        f" - ({_OLS_DETS['det1']} / nullif({_OLS_DETS['det']}, 0.0)) * s1y"
-        f" - ({_OLS_DETS['det2']} / nullif({_OLS_DETS['det']}, 0.0)) * s2y)"
+        f"round(1.0 - (syy - {_OLS_BETA_RAW['b0r']} * sy"
+        f" - {_OLS_BETA_RAW['b1r']} * s1y"
+        f" - {_OLS_BETA_RAW['b2r']} * s2y)"
         f" / nullif(syy - sy * sy / nd, 0.0), 6)"
     ),
 }
@@ -322,4 +329,364 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OLS_BETA_SQL["b1"]).alias("b1"),
         F.expr(_OLS_BETA_SQL["b2"]).alias("b2"),
         F.expr(_OLS_BETA_SQL["r2"]).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation of the OLS model — WITHOUT k training passes.
+# Per-fold moment sums are EXACT (BIGINT / DECIMAL), so the training-side
+# moments of fold f are literally total - fold_f: one data pass builds all
+# k train/test moment sets, Cramer solves each, and the holdout SSE comes
+# from the *test-side moments* (SSE = Syy - 2 b'X'y + b'X'Xb), never from a
+# per-row residual sum — which would be an order-dependent float
+# accumulation Spark cannot replay deterministically.
+OLS_CV_FOLDS = 5
+
+_OLS_SSE_SQL = (
+    "greatest(tsyy - 2.0 * (b0r * tsy + b1r * ts1y + b2r * ts2y)"
+    " + (tnd * b0r * b0r + 2.0 * b0r * b1r * ts1 + 2.0 * b0r * b2r * ts2"
+    " + b1r * b1r * ts11 + 2.0 * b1r * b2r * ts12 + b2r * b2r * ts22), 0.0)"
+)
+
+_OLS_CV_FOLDS_SQL = f"""
+        feats AS (
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS x1,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+            FROM lineitem GROUP BY 1
+        ),
+        base AS (
+            SELECT {portable_hash64_sql('CAST(o.o_orderkey AS VARCHAR)')}
+                       % {OLS_CV_FOLDS} AS fold,
+                   f.x1, f.x2,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS yd
+            FROM orders o JOIN feats f ON f.l_orderkey = o.o_orderkey
+        ),
+        fstats AS (
+            SELECT fold,
+                   CAST(count(*) AS BIGINT) AS fn,
+                   CAST(sum(x1) AS BIGINT) AS fs1,
+                   CAST(sum(x2) AS BIGINT) AS fs2,
+                   CAST(sum(x1 * x1) AS BIGINT) AS fs11,
+                   CAST(sum(x1 * x2) AS BIGINT) AS fs12,
+                   CAST(sum(x2 * x2) AS BIGINT) AS fs22,
+                   CAST(sum(CAST(yd AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS fsy,
+                   CAST(sum(CAST(x1 * yd AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS fs1y,
+                   CAST(sum(CAST(x2 * yd AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS fs2y,
+                   CAST(sum(CAST(yd * yd AS DECIMAL(32,6))) AS DECIMAL(38,6)) AS fsyy
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(fn) AS BIGINT) AS tn,
+                   CAST(sum(fs1) AS BIGINT) AS t1,
+                   CAST(sum(fs2) AS BIGINT) AS t2,
+                   CAST(sum(fs11) AS BIGINT) AS t11,
+                   CAST(sum(fs12) AS BIGINT) AS t12,
+                   CAST(sum(fs22) AS BIGINT) AS t22,
+                   CAST(sum(fsy) AS DECIMAL(38,6)) AS ty,
+                   CAST(sum(fs1y) AS DECIMAL(38,6)) AS t1y,
+                   CAST(sum(fs2y) AS DECIMAL(38,6)) AS t2y,
+                   CAST(sum(fsyy) AS DECIMAL(38,6)) AS tyy
+            FROM fstats
+        ),
+        train AS (
+            SELECT fold,
+                   CAST(tn - fn AS DOUBLE) AS nd,
+                   CAST(tn - fn AS BIGINT) AS n_train,
+                   fn AS n_test,
+                   CAST(t1 - fs1 AS DOUBLE) AS s1,
+                   CAST(t2 - fs2 AS DOUBLE) AS s2,
+                   CAST(t11 - fs11 AS DOUBLE) AS s11,
+                   CAST(t12 - fs12 AS DOUBLE) AS s12,
+                   CAST(t22 - fs22 AS DOUBLE) AS s22,
+                   CAST(ty - fsy AS DOUBLE) AS sy,
+                   CAST(t1y - fs1y AS DOUBLE) AS s1y,
+                   CAST(t2y - fs2y AS DOUBLE) AS s2y,
+                   CAST(fn AS DOUBLE) AS tnd,
+                   CAST(fs1 AS DOUBLE) AS ts1,
+                   CAST(fs2 AS DOUBLE) AS ts2,
+                   CAST(fs11 AS DOUBLE) AS ts11,
+                   CAST(fs12 AS DOUBLE) AS ts12,
+                   CAST(fs22 AS DOUBLE) AS ts22,
+                   CAST(fsy AS DOUBLE) AS tsy,
+                   CAST(fs1y AS DOUBLE) AS ts1y,
+                   CAST(fs2y AS DOUBLE) AS ts2y,
+                   CAST(fsyy AS DOUBLE) AS tsyy
+            FROM fstats CROSS JOIN tot
+        ),
+        betas AS (
+            SELECT *,
+                   {_OLS_BETA_RAW['b0r']} AS b0r,
+                   {_OLS_BETA_RAW['b1r']} AS b1r,
+                   {_OLS_BETA_RAW['b2r']} AS b2r
+            FROM train
+        )
+"""
+
+
+@register(
+    "ols_kfold_cv",
+    oracle=f"""
+        WITH {_OLS_CV_FOLDS_SQL.strip()}
+        SELECT CAST(fold AS BIGINT) AS fold, n_train, n_test,
+               round(b0r, 6) AS b0,
+               round(b1r, 6) AS b1,
+               round(b2r, 6) AS b2,
+               round(sqrt({_OLS_SSE_SQL} / tnd), 6) AS rmse_holdout
+        FROM betas
+    """,
+    doc=f"{OLS_CV_FOLDS}-fold cross-validation of the linear price model in "
+    "ONE data pass: per-fold moment sums are exact (BIGINT / DECIMAL), so "
+    "each fold's TRAINING moments are computed by subtraction "
+    "(total - fold) instead of re-scanning, Cramer's rule solves each "
+    "fold's normal equations (the shared _OLS_BETA_RAW fragments), and "
+    "the holdout RMSE derives from the held-out fold's own moments "
+    "(SSE = Syy - 2b'X'y + b'X'Xb) — never a per-row residual sum, which "
+    "would be an order-dependent float accumulation. Scale: one "
+    "map-side-combined aggregate into k rows, then k x constant-work "
+    "solves; adding folds costs nothing but a k-row cross join — "
+    "model-selection machinery at aggregation cost",
+    tags=("agg", "ml", "eval"),
+)
+def q_ols_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x2"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("yd")
+    )
+    base = orders.join(feats, orders.o_orderkey == feats.l_orderkey).select(
+        (portable_hash64(F.col("o_orderkey").cast("string")) % OLS_CV_FOLDS).alias(
+            "fold"
+        ),
+        "x1",
+        "x2",
+        "yd",
+    )
+    fstats = base.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("fn"),
+        F.sum("x1").cast("bigint").alias("fs1"),
+        F.sum("x2").cast("bigint").alias("fs2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("fs11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("fs12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("fs22"),
+        F.sum(F.col("yd").cast("decimal(30,6)"))
+        .cast("decimal(38,6)")
+        .alias("fsy"),
+        F.sum((F.col("x1") * F.col("yd")).cast("decimal(30,6)"))
+        .cast("decimal(38,6)")
+        .alias("fs1y"),
+        F.sum((F.col("x2") * F.col("yd")).cast("decimal(30,6)"))
+        .cast("decimal(38,6)")
+        .alias("fs2y"),
+        F.sum((F.col("yd") * F.col("yd")).cast("decimal(32,6)"))
+        .cast("decimal(38,6)")
+        .alias("fsyy"),
+    )
+    tot = fstats.agg(
+        F.sum("fn").cast("bigint").alias("tn"),
+        F.sum("fs1").cast("bigint").alias("t1"),
+        F.sum("fs2").cast("bigint").alias("t2"),
+        F.sum("fs11").cast("bigint").alias("t11"),
+        F.sum("fs12").cast("bigint").alias("t12"),
+        F.sum("fs22").cast("bigint").alias("t22"),
+        F.sum("fsy").cast("decimal(38,6)").alias("ty"),
+        F.sum("fs1y").cast("decimal(38,6)").alias("t1y"),
+        F.sum("fs2y").cast("decimal(38,6)").alias("t2y"),
+        F.sum("fsyy").cast("decimal(38,6)").alias("tyy"),
+    )
+    train = fstats.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("fn")).cast("double").alias("nd"),
+        (F.col("tn") - F.col("fn")).cast("bigint").alias("n_train"),
+        F.col("fn").alias("n_test"),
+        (F.col("t1") - F.col("fs1")).cast("double").alias("s1"),
+        (F.col("t2") - F.col("fs2")).cast("double").alias("s2"),
+        (F.col("t11") - F.col("fs11")).cast("double").alias("s11"),
+        (F.col("t12") - F.col("fs12")).cast("double").alias("s12"),
+        (F.col("t22") - F.col("fs22")).cast("double").alias("s22"),
+        (F.col("ty") - F.col("fsy")).cast("double").alias("sy"),
+        (F.col("t1y") - F.col("fs1y")).cast("double").alias("s1y"),
+        (F.col("t2y") - F.col("fs2y")).cast("double").alias("s2y"),
+        F.col("fn").cast("double").alias("tnd"),
+        F.col("fs1").cast("double").alias("ts1"),
+        F.col("fs2").cast("double").alias("ts2"),
+        F.col("fs11").cast("double").alias("ts11"),
+        F.col("fs12").cast("double").alias("ts12"),
+        F.col("fs22").cast("double").alias("ts22"),
+        F.col("fsy").cast("double").alias("tsy"),
+        F.col("fs1y").cast("double").alias("ts1y"),
+        F.col("fs2y").cast("double").alias("ts2y"),
+        F.col("fsyy").cast("double").alias("tsyy"),
+    )
+    betas = (
+        train.withColumn("b0r", F.expr(_OLS_BETA_RAW["b0r"]))
+        .withColumn("b1r", F.expr(_OLS_BETA_RAW["b1r"]))
+        .withColumn("b2r", F.expr(_OLS_BETA_RAW["b2r"]))
+    )
+    return betas.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_train",
+        "n_test",
+        F.round("b0r", 6).alias("b0"),
+        F.round("b1r", 6).alias("b1"),
+        F.round("b2r", 6).alias("b2"),
+        F.round(F.sqrt(F.expr(_OLS_SSE_SQL) / F.col("tnd")), 6).alias(
+            "rmse_holdout"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: the best single (feature, threshold) split by weighted
+# Gini impurity — the base learner of every boosted-tree stack, trained as
+# pure aggregation. Candidate thresholds are ordered bins; cumulative
+# class counts over the ≤64-row bin table turn "evaluate every split" into
+# one bounded window pass per feature.
+STUMP_PRICE_BINS = 64
+
+# Weighted Gini of a split, over DOUBLE columns (nld, pld) = left (count,
+# positives) and (nrd, prd) = right. One shared fragment -> identical IEEE
+# tree in both engines; sides are guaranteed non-empty by the nl < ntot
+# filter (left always contains the first bin).
+_STUMP_SCORE_SQL = (
+    "(nld * (1.0 - (pld / nld) * (pld / nld)"
+    " - ((nld - pld) / nld) * ((nld - pld) / nld))"
+    " + nrd * (1.0 - (prd / nrd) * (prd / nrd)"
+    " - ((nrd - prd) / nrd) * ((nrd - prd) / nrd)))"
+)
+
+# Equal-width price binning (the zorder quantizer shape, with its
+# degenerate-range guard) over broadcast min/max columns mn/mx.
+_STUMP_PRICE_BIN_SQL = (
+    f"CAST(least(floor((o_totalprice - mn) * {STUMP_PRICE_BINS}.0"
+    f" / greatest(mx - mn, 0.000000001)), {STUMP_PRICE_BINS - 1}.0) AS BIGINT)"
+)
+
+
+@register(
+    "decision_stump_train",
+    oracle=f"""
+        WITH minmax AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        ),
+        labeled AS (
+            SELECT 'price_bin' AS feature,
+                   {_STUMP_PRICE_BIN_SQL} AS bin,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+            FROM orders CROSS JOIN minmax
+            UNION ALL
+            SELECT 'month', CAST(month(o_orderdate) AS BIGINT),
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+            FROM orders
+        ),
+        bins AS (
+            SELECT feature, bin, count(*) AS n, sum(pos) AS p
+            FROM labeled GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT feature, bin,
+                   sum(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+                   sum(p) OVER (PARTITION BY feature ORDER BY bin) AS pl,
+                   sum(n) OVER (PARTITION BY feature) AS ntot,
+                   sum(p) OVER (PARTITION BY feature) AS ptot
+            FROM bins
+        ),
+        scored AS (
+            SELECT feature, bin,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(pl AS BIGINT) AS pos_left,
+                   CAST(ntot - nl AS BIGINT) AS n_right,
+                   CAST(ptot - pl AS BIGINT) AS pos_right,
+                   CAST(nl AS DOUBLE) AS nld,
+                   CAST(pl AS DOUBLE) AS pld,
+                   CAST(ntot - nl AS DOUBLE) AS nrd,
+                   CAST(ptot - pl AS DOUBLE) AS prd
+            FROM cum WHERE nl < ntot
+        ),
+        ranked AS (
+            SELECT feature, bin, n_left, pos_left, n_right, pos_right,
+                   {_STUMP_SCORE_SQL} AS score,
+                   row_number() OVER (PARTITION BY feature
+                                      ORDER BY {_STUMP_SCORE_SQL}, bin) AS rn
+            FROM scored
+        )
+        SELECT feature, CAST(bin AS BIGINT) AS threshold_bin,
+               round(score, 6) AS gini_weighted,
+               n_left, pos_left, n_right, pos_right
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Decision-stump training (the boosted-tree base learner) as pure "
+    "aggregation: label = order status 'F', candidate features = "
+    f"{STUMP_PRICE_BINS}-bin equal-width total price (zorder-style "
+    "quantizer with the degenerate-range guard) and order month; per "
+    "feature, cumulative class counts over the ordered bin table price "
+    "every 'bin <= t' split in one bounded window pass, and the argmin "
+    "of weighted Gini (a shared IEEE expression tree on exact integer "
+    "counts; ties break on bin) picks the split. Scale: the data pass is "
+    "one map-side-combined count into <=64 bins per feature; the window "
+    "runs on the bin table (bounded by construction), so training cost "
+    "is independent of row count — exactly how large-scale tree "
+    "libraries (approx hist mode) price splits",
+    tags=("agg", "ml", "window"),
+)
+def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    minmax = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    price = orders.crossJoin(F.broadcast(minmax)).select(
+        F.lit("price_bin").alias("feature"),
+        F.expr(_STUMP_PRICE_BIN_SQL).alias("bin"),
+        pos.alias("pos"),
+    )
+    month = orders.select(
+        F.lit("month").alias("feature"),
+        F.month("o_orderdate").cast("bigint").alias("bin"),
+        pos.alias("pos"),
+    )
+    bins = (
+        price.unionAll(month)
+        .groupBy("feature", "bin")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("p"))
+    )
+    w_cum = W.partitionBy("feature").orderBy("bin")
+    w_all = W.partitionBy("feature")
+    cum = bins.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("p").over(w_cum).alias("pl"),
+        F.sum("n").over(w_all).alias("ntot"),
+        F.sum("p").over(w_all).alias("ptot"),
+    )
+    scored = cum.where(F.col("nl") < F.col("ntot")).select(
+        "feature",
+        "bin",
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        (F.col("ntot") - F.col("nl")).cast("bigint").alias("n_right"),
+        (F.col("ptot") - F.col("pl")).cast("bigint").alias("pos_right"),
+        F.col("nl").cast("double").alias("nld"),
+        F.col("pl").cast("double").alias("pld"),
+        (F.col("ntot") - F.col("nl")).cast("double").alias("nrd"),
+        (F.col("ptot") - F.col("pl")).cast("double").alias("prd"),
+    )
+    ranked = scored.withColumn("score", F.expr(_STUMP_SCORE_SQL)).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("feature").orderBy(F.col("score"), F.col("bin"))
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "feature",
+        F.col("bin").cast("bigint").alias("threshold_bin"),
+        F.round("score", 6).alias("gini_weighted"),
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
     )

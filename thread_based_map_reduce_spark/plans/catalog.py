@@ -277,6 +277,8 @@ _DEFER_NEW_R4 = frozenset({
     "nb_langid_train_eval",
     "ols_price_model",
     "dup_graph_bfs_hops",
+    "ols_kfold_cv",
+    "decision_stump_train",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
