@@ -426,3 +426,46 @@ def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
     assert row.peak_concurrency == best
     assert row.peak_ts == best_ts
     assert row.n_intervals == len(iv)
+
+
+def test_chi2_matches_bruteforce(spark, sf_dir):
+    row = CATALOG["chi2_lang_source_independence"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    from collections import Counter
+
+    cells = Counter((r.lang, r.source) for r in docs)
+    rows_ = Counter(r.lang for r in docs)
+    cols = Counter(r.source for r in docs)
+    n = len(docs)
+    chi2 = sum(
+        (obs - rows_[l] * cols[s] / n) ** 2 / (rows_[l] * cols[s] / n)
+        for (l, s), obs in cells.items()
+    )
+    # micro-unit floors lose < 1e-6 per cell
+    assert abs(row.chi2 - chi2) <= 1e-4 * max(1.0, chi2) + 1e-4 * len(cells)
+    assert row.dof == (len(rows_) - 1) * (len(cols) - 1)
+    assert row.n == n and row.n_cells == len(cells)
+
+
+def test_mannwhitney_matches_bruteforce(spark, sf_dir):
+    row = CATALOG["mannwhitney_price_urgent"].fn(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    vals = sorted((r.o_totalprice, r.o_orderpriority == "1-URGENT") for r in orders)
+    # average ranks with ties
+    n = len(vals)
+    r1 = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1 .. j
+        r1 += avg * sum(1 for k in range(i, j) if vals[k][1])
+        i = j
+    n1 = sum(1 for _, g in vals if g)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row.n1 == n1 and row.n2 == n - n1
+    assert row.two_r1 == round(2 * r1)
+    assert abs(row.u1 - u1) <= 0.51

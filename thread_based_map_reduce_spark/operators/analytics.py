@@ -2040,3 +2040,250 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct_ts").cast("bigint").alias("n_distinct_ts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (lang x source). Every moment is an exact
+# integer count; the per-cell contribution (obs - exp)^2 / exp is computed
+# by an identical expression tree in both engines and then quantized to
+# BIGINT micro-units BEFORE the final sum — integer addition is
+# order-independent, so Spark's unordered aggregation cannot perturb the
+# statistic (the micronat technique from nb_langid_train_eval / pagerank).
+CHI2_SCALE = 1000000.0
+
+
+@register(
+    "chi2_lang_source_independence",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+            FROM documents GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT c.lang, c.source, c.obs,
+                   sum(c.obs) OVER (PARTITION BY c.lang) AS row_tot,
+                   sum(c.obs) OVER (PARTITION BY c.source) AS col_tot,
+                   sum(c.obs) OVER () AS n
+            FROM cells c
+        ),
+        contrib AS (
+            SELECT lang, source, obs, row_tot, col_tot, n,
+                   CAST(floor({CHI2_SCALE} *
+                        ((obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                         * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                         / (CAST(row_tot AS DOUBLE) * col_tot / n))
+                   ) AS BIGINT) AS contrib_micro
+            FROM margins
+        ),
+        summary AS (
+            SELECT sum(contrib_micro) AS chi2_micro,
+                   CAST((count(DISTINCT lang) - 1)
+                        * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(least(count(DISTINCT lang),
+                              count(DISTINCT source)) - 1 AS BIGINT) AS mindim
+            FROM contrib
+        )
+        SELECT CAST(chi2_micro AS BIGINT) AS chi2_micro,
+               round(chi2_micro / {CHI2_SCALE}, 4) AS chi2,
+               dof, n, n_cells,
+               round(sqrt((chi2_micro / {CHI2_SCALE}) / (n * mindim)), 6)
+                   AS cramers_v
+        FROM summary
+    """,
+    doc="Chi-square test of independence over the (lang, source) "
+    "contingency table, with Cramer's V effect size: observed counts and "
+    "marginals are exact integers, each cell's (obs-exp)^2/exp is one "
+    "fixed IEEE expression over them, and contributions are quantized to "
+    "BIGINT micro-units before summation so the statistic is "
+    "order-independent and hash-gated (only realized cells contribute — "
+    "a structurally-absent pair has obs=0 only if some engine "
+    "materializes it, so both engines consistently sum over observed "
+    "cells). Scale: the contingency table is |langs| x |sources| rows "
+    "after one map-side-combined count; the windowed marginals run on "
+    "that tiny grid, not the corpus — hypothesis testing at metadata "
+    "cost (the categorical sibling of ab_test_zstat)",
+    tags=("agg", "stats", "eval"),
+)
+def q_chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    margins = cells.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(W.partitionBy("lang")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("source")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    contrib = margins.select(
+        "lang",
+        "source",
+        "obs",
+        "n",
+        F.floor(
+            F.lit(CHI2_SCALE) * ((F.col("obs") - exp) * (F.col("obs") - exp) / exp)
+        )
+        .cast("bigint")
+        .alias("contrib_micro"),
+    )
+    summary = contrib.agg(
+        F.sum("contrib_micro").cast("bigint").alias("chi2_micro"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            F.least(F.countDistinct("lang"), F.countDistinct("source")) - 1
+        )
+        .cast("bigint")
+        .alias("mindim"),
+    )
+    return summary.select(
+        "chi2_micro",
+        F.round(F.col("chi2_micro") / CHI2_SCALE, 4).alias("chi2"),
+        "dof",
+        "n",
+        "n_cells",
+        F.round(
+            F.sqrt(
+                (F.col("chi2_micro") / CHI2_SCALE) / (F.col("n") * F.col("mindim"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (urgent vs non-urgent order prices). Ranks
+# with ties need AVERAGE ranks — half-integers — so everything is carried
+# as DOUBLED ranks: for a tie group of size cnt starting after cb rows,
+# 2 * avg_rank = 2*cb + cnt + 1, an exact BIGINT. The rank-sum, tie
+# correction (sum of t^3 - t), and U statistic are then pure integer
+# aggregates (order-independent); the z-score is one shared IEEE fragment
+# over them. The global rank ordering itself uses the two-level
+# reconstruction (price-bucket local windows + broadcast bucket prefix —
+# the _global_rank shape), never a one-partition window.
+MW_BUCKETS = 256
+
+_MW_Z_SQL = (
+    "round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * (n - n1))"
+    " / nullif(2.0 * sqrt((CAST(n1 AS DOUBLE) * (n - n1) / 12.0)"
+    " * ((n + 1) - CAST(tie_t AS DOUBLE) / nullif(CAST(n AS DOUBLE) * (n - 1.0), 0.0)))"
+    ", 0.0), 6)"
+)
+
+
+@register(
+    "mannwhitney_price_urgent",
+    oracle=f"""
+        WITH vals AS (
+            SELECT o_totalprice AS v,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT v, cnt, c1,
+                   coalesce(sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM vals
+        ),
+        agg AS (
+            SELECT CAST(sum(c1 * (2 * cb + cnt + 1)) AS BIGINT) AS two_r1,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t,
+                   CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tied_values
+            FROM cum
+        )
+        SELECT n1, (n - n1) AS n2,
+               two_r1,
+               (two_r1 - n1 * (n1 + 1)) AS two_u1,
+               round((two_r1 - n1 * (n1 + 1)) / 2.0, 1) AS u1,
+               tie_t, n_tied_values,
+               {_MW_Z_SQL} AS z_stat
+        FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test comparing urgent vs non-urgent order "
+    "price distributions — the nonparametric sibling of ab_test_zstat. "
+    "Tie-averaged ranks are carried as exact DOUBLED integers "
+    "(2*avg_rank = 2*rows_before + tie_size + 1), so the rank sum, tie "
+    "correction and U are order-independent BIGINT aggregates and the "
+    "tie-corrected z is one shared IEEE fragment over them — fully "
+    "hash-gated. Scale: one shuffle groups rows per distinct value; the "
+    "global rank order is rebuilt from price-bucket local windows plus a "
+    f"broadcast {MW_BUCKETS}-bucket prefix (the _global_rank shape) — no "
+    "one-partition sort; the tie cube assumes no single value repeats "
+    ">~2M times (BIGINT headroom; ANSI mode errors rather than wraps)",
+    tags=("agg", "stats", "eval"),
+)
+def q_mannwhitney_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    minmax = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bucketed = vals.crossJoin(F.broadcast(minmax)).withColumn(
+        "_b",
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                * MW_BUCKETS
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-9))
+            ),
+            F.lit(MW_BUCKETS - 1),
+        ).cast("bigint"),
+    )
+    btot = bucketed.groupBy("_b").agg(F.sum("cnt").alias("_bn"))
+    offsets = btot.select(
+        "_b",
+        F.coalesce(
+            F.sum("_bn").over(W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.coalesce(
+        F.sum("cnt").over(
+            W.partitionBy("_b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = bucketed.join(F.broadcast(offsets), "_b").select(
+        "v", "cnt", "c1", (F.col("_off") + within).alias("cb")
+    )
+    agg = cum.agg(
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tied_values"),
+    )
+    return agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "two_r1",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).alias("two_u1"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / 2.0, 1
+        ).alias("u1"),
+        "tie_t",
+        "n_tied_values",
+        F.expr(_MW_Z_SQL).alias("z_stat"),
+    )

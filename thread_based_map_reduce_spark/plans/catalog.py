@@ -279,6 +279,8 @@ _DEFER_NEW_R4 = frozenset({
     "dup_graph_bfs_hops",
     "ols_kfold_cv",
     "decision_stump_train",
+    "chi2_lang_source_independence",
+    "mannwhitney_price_urgent",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
