@@ -469,3 +469,48 @@ def test_mannwhitney_matches_bruteforce(spark, sf_dir):
     assert row.n1 == n1 and row.n2 == n - n1
     assert row.two_r1 == round(2 * r1)
     assert abs(row.u1 - u1) <= 0.51
+
+
+def test_km_survival_matches_bruteforce(spark, sf_dir):
+    rows = sorted(
+        CATALOG["km_survival_signup_purchase"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.dur_days,
+    )
+    ev = load_table(spark, sf_dir, "events").collect()
+    t_end = max(r.ts for r in ev)
+    t0 = {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in t0 or r.ts < t0[r.user_id]:
+                t0[r.user_id] = r.ts
+    t1 = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in t0 and r.ts >= t0[r.user_id]:
+            if r.user_id not in t1 or r.ts < t1[r.user_id]:
+                t1[r.user_id] = r.ts
+    subjects = [
+        (
+            ((t1.get(u) or t_end).date() - t.date()).days,
+            1 if u in t1 else 0,
+        )
+        for u, t in t0.items()
+    ]
+    from collections import Counter
+
+    d = Counter(dur for dur, e in subjects if e)
+    c = Counter(dur for dur, e in subjects if not e)
+    n_risk = len(subjects)
+    s = 1.0
+    for out in rows:
+        dur = out.dur_days
+        assert out.n_at_risk == n_risk
+        assert out.d_events == d.get(dur, 0)
+        assert out.c_censored == c.get(dur, 0)
+        if d.get(dur, 0):
+            s *= 1.0 - d[dur] / n_risk
+        assert abs(out.survival - s) <= 1e-4
+        n_risk -= d.get(dur, 0) + c.get(dur, 0)
+    assert n_risk == 0
+    # monotone non-increasing curve
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))

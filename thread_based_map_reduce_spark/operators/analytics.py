@@ -2287,3 +2287,155 @@ def q_mannwhitney_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tied_values",
         F.expr(_MW_Z_SQL).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (signup -> purchase, right-censored at the
+# study end). The estimator is a cumulative PRODUCT over ordered event
+# times — order-dependent in floats — so each factor ln(1 - d/n) is
+# quantized to BIGINT micronats and the cumulative sum runs on integers
+# (the nb/pagerank technique applied to a running product); survival is
+# exp(cum/1e6) rounded at 6, and a day where every at-risk subject
+# converts (d = n, ln 0) uses a -1e15 sentinel whose exp underflows to an
+# exact 0.0 in both engines.
+KM_SENTINEL = -(10 ** 15)
+
+
+@register(
+    "km_survival_signup_purchase",
+    oracle=f"""
+        WITH signup AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        study AS (SELECT max(ts) AS t_end FROM events),
+        conv AS (
+            SELECT s.user_id, min(e.ts) AS t1
+            FROM signup s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'purchase'
+                 AND e.ts >= s.t0
+            GROUP BY 1
+        ),
+        subjects AS (
+            SELECT s.user_id,
+                   CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS is_event,
+                   date_diff('day', CAST(s.t0 AS DATE),
+                             CAST(coalesce(c.t1, st.t_end) AS DATE)) AS dur
+            FROM signup s
+            LEFT JOIN conv c ON c.user_id = s.user_id
+            CROSS JOIN study st
+        ),
+        days AS (
+            SELECT dur, CAST(sum(is_event) AS BIGINT) AS d,
+                   CAST(sum(1 - is_event) AS BIGINT) AS c
+            FROM subjects GROUP BY 1
+        ),
+        risk AS (
+            SELECT dur, d, c,
+                   (SELECT count(*) FROM subjects)
+                   - coalesce(sum(d + c) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+            FROM days
+        ),
+        terms AS (
+            SELECT dur, d, c, n_risk,
+                   CASE WHEN d = 0 THEN 0
+                        WHEN d < n_risk THEN CAST(floor(1000000.0 *
+                             ln(1.0 - CAST(d AS DOUBLE) / n_risk)) AS BIGINT)
+                        ELSE {KM_SENTINEL} END AS lterm
+            FROM risk
+        )
+        SELECT CAST(dur AS BIGINT) AS dur_days,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               d AS d_events, c AS c_censored,
+               round(exp(sum(lterm) OVER (ORDER BY dur) / 1000000.0), 6)
+                   AS survival
+        FROM terms
+    """,
+    doc="Kaplan-Meier survival curve for signup-to-purchase conversion "
+    "with right-censoring at the study end: per-day event/censor counts, "
+    "at-risk counts from an exclusive running sum, and the product-limit "
+    "estimator computed as a cumulative BIGINT micronat sum (each "
+    "ln(1 - d/n) factor quantized before accumulation — a running "
+    "PRODUCT made order-independent; the d = n_risk boundary uses a "
+    "sentinel whose exp underflows to exact 0). Scale: two narrow "
+    "shuffles (user first-event aggregation, per-day counts); the "
+    "cumulative windows run on the per-day table, bounded by the study "
+    "length in days, not the subject count — time-to-event analytics at "
+    "metadata cost",
+    tags=("events", "stats", "window"),
+)
+def q_km_survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    study = ev.agg(F.max("ts").alias("t_end"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(
+            purch,
+            (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t1"))
+    )
+    subjects = (
+        signup.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(study))
+        .select(
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("is_event"),
+            F.datediff(
+                F.coalesce(F.col("t1"), F.col("t_end")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+        )
+    )
+    days = subjects.groupBy("dur").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("c"),
+    )
+    n_total = subjects.agg(F.count("*").alias("n_total"))
+    # exclusive running sum over the per-day table — bounded by the study
+    # length in days, not by subjects
+    risk = days.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    lterm = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(KM_SENTINEL))
+    )
+    terms = risk.withColumn("lterm", lterm)
+    return terms.select(
+        F.col("dur").cast("bigint").alias("dur_days"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(
+            F.exp(
+                F.sum("lterm").over(W.orderBy("dur")) / F.lit(1000000.0)
+            ),
+            6,
+        ).alias("survival"),
+    )

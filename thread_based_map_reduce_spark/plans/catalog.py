@@ -281,6 +281,7 @@ _DEFER_NEW_R4 = frozenset({
     "decision_stump_train",
     "chi2_lang_source_independence",
     "mannwhitney_price_urgent",
+    "km_survival_signup_purchase",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
