@@ -284,3 +284,60 @@ def test_dq_audit_anti_joins_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dq_audit_stats")
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", plan)) >= 3
+
+
+def test_peak_concurrency_windows_are_day_bucketed(spark, sf_dir):
+    # the global running sum must run per day-bucket (_b) with broadcast
+    # offsets — never one global window over all distinct timestamps
+    plan = plan_of(spark, sf_dir, "peak_concurrency")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(_b", plan), (
+        "running sum no longer partitioned by the day bucket"
+    )
+    assert count_nodes(plan, "BroadcastExchange") >= 2, (
+        "offsets / peak row no longer broadcast"
+    )
+
+
+def test_mannwhitney_rank_windows_are_bucketed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mannwhitney_price_urgent")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(_b", plan), (
+        "rank reconstruction no longer partitioned by the price bucket"
+    )
+
+
+def test_nb_scoring_has_no_python_and_no_cartesian_blowup(spark, sf_dir):
+    # the classifier is pure DataFrame ops: no Python evaluation anywhere,
+    # and the only nested-loop joins are one-row broadcast aggregates
+    # (vstats / ntr); the token-scoring join must be an equi-join
+    plan = plan_of(spark, sf_dir, "nb_langid_train_eval")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") + count_nodes(
+        plan, "SortMergeJoin"
+    ) + count_nodes(plan, "ShuffledHashJoin") >= 2, (
+        "token likelihood/scoring joins vanished — scoring no longer a join"
+    )
+
+
+def test_ols_is_single_aggregation_pass(spark, sf_dir):
+    # regression-as-aggregation: exactly one join (orders x per-order
+    # features), no Python, no window — the solve is projection-only math
+    plan = plan_of(spark, sf_dir, "ols_price_model")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Window"):
+        assert marker not in plan, f"unexpected {marker} in OLS plan"
+
+
+def test_stump_window_runs_on_bin_table(spark, sf_dir):
+    # split pricing must window over (feature, bin) — a table bounded at
+    # ~76 rows — never over raw orders
+    plan = plan_of(spark, sf_dir, "decision_stump_train")
+    assert re.search(r"windowspecdefinition\(feature", plan), (
+        "cumulative class counts no longer partitioned by feature"
+    )
+    assert count_nodes(plan, "BroadcastExchange") >= 1, (
+        "price min/max bounds no longer broadcast"
+    )
