@@ -75,3 +75,28 @@ def test_default_cap_keeps_testdata_blocks(spark, sf_dir):
 
     sizes = load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
     assert max(r["count"] for r in sizes) < JACCARD_MAX_BLOCK
+
+
+def test_prefix_filter_is_exact_superset_of_lsh(spark, sf_dir):
+    """Prefix filtering is complete (no false negatives at the threshold),
+    so its pair set must contain every LSH-verified pair, with identical
+    jaccard values on the intersection; every reported pair meets the
+    threshold exactly (2*inter >= union is the integer-exact gate)."""
+    from thread_based_map_reduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_dedup_prefix_filter_pairs,
+        _lsh_verified_pairs,
+    )
+
+    ppj = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_dedup_prefix_filter_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(ppj), "prefix filter missed LSH-verified pairs"
+    for pair, j in lsh.items():
+        assert abs(ppj[pair] - j) < 1e-9
+    assert all(j >= JACCARD_THRESHOLD - 1e-9 for j in ppj.values())

@@ -1961,3 +1961,150 @@ def q_dup_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("bigint").alias("min_doc"),
         F.max("node").cast("bigint").alias("max_doc"),
     )
+
+
+# -- prefix-filtering set-similarity join (PPJoin-style) ----------------------
+
+# Fourth blocking family, and unlike LSH the only EXACT one with no caps:
+# prefix filtering (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 PPJoin).
+# For Jaccard >= t, two sets must share at least one element among each
+# set's (n - ceil(t*n) + 1) RAREST elements under a global total order —
+# so indexing only prefixes finds every qualifying pair. With t = 1/2 all
+# the threshold arithmetic is integer-exact: prefix length n - (n+1)//2 + 1,
+# candidate size filter 2*min(na,nb) >= max(na,nb), verification
+# 2*inter >= na + nb - inter. The global order is (df asc, hash asc),
+# encoded into ONE sortable BIGINT key df * 2^31 + h (h < 2^31-1 by
+# construction), sidestepping any cross-engine struct-comparison semantics.
+_PPJ_ENC = 2147483648  # 2^31
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        dsh AS (SELECT DISTINCT doc_id, h FROM hashed),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        dfreq AS (SELECT h, count(*) AS df FROM dsh GROUP BY 1),
+        ordered AS (
+            SELECT d.doc_id, s.n,
+                   list_sort(list(f.df * {_PPJ_ENC} + d.h)) AS arr
+            FROM dsh d
+            JOIN dfreq f ON f.h = d.h
+            JOIN sizes s ON s.doc_id = d.doc_id
+            GROUP BY 1, 2
+        ),
+        pref AS (
+            SELECT doc_id, n,
+                   unnest(arr[1:CAST(n - CAST((n + 1) / 2 AS BIGINT) + 1
+                                     AS BIGINT)]) % {_PPJ_ENC} AS h
+            FROM ordered
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pref a
+            JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+                       AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+        ),
+        tsets AS (SELECT doc_id, list(DISTINCT h) AS ts FROM dsh GROUP BY 1),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(a.ts, b.ts)) AS inter,
+                   len(a.ts) AS na, len(b.ts) AS nb
+            FROM cand
+            JOIN tsets a ON a.doc_id = doc_a
+            JOIN tsets b ON b.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        FROM verified
+        WHERE 2 * inter >= na + nb - inter
+    """,
+    doc="Prefix-filtering set-similarity self-join (PPJoin family, "
+    "Chaudhuri et al. ICDE'06): the EXACT near-dup pair join — no LSH "
+    "false negatives, no hot-block caps — made scalable by indexing only "
+    "each doc's rarest floor(n/2)+1 shingles under a global "
+    "(doc-frequency asc, hash asc) order; any Jaccard>=0.5 pair provably "
+    "collides in those prefixes. All threshold math is integer-exact "
+    "(prefix length, the 2*min>=max size filter, the 2*inter >= union "
+    "verify), and the order key is a single BIGINT df*2^31+h, so both "
+    "engines index the identical prefixes. Scale: candidates emerge from "
+    "prefix-bucket equi-joins whose buckets are small BY CONSTRUCTION "
+    "(prefixes prefer the rarest shingles — a df-d shingle appears in at "
+    "most d prefixes and common shingles fall outside prefixes); "
+    "complements dedup_minhash_lsh_pairs as the exact-recall path "
+    "(CI-tested to be a superset of the LSH pairs)",
+    tags=("dedup", "join", "text"),
+)
+def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dsh = (
+        toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias(
+                "s"
+            ),
+        )
+        .select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
+        .distinct()
+    )
+    dsh = reliable_checkpoint(dsh)
+    dfreq = dsh.groupBy("h").agg(F.count("*").alias("df"))
+    ordered = (
+        dsh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("df") * F.lit(_PPJ_ENC) + F.col("h"))
+            ).alias("arr")
+        )
+        .select("doc_id", "arr", F.size("arr").cast("bigint").alias("n"))
+    )
+    plen = (
+        F.col("n")
+        - ((F.col("n") + 1) / 2).cast("bigint")
+        + 1
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice(F.col("arr"), F.lit(1), plen)).alias("k"),
+    ).select("doc_id", "n", (F.col("k") % _PPJ_ENC).alias("h"))
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                2 * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tsets = dsh.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
+    verified = (
+        cand.join(tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+        )
+    )
+    return verified.where(
+        2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    )

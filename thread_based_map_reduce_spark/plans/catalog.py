@@ -282,6 +282,7 @@ _DEFER_NEW_R4 = frozenset({
     "chi2_lang_source_independence",
     "mannwhitney_price_urgent",
     "km_survival_signup_purchase",
+    "dedup_prefix_filter_pairs",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
