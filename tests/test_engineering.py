@@ -98,3 +98,40 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
     # => term <= 2^52) and zeros contribute exactly 2^53 each
     assert row.register_sum >= row.n_zero_buckets * _HLL_POW2K
     assert row.register_sum <= HLL_M * _HLL_POW2K
+
+
+def test_hll_registers_merge_exactly(spark, sf_dir):
+    """Mergeability is WHY HLL is the 100 TB distinct-count structure:
+    registers built on two disjoint halves of the data, merged with a
+    per-bucket max, must equal the registers built over the whole input —
+    hence an identical estimate. Exercised here at the DataFrame level."""
+    from thread_based_map_reduce_spark.functions.hashing import portable_hash64
+    from thread_based_map_reduce_spark.operators.engineering import (
+        HLL_M,
+        _hll_rho_col,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = portable_hash64(F.col("l_orderkey").cast("string"))
+
+    def regs(df):
+        return (
+            df.select(h.alias("h"))
+            .distinct()
+            .select(
+                (F.col("h") % HLL_M).alias("bucket"),
+                _hll_rho_col(F.expr("shiftright(h, 8)")).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    whole = {r.bucket: r.m_j for r in regs(li).collect()}
+    half_a = regs(li.where(F.col("l_linenumber") % 2 == 0))
+    half_b = regs(li.where(F.col("l_linenumber") % 2 != 0))
+    merged_df = (
+        half_a.unionAll(half_b).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    )
+    merged = {r.bucket: r.m_j for r in merged_df.collect()}
+    assert merged == whole
