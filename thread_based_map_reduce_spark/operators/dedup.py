@@ -2066,11 +2066,17 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - ((F.col("n") + 1) / 2).cast("bigint")
         + 1
     ).cast("int")
-    pref = ordered.select(
-        "doc_id",
-        "n",
-        F.explode(F.slice(F.col("arr"), F.lit(1), plen)).alias("k"),
-    ).select("doc_id", "n", (F.col("k") % _PPJ_ENC).alias("h"))
+    # checkpoint: both sides of the candidate self-join read the prefix
+    # index — materialize it once instead of re-running the df-join +
+    # collect/sort per side (measured 5.0 s -> the self-join then reads
+    # ~n/2 prefix rows twice from storage)
+    pref = reliable_checkpoint(
+        ordered.select(
+            "doc_id",
+            "n",
+            F.explode(F.slice(F.col("arr"), F.lit(1), plen)).alias("k"),
+        ).select("doc_id", "n", (F.col("k") % _PPJ_ENC).alias("h"))
+    )
     cand = (
         pref.alias("a")
         .join(
