@@ -148,3 +148,59 @@ def test_decision_stump_matches_bruteforce(spark, sf_dir):
             nr,
             pr,
         )
+
+
+def test_markov_accuracy_matches_bruteforce(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from thread_based_map_reduce_spark.operators.ml import (
+        MARKOV_FOLDS,
+        q_markov_next_event_accuracy,
+    )
+
+    out = q_markov_next_event_accuracy(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "fold", portable_hash64(F.col("user_id").cast("string")) % MARKOV_FOLDS
+    ).collect()
+
+    def transitions(rows):
+        seqs = defaultdict(list)
+        for r in rows:
+            seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+        t = Counter()
+        for s in seqs.values():
+            s.sort()
+            for (_, _, a), (_, _, b) in zip(s, s[1:]):
+                t[(a, b)] += 1
+        return t
+
+    tr = transitions([r for r in ev if r.fold != 0])
+    te = transitions([r for r in ev if r.fold == 0])
+    best = {}
+    for (a, b), n in tr.items():
+        cur = best.get(a)
+        if cur is None or n > cur[0] or (n == cur[0] and b < cur[1]):
+            best[a] = (n, b)
+    n_eval = sum(te.values())
+    n_scored = sum(n for (a, _), n in te.items() if a in best)
+    n_correct = sum(n for (a, b), n in te.items() if a in best and best[a][1] == b)
+    assert out.n_eval_transitions == n_eval
+    assert out.n_scored == n_scored
+    assert out.n_correct == n_correct
+    assert out.n_unseen_prev == n_eval - n_scored
+    if n_scored:
+        assert abs(out.accuracy - n_correct / n_scored) < 1e-6
+
+
+def test_woe_iv_partitions_and_sums(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.ml import q_woe_iv_price_bins
+
+    rows = q_woe_iv_price_bins(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    assert all(r.pos + r.neg == r.n for r in rows)
+    iv_total = rows[0].iv_total
+    assert all(r.iv_total == iv_total for r in rows)
+    assert abs(iv_total - sum(r.iv_term_micro for r in rows) / 1e6) <= 1e-4
+    # IV of a smoothed split is always >= 0 up to quantization loss
+    assert iv_total >= -1e-4 * len(rows)

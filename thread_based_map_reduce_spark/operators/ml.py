@@ -690,3 +690,215 @@ def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_right",
         "pos_right",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction, evaluated train/test — the sequence-model
+# eval loop. User-level hash split (no per-user sequence leakage); the
+# model is the argmax row of the training transition matrix; every number
+# in train, predict and score is an exact integer count, so the whole
+# loop sits under the hash gate.
+MARKOV_FOLDS = 5
+
+
+def _markov_oracle() -> str:
+    from .relational_more import transition_cte_sql
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH tr_ev AS (
+            SELECT * FROM events WHERE {h} % {MARKOV_FOLDS} <> 0
+        ),
+        ev_ev AS (
+            SELECT * FROM events WHERE {h} % {MARKOV_FOLDS} = 0
+        ),
+        {transition_cte_sql('tr_ev', 'tr_')},
+        {transition_cte_sql('ev_ev', 'ev_')},
+        best AS (
+            SELECT prev_type, next_type AS pred_next FROM (
+                SELECT prev_type, next_type,
+                       row_number() OVER (PARTITION BY prev_type
+                                          ORDER BY n DESC, next_type) AS rn
+                FROM tr_trans
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT t.next_type, t.n, b.pred_next
+            FROM ev_trans t LEFT JOIN best b ON b.prev_type = t.prev_type
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_eval_transitions,
+               CAST(sum(CASE WHEN pred_next IS NOT NULL THEN n ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN pred_next = next_type THEN n ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN pred_next = next_type THEN n ELSE 0 END)::DOUBLE
+                     / nullif(sum(CASE WHEN pred_next IS NOT NULL
+                                       THEN n ELSE 0 END), 0), 6) AS accuracy,
+               CAST(sum(CASE WHEN pred_next IS NULL THEN n ELSE 0 END)
+                    AS BIGINT) AS n_unseen_prev
+        FROM scored
+    """
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle=_markov_oracle(),
+    doc="Next-event prediction accuracy of the order-1 Markov model, "
+    "trained and evaluated in-engine with a user-level hash split (folds "
+    "1-4 train the transition matrix, fold-0 users are held out — "
+    "splitting by user, not by row, so no sequence leaks across the "
+    "split). The model is argmax_next count(prev, next) with "
+    "lexicographic tie-break; scoring joins held-out transitions to the "
+    "model on prev_type and counts hits — every quantity an exact "
+    "integer, fully hash-gated. The (prev, next) counting reuses the ONE "
+    "shared Markov core (relational_more.transition_cte_sql / "
+    "transition_counts). Scale: two transition matrices (one shuffle on "
+    "user_id each), a model of |event_types|^2 rows, and a broadcast-"
+    "sized model join — sequence-model evaluation at metadata cost",
+    tags=("events", "ml", "eval"),
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational_more import transition_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    fold = portable_hash64(F.col("user_id").cast("string")) % MARKOV_FOLDS
+    train_t = transition_counts(ev.where(fold != 0))
+    eval_t = transition_counts(ev.where(fold == 0))
+    best = (
+        train_t.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("prev_type").orderBy(F.col("n").desc(), "next_type")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_next"))
+    )
+    scored = eval_t.join(F.broadcast(best), "prev_type", "left")
+    return scored.agg(
+        F.sum("n").cast("bigint").alias("n_eval_transitions"),
+        F.sum(F.when(F.col("pred_next").isNotNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_scored"),
+        F.sum(
+            F.when(F.col("pred_next") == F.col("next_type"), F.col("n")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("pred_next") == F.col("next_type"), F.col("n")
+                ).otherwise(0)
+            ).cast("double")
+            / F.nullif(
+                F.sum(
+                    F.when(F.col("pred_next").isNotNull(), F.col("n")).otherwise(0)
+                ),
+                F.lit(0),
+            ),
+            6,
+        ).alias("accuracy"),
+        F.sum(F.when(F.col("pred_next").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unseen_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information value — the credit-scoring feature
+# evaluation, over the SAME price bins and label as the decision stump
+# (shared _STUMP_PRICE_BIN_SQL, so the two feature views cannot drift).
+# Laplace-smoothed shares make WOE finite on one-class bins; each bin's
+# IV term is quantized to BIGINT micro-units before the (bounded-window)
+# total, the usual order-independence rail.
+@register(
+    "woe_iv_price_bins",
+    oracle=f"""
+        WITH minmax AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        ),
+        labeled AS (
+            SELECT {_STUMP_PRICE_BIN_SQL} AS bin,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+            FROM orders CROSS JOIN minmax
+        ),
+        bins AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS pos,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS neg
+            FROM labeled GROUP BY 1
+        ),
+        shares AS (
+            SELECT bin, n, pos, neg,
+                   (pos + 1)::DOUBLE
+                       / (sum(pos) OVER () + count(*) OVER ()) AS p,
+                   (neg + 1)::DOUBLE
+                       / (sum(neg) OVER () + count(*) OVER ()) AS q
+            FROM bins
+        ),
+        terms AS (
+            SELECT bin, n, pos, neg,
+                   round(ln(p / q), 6) AS woe,
+                   CAST(floor(1000000.0 * ((p - q) * ln(p / q))) AS BIGINT)
+                       AS iv_term_micro
+            FROM shares
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n, pos, neg, woe, iv_term_micro,
+               round(sum(iv_term_micro) OVER () / 1000000.0, 4) AS iv_total
+        FROM terms
+    """,
+    doc="Weight-of-evidence and information value of the binned price "
+    "feature against the order-status label — the credit-scoring feature "
+    "evaluation, sharing the decision stump's exact bin definition "
+    "(_STUMP_PRICE_BIN_SQL) so the two feature views cannot silently "
+    "diverge. Laplace-smoothed class shares keep WOE finite on one-class "
+    "bins; per-bin IV terms are floored to BIGINT micro-units before the "
+    "total so the sum is order-independent, and the over-all windows run "
+    "on the <=64-row bin table (bounded by construction). Scale: one "
+    "map-side-combined count into the bin grid; everything after is "
+    "metadata-sized",
+    tags=("agg", "ml", "eval"),
+)
+def q_woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    minmax = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    labeled = orders.crossJoin(F.broadcast(minmax)).select(
+        F.expr(_STUMP_PRICE_BIN_SQL).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    bins = labeled.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("pos")).cast("bigint").alias("neg"),
+    )
+    w_all = W.partitionBy()
+    p = (F.col("pos") + 1).cast("double") / (
+        F.sum("pos").over(w_all) + F.count("*").over(w_all)
+    )
+    q = (F.col("neg") + 1).cast("double") / (
+        F.sum("neg").over(w_all) + F.count("*").over(w_all)
+    )
+    terms = bins.select(
+        "bin",
+        "n",
+        "pos",
+        "neg",
+        F.round(F.log(p / q), 6).alias("woe"),
+        F.floor(F.lit(1000000.0) * ((p - q) * F.log(p / q)))
+        .cast("bigint")
+        .alias("iv_term_micro"),
+    )
+    return terms.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        "pos",
+        "neg",
+        "woe",
+        "iv_term_micro",
+        F.round(
+            F.sum("iv_term_micro").over(W.partitionBy()) / F.lit(1000000.0), 4
+        ).alias("iv_total"),
+    )

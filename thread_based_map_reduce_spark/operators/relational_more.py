@@ -2237,21 +2237,35 @@ def q_orders_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared Markov-transition core: ONE definition of the (prev, next)
-# count matrix for both the transition query and the entropy query
-# (analytics.q_event_transition_entropy) — the ADVICE-r3 lesson: two
+# count matrix for the transition query, the entropy query
+# (analytics.q_event_transition_entropy) and the next-event-prediction
+# eval (ml.q_markov_next_event_accuracy) — the ADVICE-r3 lesson: two
 # verbatim copies of the same semantic definition silently diverge.
-TRANSITION_COUNTS_SQL = """
-        WITH seq AS (
+
+
+def transition_cte_sql(src: str, prefix: str = "") -> str:
+    """CTE fragments ``{prefix}seq`` / ``{prefix}trans`` computing the
+    shared Markov (prev_type, next_type, n) counts over relation ``src`` —
+    spliceable into larger WITH chains (fold-filtered sources etc.)."""
+    return f"""{prefix}seq AS (
             SELECT user_id, event_type,
                    lag(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS prev_type
-            FROM events
-        )
-        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
-        FROM seq
-        WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, event_type
+            FROM {src}
+        ),
+        {prefix}trans AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {prefix}seq
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )"""
+
+
+TRANSITION_COUNTS_SQL = f"""
+        WITH {transition_cte_sql('events')}
+        SELECT prev_type, next_type, n FROM trans
 """
 
 

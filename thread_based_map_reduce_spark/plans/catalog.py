@@ -283,6 +283,8 @@ _DEFER_NEW_R4 = frozenset({
     "mannwhitney_price_urgent",
     "km_survival_signup_purchase",
     "dedup_prefix_filter_pairs",
+    "markov_next_event_accuracy",
+    "woe_iv_price_bins",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
