@@ -236,6 +236,24 @@ _OLS_BETA_SQL = {
     ),
 }
 
+def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE definition of the regression design rows shared by
+    ols_price_model and ols_kfold_cv (the ADVICE-r3 twin-definition
+    lesson): per-order (o_orderkey, o_orderpriority, x1 item count,
+    x2 total quantity, yd exact decimal price)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x2"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("yd"),
+    )
+    return orders.join(feats, orders.o_orderkey == feats.l_orderkey)
+
+
 _OLS_STATS_SQL = """
         feats AS (
             SELECT l_orderkey,
@@ -292,17 +310,7 @@ _OLS_STATS_SQL = """
     tags=("agg", "ml", "stats"),
 )
 def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    feats = li.groupBy("l_orderkey").agg(
-        F.count("*").cast("bigint").alias("x1"),
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x2"),
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("yd"),
-    )
-    base = orders.join(feats, orders.o_orderkey == feats.l_orderkey)
+    base = _order_features(spark, sf_dir)
     stats = base.groupBy("o_orderpriority").agg(
         F.count("*").cast("double").alias("nd"),
         F.count("*").cast("bigint").alias("n"),
@@ -449,15 +457,7 @@ _OLS_CV_FOLDS_SQL = f"""
     tags=("agg", "ml", "eval"),
 )
 def q_ols_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    feats = li.groupBy("l_orderkey").agg(
-        F.count("*").cast("bigint").alias("x1"),
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x2"),
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("yd")
-    )
-    base = orders.join(feats, orders.o_orderkey == feats.l_orderkey).select(
+    base = _order_features(spark, sf_dir).select(
         (portable_hash64(F.col("o_orderkey").cast("string")) % OLS_CV_FOLDS).alias(
             "fold"
         ),
