@@ -514,3 +514,35 @@ def test_km_survival_matches_bruteforce(spark, sf_dir):
     # monotone non-increasing curve
     surv = [r.survival for r in rows]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_emd_matches_bruteforce(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.analytics import EMD_BINS
+
+    row = CATALOG["emd_price_urgent_binned"].fn(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    mn = min(r.o_totalprice for r in orders)
+    mx = max(r.o_totalprice for r in orders)
+    width = (mx - mn) / EMD_BINS
+    c1 = [0] * EMD_BINS
+    c2 = [0] * EMD_BINS
+    for r in orders:
+        b = min(int((r.o_totalprice - mn) * EMD_BINS / max(mx - mn, 1e-9)), EMD_BINS - 1)
+        if r.o_orderpriority == "1-URGENT":
+            c1[b] += 1
+        else:
+            c2[b] += 1
+    n1, n2 = sum(c1), sum(c2)
+    emd, k1, k2 = 0.0, 0, 0
+    for b in range(EMD_BINS):
+        k1 += c1[b]
+        k2 += c2[b]
+        emd += abs(k1 / n1 - k2 / n2) * width
+    assert row.n_urgent == n1 and row.n_other == n2
+    assert row.n_bins_occupied == sum(
+        1 for b in range(EMD_BINS) if c1[b] or c2[b]
+    )
+    assert abs(row.emd - emd) <= 1e-3
+    assert row.emd_micro >= 0

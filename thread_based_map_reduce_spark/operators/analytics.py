@@ -2447,3 +2447,157 @@ def q_km_survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# 1-D earth mover's distance (Wasserstein-1) between the urgent and
+# non-urgent order price distributions, on a fixed 64-bin equal-width
+# histogram: EMD of binned distributions = sum_i |CDF1_i - CDF2_i| * width.
+# This is the GEOMETRIC distribution distance (PSI/KL ignore how far apart
+# the mass sits; EMD prices the transport). CDFs come from exact integer
+# cumulative counts over the bin table (bounded window), each bin's term
+# is quantized to micro-units before the integer total — the standard
+# order-independence rail — and the only floats are the shared-expression
+# bin width and one multiply per bin.
+EMD_BINS = 64
+
+
+@register(
+    "emd_price_urgent_binned",
+    oracle=f"""
+        WITH minmax AS (
+            SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+        ),
+        labeled AS (
+            SELECT CAST(least(floor((o_totalprice - mn) * {EMD_BINS}.0
+                       / greatest(mx - mn, 0.000000001)), {EMD_BINS - 1}.0)
+                       AS BIGINT) AS bin,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+            FROM orders CROSS JOIN minmax
+        ),
+        occupied AS (
+            SELECT bin, CAST(sum(u) AS BIGINT) AS c1,
+                   CAST(count(*) - sum(u) AS BIGINT) AS c2
+            FROM labeled GROUP BY 1
+        ),
+        -- full 0..{EMD_BINS - 1} spine: an EMPTY interior bin still carries
+        -- its predecessor's CDF gap for one bin width — skipping it would
+        -- under-count the transport distance
+        bins AS (
+            SELECT s.bin, coalesce(o.c1, 0) AS c1, coalesce(o.c2, 0) AS c2
+            FROM (SELECT unnest(generate_series(0, {EMD_BINS - 1})) AS bin) s
+            LEFT JOIN occupied o ON o.bin = s.bin
+        ),
+        cum AS (
+            SELECT bin,
+                   sum(c1) OVER (ORDER BY bin) AS k1,
+                   sum(c2) OVER (ORDER BY bin) AS k2,
+                   sum(c1) OVER () AS n1,
+                   sum(c2) OVER () AS n2
+            FROM bins
+        ),
+        terms AS (
+            SELECT k1, k2, n1, n2,
+                   CAST(floor(1000000.0 *
+                        abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                        * ((SELECT (mx - mn) / {EMD_BINS}.0 FROM minmax))
+                   ) AS BIGINT) AS term_micro
+            FROM cum
+        )
+        SELECT CAST(max(n1) AS BIGINT) AS n_urgent,
+               CAST(max(n2) AS BIGINT) AS n_other,
+               round((SELECT (mx - mn) / {EMD_BINS}.0 FROM minmax), 6)
+                   AS bin_width,
+               (SELECT CAST(count(*) AS BIGINT) FROM occupied)
+                   AS n_bins_occupied,
+               CAST(sum(term_micro) AS BIGINT) AS emd_micro,
+               round(sum(term_micro) / 1000000.0, 4) AS emd
+        FROM terms
+    """,
+    doc="1-D earth mover's distance (Wasserstein-1) between urgent and "
+    "non-urgent order price distributions on a fixed 64-bin equal-width "
+    "histogram: sum over bins of |CDF_urgent - CDF_other| x bin width — "
+    "the geometric distribution distance that prices HOW FAR the mass "
+    "moved, complementing PSI (which only scores that it moved) and the "
+    "rank-based Mann-Whitney. CDFs are exact integer cumulative counts "
+    "over the bin table; per-bin terms are floored to micro-units before "
+    "the total (order-independent), so the whole statistic is hash-gated. "
+    "Scale: one map-side-combined count into 64 bins; cumulative windows "
+    "run on the bin table, bounded by construction — distribution "
+    "monitoring at metadata cost",
+    tags=("agg", "stats", "eval"),
+)
+def q_emd_price_urgent_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    minmax = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    labeled = orders.crossJoin(F.broadcast(minmax)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                * EMD_BINS
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-9))
+            ),
+            F.lit(float(EMD_BINS - 1)),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("u"),
+    )
+    occupied = labeled.groupBy("bin").agg(
+        F.sum("u").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("u")).cast("bigint").alias("c2"),
+    )
+    # full bin spine: empty interior bins still carry the CDF gap
+    spine = spark.range(EMD_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    bins = spine.join(occupied, "bin", "left").select(
+        "bin",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    cum = bins.select(
+        F.sum("c1").over(w_cum).alias("k1"),
+        F.sum("c2").over(w_cum).alias("k2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    binw = (F.col("mx") - F.col("mn")) / EMD_BINS
+    terms = cum.crossJoin(F.broadcast(minmax.select(binw.alias("bw")))).select(
+        "k1",
+        "k2",
+        "n1",
+        "n2",
+        F.floor(
+            F.lit(1000000.0)
+            * F.abs(
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k2").cast("double") / F.col("n2")
+            )
+            * F.col("bw")
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return (
+        terms.crossJoin(
+            F.broadcast(minmax.select(F.round(binw, 6).alias("bin_width")))
+        )
+        .crossJoin(
+            F.broadcast(
+                occupied.agg(
+                    F.count("*").cast("bigint").alias("n_bins_occupied")
+                )
+            )
+        )
+        .agg(
+            F.max("n1").cast("bigint").alias("n_urgent"),
+            F.max("n2").cast("bigint").alias("n_other"),
+            F.max("bin_width").alias("bin_width"),
+            F.max("n_bins_occupied").alias("n_bins_occupied"),
+            F.sum("term_micro").cast("bigint").alias("emd_micro"),
+            F.round(F.sum("term_micro") / F.lit(1000000.0), 4).alias("emd"),
+        )
+    )

@@ -285,6 +285,7 @@ _DEFER_NEW_R4 = frozenset({
     "dedup_prefix_filter_pairs",
     "markov_next_event_accuracy",
     "woe_iv_price_bins",
+    "emd_price_urgent_binned",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
