@@ -546,3 +546,31 @@ def test_emd_matches_bruteforce(spark, sf_dir):
     )
     assert abs(row.emd - emd) <= 1e-3
     assert row.emd_micro >= 0
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    rows = {
+        r.l_returnflag: r
+        for r in CATALOG["weighted_median_price_by_flag"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        groups[r.l_returnflag][r.l_extendedprice] += int(r.l_quantity)
+    for flag, wmap in groups.items():
+        tot = sum(wmap.values())
+        cw = 0
+        med = None
+        for v in sorted(wmap):
+            cw += wmap[v]
+            if 2 * cw >= tot:
+                med = v
+                break
+        out = rows[flag]
+        assert out.total_weight == tot
+        assert out.n_distinct_values == len(wmap)
+        assert out.weighted_median == med

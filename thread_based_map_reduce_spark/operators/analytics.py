@@ -2601,3 +2601,73 @@ def q_emd_price_urgent_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_micro") / F.lit(1000000.0), 4).alias("emd"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact grouped WEIGHTED median — the warehouse staple median_by_status
+# does not cover (every unit of quantity votes, not every row). Lower
+# weighted median rule: the smallest value whose inclusive cumulative
+# weight reaches half the total — a pure integer comparison
+# (2*cum >= total), so the selection is deterministic in both engines and
+# the reported median is a raw data value, no interpolation arithmetic.
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+        WITH vals AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, v, w,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tot,
+                   count(*) OVER (PARTITION BY l_returnflag) AS nv
+            FROM vals
+        ),
+        pick AS (
+            SELECT l_returnflag, v, tot, nv,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+                       AS rn
+            FROM cum WHERE 2 * cw >= tot
+        )
+        SELECT l_returnflag,
+               CAST(tot AS BIGINT) AS total_weight,
+               CAST(nv AS BIGINT) AS n_distinct_values,
+               v AS weighted_median
+        FROM pick WHERE rn = 1
+    """,
+    doc="Exact grouped weighted median: extended price weighted by "
+    "quantity per return flag, lower-median rule (smallest value whose "
+    "inclusive cumulative weight reaches half the total — an integer "
+    "2*cum >= total comparison, so selection is deterministic and the "
+    "answer is a raw data value, no interpolation float path). "
+    "Complements the unweighted median_by_status and the approximate "
+    "percentile family. Scale: one map-side-combined aggregate onto "
+    "(group, value), then per-group parallel windows over each group's "
+    "distinct values — no global sort, no driver-side selection",
+    tags=("agg", "window", "stats"),
+)
+def q_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w")
+    )
+    w_cum = W.partitionBy("l_returnflag").orderBy("v")
+    w_all = W.partitionBy("l_returnflag")
+    cum = vals.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(w_cum.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("nv"),
+    )
+    pick = cum.where(2 * F.col("cw") >= F.col("tot")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("v"))
+    )
+    return pick.where(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("tot").cast("bigint").alias("total_weight"),
+        F.col("nv").cast("bigint").alias("n_distinct_values"),
+        F.col("v").alias("weighted_median"),
+    )

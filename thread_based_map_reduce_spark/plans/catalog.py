@@ -286,6 +286,7 @@ _DEFER_NEW_R4 = frozenset({
     "markov_next_event_accuracy",
     "woe_iv_price_bins",
     "emd_price_urgent_binned",
+    "weighted_median_price_by_flag",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
