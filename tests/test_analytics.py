@@ -574,3 +574,38 @@ def test_weighted_median_matches_bruteforce(spark, sf_dir):
         assert out.total_weight == tot
         assert out.n_distinct_values == len(wmap)
         assert out.weighted_median == med
+
+
+def test_segmented_trend_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    row = CATALOG["segmented_trend_breakpoint"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d")).collect()
+    from collections import Counter
+
+    daily = Counter(r.d for r in ev)
+    d0 = min(daily)
+    pts = sorted(((d - d0).days, n) for d, n in daily.items())
+    xs = np.array([x for x, _ in pts], dtype=float)
+    ys = np.array([y for _, y in pts], dtype=float)
+
+    def sse(x, y):
+        A = np.vstack([np.ones_like(x), x]).T
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        return float(((y - A @ beta) ** 2).sum()), float(beta[1])
+
+    best = None
+    for i in range(1, len(pts) - 2):  # left = pts[: i + 1], needs >= 2 each side
+        sl, bl = sse(xs[: i + 1], ys[: i + 1])
+        sr, br = sse(xs[i + 1 :], ys[i + 1 :])
+        tot = sl + sr
+        if best is None or tot < best[0] - 1e-9:
+            best = (tot, xs[i], bl, br)
+    tot, bx, bl, br = best
+    sse_one, _ = sse(xs, ys)
+    assert row.break_x == bx
+    assert abs(row.sse_segmented - tot) <= 1e-2 * max(1.0, tot)
+    assert abs(row.sse_single - sse_one) <= 1e-2 * max(1.0, sse_one)
+    assert abs(row.slope_left - bl) <= 1e-4 * max(1.0, abs(bl))
+    assert abs(row.slope_right - br) <= 1e-4 * max(1.0, abs(br))
+    assert row.n_days == len(pts)

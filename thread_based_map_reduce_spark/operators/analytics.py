@@ -2671,3 +2671,177 @@ def q_weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("nv").cast("bigint").alias("n_distinct_values"),
         F.col("v").alias("weighted_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Segmented trend: fit daily event counts with TWO regression lines split
+# at a learned breakpoint, chosen by exact SSE argmin over every candidate
+# split. events_cusum_changepoint locates a MEAN shift; this finds a SLOPE
+# break (piecewise trend). The engine trick: prefix moment sums (n, Sx,
+# Sxx, Sy, Sxy, Syy — all exact BIGINTs over integer day-index/count data)
+# are cumulative windows over the bounded per-day table, so every
+# candidate's left moments are the prefix and its right moments are
+# total - prefix (the ols_kfold_cv subtraction technique applied over
+# prefixes) — all T-2 candidate fits priced in ONE bounded window pass,
+# no per-candidate rescans. Slope/SSE arithmetic is a shared fragment
+# (identical IEEE tree in both engines over exact integer inputs).
+
+
+def _fit_sql(n: str, sx: str, sxx: str, sy: str, sxy: str, syy: str) -> dict:
+    b = (
+        f"((CAST({n} AS DOUBLE) * {sxy} - CAST({sx} AS DOUBLE) * {sy})"
+        f" / nullif(CAST({n} AS DOUBLE) * {sxx}"
+        f" - CAST({sx} AS DOUBLE) * {sx}, 0.0))"
+    )
+    a = f"((CAST({sy} AS DOUBLE) - {b} * {sx}) / {n})"
+    sse = f"(CAST({syy} AS DOUBLE) - {a} * {sy} - {b} * {sxy})"
+    return {"slope": b, "sse": sse}
+
+
+_FIT_L = _fit_sql("nl", "sxl", "sxxl", "syl", "sxyl", "syyl")
+_FIT_R = _fit_sql("nr", "sxr", "sxxr", "syr", "sxyr", "syyr")
+_FIT_ALL = _fit_sql("nt", "sxt", "sxxt", "syt", "sxyt", "syyt")
+
+
+@register(
+    "segmented_trend_breakpoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        indexed AS (
+            SELECT date_diff('day', (SELECT min(d) FROM daily), d) AS x, y
+            FROM daily
+        ),
+        cum AS (
+            SELECT x, y,
+                   sum(1) OVER w AS nl,
+                   sum(x) OVER w AS sxl,
+                   sum(x * x) OVER w AS sxxl,
+                   sum(y) OVER w AS syl,
+                   sum(x * y) OVER w AS sxyl,
+                   sum(y * y) OVER w AS syyl,
+                   count(*) OVER () AS nt,
+                   sum(x) OVER () AS sxt,
+                   sum(x * x) OVER () AS sxxt,
+                   sum(y) OVER () AS syt,
+                   sum(x * y) OVER () AS sxyt,
+                   sum(y * y) OVER () AS syyt
+            FROM indexed
+            WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        cand AS (
+            SELECT x, nl, sxl, sxxl, syl, sxyl, syyl,
+                   nt, sxt, sxxt, syt, sxyt, syyt,
+                   nt - nl AS nr, sxt - sxl AS sxr, sxxt - sxxl AS sxxr,
+                   syt - syl AS syr, sxyt - sxyl AS sxyr, syyt - syyl AS syyr
+            FROM cum WHERE nl >= 2 AND nt - nl >= 2
+        ),
+        scored AS (
+            SELECT x, nt,
+                   {_FIT_L['sse']} + {_FIT_R['sse']} AS sse_two,
+                   {_FIT_L['slope']} AS slope_l,
+                   {_FIT_R['slope']} AS slope_r,
+                   {_FIT_ALL['sse']} AS sse_one,
+                   row_number() OVER (
+                       ORDER BY {_FIT_L['sse']} + {_FIT_R['sse']}, x) AS rn
+            FROM cand
+        )
+        SELECT CAST(x AS BIGINT) AS break_x,
+               CAST(nt AS BIGINT) AS n_days,
+               round(slope_l, 6) AS slope_left,
+               round(slope_r, 6) AS slope_right,
+               round(sse_one, 4) AS sse_single,
+               round(sse_two, 4) AS sse_segmented,
+               round(1.0 - sse_two / nullif(sse_one, 0.0), 6)
+                   AS sse_reduction
+        FROM scored WHERE rn = 1
+    """,
+    doc="Segmented regression over the daily event-count series: two OLS "
+    "lines split at the breakpoint minimizing total SSE, found by exact "
+    "argmin over every candidate split — the SLOPE-break detector "
+    "complementing events_cusum_changepoint's mean-shift locator. All "
+    "moments (n, Sx, Sxx, Sy, Sxy, Syy) are exact BIGINTs; cumulative "
+    "windows over the bounded per-day table give every candidate its "
+    "left moments as a prefix and its right moments by subtraction from "
+    "the totals (the ols_kfold_cv technique applied over prefixes), so "
+    "all T-2 candidate fits are priced in one bounded window pass. The "
+    "slope/SSE arithmetic is one shared fragment — identical IEEE tree "
+    "in both engines — and the argmin tie-breaks on the day index. "
+    "Scale: one shuffle to the per-day grid; every window is bounded by "
+    "the study length in days, never by the event count",
+    tags=("events", "stats", "window"),
+)
+def q_segmented_trend_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("mind"))
+    indexed = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "mind").cast("bigint").alias("x"), "y"
+    )
+    w_cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    cum = indexed.select(
+        "x",
+        F.sum(F.lit(1)).over(w_cum).alias("nl"),
+        F.sum("x").over(w_cum).alias("sxl"),
+        F.sum(F.col("x") * F.col("x")).over(w_cum).alias("sxxl"),
+        F.sum("y").over(w_cum).alias("syl"),
+        F.sum(F.col("x") * F.col("y")).over(w_cum).alias("sxyl"),
+        F.sum(F.col("y") * F.col("y")).over(w_cum).alias("syyl"),
+        F.count("*").over(w_all).alias("nt"),
+        F.sum("x").over(w_all).alias("sxt"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("sxxt"),
+        F.sum("y").over(w_all).alias("syt"),
+        F.sum(F.col("x") * F.col("y")).over(w_all).alias("sxyt"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("syyt"),
+    )
+    cand = cum.where(
+        (F.col("nl") >= 2) & (F.col("nt") - F.col("nl") >= 2)
+    ).select(
+        "x",
+        "nl",
+        "sxl",
+        "sxxl",
+        "syl",
+        "sxyl",
+        "syyl",
+        "nt",
+        "sxt",
+        "sxxt",
+        "syt",
+        "sxyt",
+        "syyt",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("sxt") - F.col("sxl")).alias("sxr"),
+        (F.col("sxxt") - F.col("sxxl")).alias("sxxr"),
+        (F.col("syt") - F.col("syl")).alias("syr"),
+        (F.col("sxyt") - F.col("sxyl")).alias("sxyr"),
+        (F.col("syyt") - F.col("syyl")).alias("syyr"),
+    )
+    sse_two = F.expr(f"{_FIT_L['sse']} + {_FIT_R['sse']}")
+    scored = cand.select(
+        "x",
+        "nt",
+        sse_two.alias("sse_two"),
+        F.expr(_FIT_L["slope"]).alias("slope_l"),
+        F.expr(_FIT_R["slope"]).alias("slope_r"),
+        F.expr(_FIT_ALL["sse"]).alias("sse_one"),
+    ).withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("sse_two"), F.col("x")))
+    )
+    return scored.where(F.col("rn") == 1).select(
+        F.col("x").cast("bigint").alias("break_x"),
+        F.col("nt").cast("bigint").alias("n_days"),
+        F.round("slope_l", 6).alias("slope_left"),
+        F.round("slope_r", 6).alias("slope_right"),
+        F.round("sse_one", 4).alias("sse_single"),
+        F.round("sse_two", 4).alias("sse_segmented"),
+        F.round(
+            1.0 - F.col("sse_two") / F.nullif(F.col("sse_one"), F.lit(0.0)), 6
+        ).alias("sse_reduction"),
+    )

@@ -287,6 +287,7 @@ _DEFER_NEW_R4 = frozenset({
     "woe_iv_price_bins",
     "emd_price_urgent_binned",
     "weighted_median_price_by_flag",
+    "segmented_trend_breakpoint",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
