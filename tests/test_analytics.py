@@ -609,3 +609,28 @@ def test_segmented_trend_matches_bruteforce(spark, sf_dir):
     assert abs(row.slope_left - bl) <= 1e-4 * max(1.0, abs(bl))
     assert abs(row.slope_right - br) <= 1e-4 * max(1.0, abs(br))
     assert row.n_days == len(pts)
+
+
+def test_acf_correlogram_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from thread_based_map_reduce_spark.operators.analytics import ACF_MAX_LAG
+
+    rows = {r.lag: r for r in CATALOG["acf_hourly_correlogram"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, ACF_MAX_LAG + 1))
+    grid = {
+        r.h: r.y
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.unix_seconds(F.date_trunc("hour", "ts")).alias("h"))
+        .agg(F.count("*").alias("y"))
+        .collect()
+    }
+    for k, out in rows.items():
+        pairs = [
+            (grid[h], grid[h + k * 3600]) for h in grid if h + k * 3600 in grid
+        ]
+        assert out.n == len(pairs)
+        a = np.array([p[0] for p in pairs], dtype=float)
+        b = np.array([p[1] for p in pairs], dtype=float)
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert abs(out.acf - want) <= 1e-5, (k, out.acf, want)

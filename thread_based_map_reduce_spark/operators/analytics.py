@@ -2845,3 +2845,96 @@ def q_segmented_trend_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("sse_two") / F.nullif(F.col("sse_one"), F.lit(0.0)), 6
         ).alias("sse_reduction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Correlogram: sample autocorrelation of hourly event counts at lags 1..12
+# (events_autocorr_lag1 generalized to the full ACF a forecaster actually
+# inspects). Each lag's ACF is the Pearson correlation of (y_t, y_{t+k})
+# pairs; counts are integers, so every moment (n, Sy1, Sy2, Sy1², Sy2²,
+# Sy1y2) is an exact BIGINT and the correlation is one fixed IEEE
+# expression over them — deterministic under any aggregation order. Pairs
+# come from a self-join of the tiny hourly grid on h2 = h1 + k·3600 with
+# the 12 lags exploded from a literal array: 12× a bounded-grid join, no
+# window at all, and hour gaps simply drop pairs (both engines alike).
+ACF_MAX_LAG = 12
+
+
+@register(
+    "acf_hourly_correlogram",
+    oracle=f"""
+        WITH grid AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT l.lag AS lag, a.y AS y1, b.y AS y2
+            FROM grid a
+            CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG}))
+                            AS lag) l
+            JOIN grid b ON b.h = a.h + l.lag * 3600
+        ),
+        mom AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y1) AS BIGINT) AS s1,
+                   CAST(sum(y2) AS BIGINT) AS s2,
+                   CAST(sum(y1 * y1) AS BIGINT) AS s11,
+                   CAST(sum(y2 * y2) AS BIGINT) AS s22,
+                   CAST(sum(y1 * y2) AS BIGINT) AS s12
+            FROM pairs GROUP BY 1
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               round((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+                     / nullif(sqrt((CAST(n AS DOUBLE) * s11
+                                    - CAST(s1 AS DOUBLE) * s1)
+                                   * (CAST(n AS DOUBLE) * s22
+                                      - CAST(s2 AS DOUBLE) * s2)), 0.0), 6)
+                   AS acf
+        FROM mom
+    """,
+    doc="Hourly-count correlogram: sample autocorrelation at lags 1..12 — "
+    "the full ACF a forecaster inspects for seasonality/persistence, "
+    "generalizing events_autocorr_lag1. Counts are integers, so all six "
+    "moments per lag are exact BIGINTs and each lag's Pearson formula is "
+    "one fixed IEEE expression (nullif-guarded degenerate variance) — "
+    "bit-identical across engines. Scale: the per-hour grid is one "
+    "map-side-combined count; the 12 lags explode from a literal array "
+    "into an equi-join of the bounded grid with itself — cost scales "
+    "with hours x lags, never with raw events; no windows anywhere",
+    tags=("events", "stats", "agg"),
+)
+def q_acf_hourly_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+    ).alias("lag")
+    left = grid.select("h", F.col("y").alias("y1")).select("h", "y1", lags)
+    right = grid.select(F.col("h").alias("h2"), F.col("y").alias("y2"))
+    pairs = left.join(
+        right, F.col("h2") == F.col("h") + F.col("lag") * 3600
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y1").cast("bigint").alias("s1"),
+        F.sum("y2").cast("bigint").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).cast("bigint").alias("s11"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("s22"),
+        F.sum(F.col("y1") * F.col("y2")).cast("bigint").alias("s12"),
+    )
+    num = F.col("n").cast("double") * F.col("s12") - F.col("s1").cast(
+        "double"
+    ) * F.col("s2")
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("s11") - F.col("s1").cast("double") * F.col("s1"))
+        * (F.col("n").cast("double") * F.col("s22") - F.col("s2").cast("double") * F.col("s2"))
+    )
+    return mom.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    )

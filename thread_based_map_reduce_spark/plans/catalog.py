@@ -288,6 +288,7 @@ _DEFER_NEW_R4 = frozenset({
     "emd_price_urgent_binned",
     "weighted_median_price_by_flag",
     "segmented_trend_breakpoint",
+    "acf_hourly_correlogram",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
