@@ -112,3 +112,31 @@ def test_bfs_hops_stays_inside_seed_component(spark, sf_dir):
     for r in hops:
         assert clusters[r.min_doc] == seed_cluster
         assert clusters[r.max_doc] == seed_cluster
+
+
+def test_link_prediction_wedges_are_consistent(spark, sf_dir):
+    """Every returned pair must share >= 1 common neighbor in the verified
+    graph, the common-neighbor count must match a brute-force wedge count,
+    and is_edge must agree with the verified pair set."""
+    from collections import defaultdict
+
+    from thread_based_map_reduce_spark.operators.dedup import (
+        q_dup_graph_link_prediction,
+        _lsh_verified_pairs,
+    )
+
+    rows = q_dup_graph_link_prediction(spark, sf_dir).collect()
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for r in rows:
+        cn = len(nbrs[r.doc_a] & nbrs[r.doc_b])
+        assert r.common_neighbors == cn and cn >= 1
+        assert r.is_edge == ((r.doc_a, r.doc_b) in pairs)
+        union = len(nbrs[r.doc_a] | nbrs[r.doc_b])
+        assert abs(r.neighbor_jaccard - cn / union) < 1e-6

@@ -289,6 +289,7 @@ _DEFER_NEW_R4 = frozenset({
     "weighted_median_price_by_flag",
     "segmented_trend_breakpoint",
     "acf_hourly_correlogram",
+    "dup_graph_link_prediction",
 })
 
 # Families whose only green signal so far is the local pytest oracle run —
