@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Run the dedup/curation headline queries against the 10× fixture and
+print per-query wall-clock alongside the same queries at sf0.1 — the
+UPWARD scaling row for BASELINE.md (VERDICT r4 next-round #6).
+
+Usage:
+    python scripts/gen_scale_fixture.py          # once
+    python scripts/scale_point.py                # prints the ratio table
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+QUERIES = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_blocked",
+    "dedup_prefix_filter_pairs",
+    "dup_span_fraction",
+    "decontam_eval_overlap",
+    "semantic_dedup_stats",
+]
+
+
+def time_query(fn, spark, sf_dir: str, reps: int = 3) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+def main() -> None:
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+    from thread_based_map_reduce_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark()
+    scale_dir = os.path.join(ROOT, ".scale10")
+    base_dir = "/root/testdata/sf0.1"
+    out = {}
+    for name in QUERIES:
+        fn = CATALOG[name].fn
+        t_base, r_base = time_query(fn, spark, base_dir)
+        t_scale, r_scale = time_query(fn, spark, scale_dir)
+        out[name] = {
+            "sf0.1_sec": round(t_base, 3),
+            "x10_sec": round(t_scale, 3),
+            "ratio": round(t_scale / t_base, 2),
+            "sf0.1_rows": r_base,
+            "x10_rows": r_scale,
+        }
+        print(name, json.dumps(out[name]))
+    print(json.dumps({"scale_point": out}))
+
+
+if __name__ == "__main__":
+    main()

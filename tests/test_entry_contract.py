@@ -21,13 +21,12 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
-    # rows-only entries are the documented engine-specific few
-    # (multimodal decode/resize gained real-PGM oracles in round 3)
+    # zero rows-only entries since round 5: every query is oracle-backed
+    # (multimodal decode/resize gained real-PGM oracles in round 3,
+    # ivf_kmeans_assignments an exact-replay oracle in round 4, and
+    # approx_aggregates an accuracy-contract oracle in round 5)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "approx_aggregates",
-        "ivf_kmeans_assignments",
-    }
+    assert rows_only == set()
 
 
 def test_catalog_order_is_deterministic(monkeypatch):

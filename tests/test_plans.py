@@ -341,3 +341,27 @@ def test_stump_window_runs_on_bin_table(spark, sf_dir):
     assert count_nodes(plan, "BroadcastExchange") >= 1, (
         "price min/max bounds no longer broadcast"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["word_freq_topn", "char_trigram_profile", "token_pmi_pairs", "zipf_fit_stats"]
+)
+def test_text_topk_is_distributed(spark, sf_dir, name):
+    # VERDICT r4 #3: global top-k over an unbounded input (vocabulary /
+    # co-occurring-pair set, both corpus-growing) must be orderBy+limit —
+    # TakeOrderedAndProject, per-partition heaps — never an unpartitioned
+    # row_number window ranking the full set in one task. A rank window is
+    # only allowed ABOVE the limit (it then runs over <= K rows).
+    plan = plan_of(spark, sf_dir, name)
+    # tree section only (parents printed before children); detail blocks
+    # after the first blank line repeat node names in id order — excluded
+    tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0]
+    assert "TakeOrderedAndProject" in tree, f"{name}: top-k is not distributed"
+    # formatted explain prints parents before children: any Window must be
+    # a CONSUMER of the TakeOrderedAndProject (appear earlier in the tree),
+    # i.e. rank over the already-bounded <= K rows
+    take_pos = tree.index("TakeOrderedAndProject")
+    for m in re.finditer(r"Window", tree):
+        assert m.start() < take_pos, (
+            f"{name}: Window below TakeOrderedAndProject — ranking an unbounded input"
+        )

@@ -1995,8 +1995,12 @@ _PPJ_ENC = 2147483648  # 2^31
             GROUP BY 1, 2
         ),
         pref AS (
+            -- integer arithmetic only (ADVICE r4 medium): DuckDB's
+            -- float `/` + half-to-even CAST gave a prefix one element
+            -- SHORT for n ≡ 2 (mod 4) (n=6: CAST(3.5)=4 -> plen 3 vs
+            -- Spark's truncating 3 -> plen 4); `//` floors like Spark
             SELECT doc_id, n,
-                   unnest(arr[1:CAST(n - CAST((n + 1) / 2 AS BIGINT) + 1
+                   unnest(arr[1:CAST(n - (n + 1) // 2 + 1
                                      AS BIGINT)]) % {_PPJ_ENC} AS h
             FROM ordered
         ),
@@ -2190,8 +2194,10 @@ LINKPRED_TOPK = 20
     "every component is transitively closed, so the top-k being all "
     "edges is itself the audit verdict (no banding misses). "
     "Wedges come from one neighbor-list self-join (e1.b = e2.a), "
-    "counts/degrees/Jaccard are all exact integers, existing edges drop "
-    "via an anti-join, and the deterministic (count desc, pair) top-k is "
+    "counts/degrees/Jaccard are all exact integers, existing edges are "
+    "KEPT but flagged (is_edge) and sorted after all non-edges — not "
+    "anti-joined out — so they fill top-k slots only when open wedges "
+    "run out, and the deterministic (is_edge, count desc, pair) top-k is "
     "a TakeOrderedAndProject — no global sort. Scale: wedge volume is "
     "sum of squared degrees — bounded on a near-dup graph by "
     "construction (components are small); on graphs with hubs, cap or "

@@ -685,8 +685,9 @@ _HLL_ALPHA_SQL = (
     "rank of the 52-bit suffix via a pure integer comparison ladder (no "
     "float log2 -> no ulp hazard), harmonic denominator integer-scaled to "
     "an order-independent BIGINT sum, so the ENTIRE estimator is "
-    "bit-identical across engines and hash-gated (the engine-native "
-    "sketch in approx_aggregates cannot be). No small-range branch: "
+    "bit-identical across engines and hash-gated VALUE-FOR-VALUE (the "
+    "engine-native sketch in approx_aggregates differs per engine, so "
+    "that entry gates on an accuracy CONTRACT instead). No small-range branch: "
     "distinct orderkeys exceed 2.5m at every shipped SF (the "
     "n_zero_buckets column keeps the linear-counting input auditable). "
     "Scale shape: one map-side-combined max-aggregate into at most 256 "

@@ -28,6 +28,20 @@ Cross-engine determinism techniques (catalog.py header conventions):
   one `ln` per (vocab × lang) cell, evaluated from exact integer ratios
   by both engines (the integer-scaled-pagerank technique from
   `dup_graph_pagerank`).
+
+  KNOWN EXPOSURE (ADVICE r4): the quantization assumes DuckDB's libm
+  `ln`/`exp` and the JVM's `Math.log`/`exp` return the SAME double for
+  the same exact-integer-ratio input. Both are correctly-rounded to
+  <1 ulp in practice, but neither is *guaranteed* correctly-rounded by
+  its spec, so an input whose true `1e6*ln(x)` lands within ~1 ulp of an
+  integer could floor differently per platform and flip the BIGINT —
+  failing the hash gate nondeterministically for that (value, platform).
+  Every micronat call site in this file shares that exposure; it has
+  never fired across four driver rounds + the local suite (the floor
+  boundary is hit with probability ~1e-10 per cell, and the inputs are
+  low-entropy rationals far from boundaries). If it ever does, the fix
+  is a tolerance path in the oracle comparison for micronat columns, not
+  a change to the operators.
 - OLS moment sums are BIGINT (integer features) and DECIMAL(30,6)/(32,6)
   (price moments) — exact and associative; the Cramer determinants are
   then ONE shared SQL expression tree (`_OLS_BETA_SQL`, passed to
