@@ -45,6 +45,15 @@ def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> Sp
         # the big side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill files on tmpfs when the box has one (the test box mounts
+    # a 126 GiB /dev/shm; sf0.1 shuffle data is MBs). The default /tmp sits
+    # on the system disk, whose I/O-wait — not CPU — dominated the
+    # shuffle-heavy dedup timings on the shared box (BENCH r4/r5 drift
+    # investigation: 98% idle CPU, load driven by iowait). On a real
+    # cluster this knob points at executor-local NVMe instead; nothing in
+    # the engine depends on it.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/tbmr-spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
