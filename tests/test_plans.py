@@ -365,3 +365,31 @@ def test_text_topk_is_distributed(spark, sf_dir, name):
         assert m.start() < take_pos, (
             f"{name}: Window below TakeOrderedAndProject — ranking an unbounded input"
         )
+
+
+def test_cumulative_share_topk_is_distributed(spark, sf_dir):
+    # the top-100 cut must be TakeOrderedAndProject; the cum-sum/rank
+    # window then runs over <= 100 rows (never the full orders table)
+    plan = plan_of(spark, sf_dir, "cumulative_revenue_share")
+    tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0]
+    assert "TakeOrderedAndProject" in tree
+    take_pos = tree.index("TakeOrderedAndProject")
+    for m in re.finditer(r"Window", tree):
+        assert m.start() < take_pos, "Window ranks an unbounded input"
+
+
+def test_ltv_deciles_rank_windows_are_bucketed(spark, sf_dir):
+    # the per-customer rank must come from the two-level bucket-prefix
+    # shape: the only window allowed to run unpartitioned is the
+    # bucket-prefix sum over the <= 64-row bucket-count table (ordered by
+    # _bkt; Catalyst folds the constant group column out of its partition
+    # spec) — never a window ordering the per-customer spend itself
+    plan = plan_of(spark, sf_dir, "customer_ltv_deciles")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "bucketed rank windows vanished"
+    for s in specs:
+        first = s.split(",")[0]
+        if " ASC" in first or " DESC" in first:  # unpartitioned window
+            assert first.startswith("_bkt"), (
+                f"unpartitioned window over unbounded input: {s[:80]}"
+            )

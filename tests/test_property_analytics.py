@@ -126,3 +126,23 @@ def test_bucketed_group_rank_equals_window_rank(spark, rows):
         for r in df.withColumn("i", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+@given(st.integers(min_value=1, max_value=500))
+@settings(max_examples=200, deadline=None)
+def test_ntile_reconstruction_formula(n):
+    """customer_ltv_deciles reconstructs ntile(10) arithmetically from the
+    exact global rank: the first n%10 tiles take floor(n/10)+1 rows, the
+    rest floor(n/10) — verify the closed form against ntile's documented
+    allocation for every rank at every n."""
+    base, r = n // 10, n % 10
+    big = base + 1
+    cut = r * big
+    # reference allocation: tile sizes big×r then base×(10-r)
+    ref = []
+    for tile in range(1, 11):
+        ref.extend([tile] * (big if tile <= r else base))
+    assert len(ref) == n
+    for i in range(1, n + 1):
+        got = (i - 1) // big + 1 if i <= cut else r + (i - cut - 1) // max(base, 1) + 1
+        assert got == ref[i - 1], (n, i, got, ref[i - 1])

@@ -1523,29 +1523,35 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn <= 100
     """,
     doc="Pareto / cumulative-share analysis: running revenue share of the "
-    "top orders (decimal running sums so every prefix is order-exact; "
-    "global windows are fine for a top-100 slice — at scale, pre-filter "
-    "with a TakeOrdered top-k first)",
+    "top orders. The top-100 cut is orderBy+limit (TakeOrderedAndProject, "
+    "distributed per-partition heaps) BEFORE any window — the (price desc, "
+    "orderkey) order is total, so the global prefix and the top-100 prefix "
+    "are the same rows and the decimal running sums are value-identical; "
+    "the cum-sum/rank window then runs over exactly 100 rows and total "
+    "revenue is one scalar aggregate broadcast back (the word_freq_topn "
+    "retrofit pattern, VERDICT r4 #3)",
     tags=("window", "topk", "stats"),
 )
 def q_cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(30,6)")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+    total = o.agg(F.sum(dec).alias("total_rev"))
     w_order = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = o.select(
+    ranked = top.select(
         "o_orderkey",
         F.sum(dec).over(w_cum).alias("cum_rev"),
-        F.sum(dec).over(W.partitionBy()).alias("total_rev"),
         F.row_number().over(w_order).cast("bigint").alias("rn"),
     )
-    return (
-        ranked.where(F.col("rn") <= 100)
-        .select(
-            "rn",
-            "o_orderkey",
-            F.round((F.col("cum_rev") / F.col("total_rev")).cast("double"), 6).alias("cum_share"),
-        )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rn",
+        "o_orderkey",
+        F.round((F.col("cum_rev") / F.col("total_rev")).cast("double"), 6).alias("cum_share"),
     )
 
 
@@ -2373,17 +2379,45 @@ def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Customer lifetime-value deciles: spend per customer, ntile(10) "
     "ranking (unique-key tiebreak), per-decile revenue — the customer-mart "
-    "table behind every 80/20 analysis (decimal sums)",
+    "table behind every 80/20 analysis (decimal sums). The rank is NOT a "
+    "one-task global ntile window (customers grow with the corpus): the "
+    "two-level bucket-prefix rank (bucketed_group_rank with a constant "
+    "group) gives the exact global row_number, and ntile(10) is then "
+    "RECONSTRUCTED arithmetically from (rank, n) — the first n%10 deciles "
+    "take floor(n/10)+1 rows, the rest floor(n/10), which is ntile's "
+    "documented row allocation. Oracle keeps the plain ntile window; the "
+    "hash gate proves the reconstruction exact (the revenue_gini_by_nation "
+    "technique)",
     tags=("window", "agg", "stats"),
 )
 def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import bucketed_group_rank
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("total")
     )
-    w = W.orderBy(F.col("total").desc(), "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
-    return tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+    # rank ascending on -total == descending on total; unique tiebreak keeps
+    # the bucketed reconstruction identical to the oracle's window order
+    ranked = bucketed_group_rank(
+        spend.withColumn("_g", F.lit(1)).withColumn("_negtotal", -F.col("total")),
+        "_g",
+        "_negtotal",
+        "o_custkey",
+    )
+    n_df = spend.agg(F.count("*").alias("_n"))
+    i, n = F.col("i"), F.col("_n")
+    r = n % 10  # number of one-row-larger deciles
+    base = F.floor(n / 10).cast("bigint")  # rows per small decile
+    big = base + 1  # rows per large decile (first n%10 deciles)
+    cut = r * big  # rows covered by the large deciles
+    decile = F.when(i <= cut, F.floor((i - 1) / big) + 1).otherwise(
+        r + F.floor((i - cut - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    tiled = ranked.crossJoin(F.broadcast(n_df)).withColumn(
+        "decile", decile.cast("bigint")
+    )
+    return tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("total"), 2).cast("double").alias("decile_revenue"),
         F.round(F.min("total"), 2).cast("double").alias("min_spend"),
