@@ -2572,9 +2572,12 @@ def q_emd_price_urgent_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.floor(
             F.lit(1000000.0)
+            # try_divide: an empty side (n=0) nulls the term instead of
+            # raising under ANSI mode — EMD vs a zero-mass distribution
+            # is undefined, and a null summary beats a crashed job
             * F.abs(
-                F.col("k1").cast("double") / F.col("n1")
-                - F.col("k2").cast("double") / F.col("n2")
+                F.try_divide(F.col("k1").cast("double"), F.col("n1"))
+                - F.try_divide(F.col("k2").cast("double"), F.col("n2"))
             )
             * F.col("bw")
         )

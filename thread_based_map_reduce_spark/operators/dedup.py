@@ -2041,6 +2041,57 @@ _PPJ_ENC = 2147483648  # 2^31
     tags=("dedup", "join", "text"),
 )
 def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dsh, pref = _ppjoin_prefix_index(spark, sf_dir)
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                2 * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tsets = dsh.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
+    verified = (
+        cand.join(tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+        )
+    )
+    return verified.where(
+        2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _ppjoin_prefix_index(spark: SparkSession, sf_dir: str):
+    """(dsh, pref): distinct doc shingle hashes, and the checkpointed
+    prefix index (doc_id, n, h) holding each doc's floor(n/2)+1 rarest
+    shingles under the global (df asc, hash asc) order.
+
+    Factored out so tests/test_ppjoin_prefix_parity.py can compare the
+    EXACT prefix row set against the DuckDB oracle's ``pref`` CTE —
+    the ADVICE r4 medium was a one-element-short oracle prefix for
+    n ≡ 2 (mod 4), a divergence invisible at the pair level unless a
+    qualifying pair lands exactly on the boundary element.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     dsh = (
@@ -2081,43 +2132,7 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.slice(F.col("arr"), F.lit(1), plen)).alias("k"),
         ).select("doc_id", "n", (F.col("k") % _PPJ_ENC).alias("h"))
     )
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                2 * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    tsets = dsh.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
-    verified = (
-        cand.join(tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
-        .join(tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
-            F.size("ts_a").alias("na"),
-            F.size("ts_b").alias("nb"),
-        )
-    )
-    return verified.where(
-        2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter")
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-            6,
-        ).alias("jaccard"),
-    )
+    return dsh, pref
 
 
 # -- link prediction over the near-dup graph ----------------------------------

@@ -228,15 +228,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two aggregations joined on the 3-row group key, NOT one: mixing
+    # countDistinct with the heavyweight imperative sketches makes the
+    # planner's Expand-based distinct rewrite key partial aggregation by
+    # (group, gid, distinct-value) — and every one of those ~|distinct|
+    # partial groups allocates ALL the aggregate buffers, including two
+    # ~16 KB HLL++ registers and an accuracy-10000 quantile summary
+    # (measured: 226 s at sf0.1 fused vs ~1 s split). Split, the sketch
+    # pass keeps 3 buffers total and the distinct pass carries only
+    # count buffers through its Expand.
+    sketches = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_parts_exact"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders_exact"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
+    exacts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders_exact"),
+    )
+    agg = sketches.join(exacts, "l_returnflag")
     within = lambda approx, exact, tol: (  # noqa: E731
         F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
         / F.col(exact).cast("double")

@@ -575,6 +575,10 @@ def kmeans_train(
         (i, r.v)
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
+    if not centroids:
+        # zero vectors -> zero seeds: no Lloyd rounds to run; an empty
+        # assignment with the output schema, not a crashed stats collect
+        return emb.select("vec_id", F.lit(0).alias("centroid")).limit(0), []
     inertia_per_iter: list[float] = []
     assign = None
     for _ in range(iters):
@@ -669,6 +673,16 @@ def kmeans_train_exact(
         (i, [int(x) for x in r.qv])
         for i, r in enumerate(emb.orderBy("vec_id").limit(k).collect())
     ]
+    if not centroids:
+        # zero vectors -> zero seeds (see kmeans_train): empty assignment
+        # in the output schema, no Lloyd rounds, no inertia
+        return (
+            emb.select(
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                F.lit(0).cast("bigint").alias("centroid"),
+            ).limit(0),
+            [],
+        )
     inertia_per_iter: list[int] = []
     assign = None
     for _ in range(iters):
