@@ -393,3 +393,22 @@ def test_ltv_deciles_rank_windows_are_bucketed(spark, sf_dir):
             assert first.startswith("_bkt"), (
                 f"unpartitioned window over unbounded input: {s[:80]}"
             )
+
+
+def test_approx_aggregates_sketches_split_from_distinct(spark, sf_dir):
+    # the sketch pass (HLL++/quantile buffers) and the countDistinct pass
+    # must be SEPARATE aggregations joined on the group key: fused, the
+    # Expand-based distinct rewrite allocates every ~16 KB sketch buffer
+    # per (group, gid, distinct-value) partial group (measured 226 s vs
+    # ~3 s at sf0.1). The join disappearing means someone re-fused them.
+    plan = plan_of(spark, sf_dir, "approx_aggregates")
+    assert count_nodes(plan, "Expand") == 1, (
+        "expected exactly one Expand (the distinct-only pass); the sketch "
+        "pass must not sit behind a distinct rewrite"
+    )
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan), (
+        "sketch and distinct aggregations are no longer joined — re-fused?"
+    )
+    # the Expand branch must carry no sketch buffers
+    expand_idx = plan.find("Expand")
+    assert "approx_count_distinct" not in plan[expand_idx : expand_idx + 400].lower()
