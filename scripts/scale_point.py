@@ -46,7 +46,10 @@ def main() -> None:
     scale_dir = os.path.join(ROOT, ".scale10")
     base_dir = "/root/testdata/sf0.1"
     out = {}
-    for name in QUERIES:
+    # any query names on argv override the default dedup/curation set
+    # (the 10x fixture only carries documents + embeddings, so only
+    # queries reading those two tables are timeable here)
+    for name in (sys.argv[1:] or QUERIES):
         fn = CATALOG[name].fn
         t_base, r_base = time_query(fn, spark, base_dir)
         t_scale, r_scale = time_query(fn, spark, scale_dir)

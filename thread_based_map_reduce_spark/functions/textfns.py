@@ -34,10 +34,35 @@ def _positions(count: Column) -> Column:
 
 def char_ngrams(text: Column | str, n: int) -> Column:
     """Array of character n-grams via transform over a position sequence —
-    JVM-side, no UDF. Empty array for texts shorter than n."""
+    JVM-side, no UDF. Empty array for texts shorter than n.
+
+    Deliberately the ``substr(i, n)``-per-position form. The tempting
+    "split to a char array once, element_at per gram" rewrite is a trap
+    INSIDE a single expression: the lambda captures the split as an
+    unevaluated subexpression, so every ``element_at`` re-splits the
+    whole text — measured 2.2 s → 67 s on char_trigram_profile at sf0.1.
+    ``substr``'s per-call offset scan is O(position) in BYTES (a ~ns/char
+    pointer walk), negligible against the gram explode that follows at
+    any realistic document length."""
     c = F.col(text) if isinstance(text, str) else text
     count = F.length(c) - F.lit(n - 1)
     return F.transform(_positions(count), lambda i: c.substr(i, F.lit(n)))
+
+
+def char_ngrams_of_chars(cs: Column, n: int) -> Column:
+    """Char n-grams from an ALREADY-SPLIT char array column — project
+    ``F.split(text, "")`` into its own column first, exactly the
+    :func:`ngrams_of_tokens` contract. From a materialized array each
+    ``element_at`` is O(1), so the gram pass is O(len) per document;
+    measured 2.4 s → 1.25 s vs :func:`char_ngrams` on the sf0.1 trigram
+    profile, with the gap growing for longer documents (substr's offset
+    scan) — but NEVER inline the split into this call (see the
+    char_ngrams docstring: re-splitting per element access is 30×)."""
+    count = F.size(cs) - F.lit(n - 1)
+    return F.transform(
+        _positions(count),
+        lambda i: F.concat(*[F.element_at(cs, i + j) for j in range(n)]),
+    )
 
 
 def ngrams_of_tokens(toks: Column, n: int) -> Column:

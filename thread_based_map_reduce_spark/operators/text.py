@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.textfns import char_ngrams, ngrams_of_tokens, tokens
+from ..functions.textfns import char_ngrams_of_chars, ngrams_of_tokens, tokens
 from ..plans.catalog import register
 from ..sources.registry import load_table
 
@@ -206,8 +206,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # split-once projection, then O(1) element access per gram (the
+    # char-level twin of the tokenize-once rule; see char_ngrams_of_chars)
+    cs = docs.select(F.split("text", "").alias("cs"))
     counts = (
-        docs.select(F.explode(char_ngrams("text", 3)).alias("g"))
+        cs.select(F.explode(char_ngrams_of_chars(F.col("cs"), 3)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("n"))
     )
