@@ -73,8 +73,10 @@ def q_mr_wordcount_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def map_fn(row):
         # 0..N emissions per row: filtering inside map (a map that emits
-        # nothing for dropped items — legal per MapReduceClient.h:57-58)
-        for w in row.text.split(" "):
+        # nothing for dropped items — legal per MapReduceClient.h:57-58).
+        # A null text is a 0-emit row, not a crash (split on a None would
+        # kill the whole job over one bad record).
+        for w in (row.text or "").split(" "):
             if len(w) >= 4:
                 yield (w, 1)
 
@@ -278,9 +280,13 @@ def q_pandas_udaf_micro_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def micro_sum(values: pd.Series) -> int:
         # floor(v*1e6) mirrors the oracle bit-for-bit; python-int sum is
         # associative, so executor partition order can't change the result.
+        # NaN-filter first: SQL sum skips nulls, int(nan) raises — a null
+        # value row must not kill the job (count(*) still counts it, in
+        # both engines).
         import numpy as np
 
-        return int(sum(int(x) for x in np.floor(values.to_numpy() * 1e6)))
+        arr = values.to_numpy()
+        return int(sum(int(x) for x in np.floor(arr[~np.isnan(arr)] * 1e6)))
 
     @pandas_udf("bigint")
     def n_rows(values: pd.Series) -> int:

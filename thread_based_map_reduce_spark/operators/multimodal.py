@@ -32,11 +32,18 @@ except ImportError:
     HAVE_PIL = False
 
 
+def _media_docs(docs: DataFrame) -> DataFrame:
+    """A null text derives no media asset: drop the row here instead of
+    shipping a NULL payload into every Python kernel downstream (a
+    bytes(None) would kill the whole job over one empty record)."""
+    return docs.where(F.col("text").isNotNull())
+
+
 def with_payload(docs: DataFrame) -> DataFrame:
     """Attach a deterministic 16-byte binary payload + metadata struct —
     the multimodal column pattern: (payload binary, meta struct<...>)."""
     payload = F.unhex(F.md5("text"))
-    return docs.select(
+    return _media_docs(docs).select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
@@ -343,7 +350,7 @@ def with_pgm_payload(docs: DataFrame) -> DataFrame:
         "substring(repeat(md5(text), int(ceil((width * height) / 16.0))), "
         "1, 2 * width * height)"
     )
-    base = docs.select("doc_id", "text", w.alias("width"), h.alias("height"), n.alias("n_px"))
+    base = _media_docs(docs).select("doc_id", "text", w.alias("width"), h.alias("height"), n.alias("n_px"))
     header = F.concat_ws("", F.lit("P5\n"), F.col("width"), F.lit(" "), F.col("height"), F.lit("\n255\n"))
     return base.select(
         "doc_id",
@@ -474,7 +481,7 @@ def _le32_hex(n_col: F.Column) -> F.Column:
 def with_wav_payload(docs: DataFrame) -> DataFrame:
     """Attach a REAL 8-bit PCM mono WAV per document, built JVM-side."""
     n = (F.conv(F.substring(F.md5("text"), 5, 3), 16, 10).cast("bigint") % 2048 + 16).cast("int")
-    base = docs.select("doc_id", "text", n.alias("n_samples"))
+    base = _media_docs(docs).select("doc_id", "text", n.alias("n_samples"))
     sr = _WAV_SAMPLE_RATE
     # fmt chunk for PCM mono 8-bit: fixed 16-byte body
     fmt_hex = F.lit(
@@ -717,7 +724,7 @@ def with_y4m_payload(docs: DataFrame) -> DataFrame:
         f"substring(repeat(md5(concat(text, cast(f AS STRING))), {(n_hex + 31) // 32}), 1, {n_hex})"
     )
     frames = (
-        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(_Y4M_FRAMES - 1))).alias("f"))
+        _media_docs(docs).select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(_Y4M_FRAMES - 1))).alias("f"))
         .select("doc_id", "f", F.concat(F.lit("4652414d450a"), frame_hex).alias("fhex"))  # "FRAME\n"
         .groupBy("doc_id")
         .agg(

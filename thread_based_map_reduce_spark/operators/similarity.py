@@ -567,9 +567,11 @@ def kmeans_train(
     per-row argmin fold over that array: zero shuffle, one scan."""
 
     emb = reliable_checkpoint(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
+        # null vectors carry no position — drop them (a None seed or
+        # assignment would crash the Python-side centroid math)
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     centroids = [
         (i, r.v)
@@ -661,7 +663,10 @@ def kmeans_train_exact(
     in 1e-12 squared units)."""
 
     emb = reliable_checkpoint(
-        load_table(spark, sf_dir, "embeddings").select(
+        # null vectors dropped, as in kmeans_train
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
             "vec_id",
             F.transform(
                 F.col("embedding").cast("array<double>"),
