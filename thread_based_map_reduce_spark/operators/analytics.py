@@ -2160,7 +2160,13 @@ def q_chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFra
         "n_cells",
         F.round(
             F.sqrt(
-                (F.col("chi2_micro") / CHI2_SCALE) / (F.col("n") * F.col("mindim"))
+                # try_divide: a 1-level lang or source factor gives
+                # mindim=0 — Cramér's V is undefined there, null it
+                # instead of an ANSI divide-by-zero
+                F.try_divide(
+                    F.col("chi2_micro") / CHI2_SCALE,
+                    (F.col("n") * F.col("mindim")).cast("double"),
+                )
             ),
             6,
         ).alias("cramers_v"),

@@ -429,13 +429,22 @@ def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_b"),
     )
-    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
-    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide throughout: an empty variant (every user hashing to one
+    # arm on tiny data) nulls its rate and the z-stat instead of raising
+    # under ANSI mode
+    rate_a = F.try_divide(F.col("conv_a").cast("double"), F.col("n_a"))
+    rate_b = F.try_divide(F.col("conv_b").cast("double"), F.col("n_b"))
+    pooled = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")).cast("double"),
+        F.col("n_a") + F.col("n_b"),
     )
     denom = F.sqrt(
-        pooled * (F.lit(1.0) - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_a"))
+            + F.try_divide(F.lit(1.0), F.col("n_b"))
+        )
     )
     return agg.select(
         "n_a",
