@@ -115,158 +115,165 @@ def _load_all() -> None:
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # regenerated after CORRECTNESS_r04.json (198 hash-green names across
-    # r1-r4; zero mismatches ever). ``approx_aggregates`` is deliberately
-    # EXCLUDED even though r3 recorded a rows-only row for it: it gained a
-    # real contract-gated oracle in round 5, so it takes an early slot to
-    # earn a hash-green row instead of staying parked on the weak check
-    # (same treatment ivf_kmeans_assignments got in round 4, successfully).
-    "agg_salted_skew", "ann_bruteforce_topk", "ann_lsh_bucketed",
-    "ann_lsh_multiprobe", "ann_recall_eval", "argmax_aggregates",
-    "array_hof", "array_setops", "asof_join_signup", "basket_part_pairs",
-    "best_day_per_month", "bitwise_ops", "case_banding",
+    # regenerated after CORRECTNESS_r05.json (248 hash-green names across
+    # r1-r5; zero mismatches ever) via scripts/update_verified.py.
+    "ab_test_zstat", "agg_salted_skew", "ann_bruteforce_topk",
+    "ann_lsh_bucketed", "ann_lsh_multiprobe", "ann_recall_eval",
+    "approx_aggregates", "argmax_aggregates", "array_hof", "array_setops",
+    "asof_join_signup", "basket_part_pairs", "best_day_per_month",
+    "bigram_nll_quality", "bitwise_ops", "bloom_filter_join_stats",
+    "bpe_pair_merge_topk", "case_banding", "cdc_merge_apply",
     "centroid_per_label", "char_trigram_profile", "charcount",
-    "cogroup_user_activity", "collect_sorted", "compaction_plan_stats",
-    "conditional_aggregates", "corpus_curation_stats",
-    "correlated_min_subquery", "cross_join_bounded", "cube_counts",
+    "cluster_quality_db_index", "cogroup_user_activity", "collect_sorted",
+    "compaction_plan_stats", "conditional_aggregates",
+    "corpus_curation_stats", "correlated_min_subquery",
+    "countmin_topk_estimate", "cross_join_bounded", "cube_counts",
     "cumulative_revenue_share", "curation_pipeline_v2",
     "customer_ltv_deciles", "date_interval_arithmetic",
-    "decontam_eval_overlap", "dedup_canonical_map", "dedup_clusters",
-    "dedup_clusters_twostar", "dedup_embedding_cosine",
+    "decision_stump_train", "decontam_eval_overlap", "dedup_canonical_map",
+    "dedup_clusters", "dedup_clusters_twostar", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_exact", "dedup_graph_triangles",
     "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
     "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_normalized", "dedup_simhash", "discount_effect_by_band",
-    "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
-    "doc_fingerprint", "domain_mix_weights", "dup_graph_degree_stats",
-    "dup_span_fraction", "embedding_covariance", "embedding_norm_stats",
-    "embedding_quantize_stats", "embeddings_dim_stats",
-    "event_type_transitions", "events_anomaly_trailing_z",
-    "events_dow_hour_heatmap", "events_error_rate_hourly",
-    "events_interarrival_stats", "events_rollup_day_from_hour",
-    "events_sliding_2h", "events_tumbling_hour", "exists_correlated",
+    "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
+    "dedup_sorted_neighborhood", "detok_fidelity_stats",
+    "discount_effect_by_band", "distinct_counts_exact", "distinct_pairs",
+    "doc_char_entropy", "doc_fingerprint", "domain_mix_weights",
+    "dup_graph_bfs_hops", "dup_graph_degree_stats",
+    "dup_graph_link_prediction", "dup_graph_pagerank",
+    "dup_pairs_edit_distance", "dup_span_fraction", "embedding_covariance",
+    "embedding_norm_stats", "embedding_quantize_stats",
+    "embeddings_dim_stats", "event_type_transitions",
+    "events_anomaly_trailing_z", "events_dow_hour_heatmap",
+    "events_error_rate_hourly", "events_interarrival_stats",
+    "events_rollup_day_from_hour", "events_sliding_2h",
+    "events_tumbling_hour", "exists_correlated",
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
     "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
-    "having_filter", "inline_struct_explode", "ivf_kmeans_assignments",
-    "ivf_search", "ivf_search_nprobe2", "join_anti", "join_full_outer",
+    "having_filter", "hll_distinct_estimate", "inline_struct_explode",
+    "inverted_index_stats", "ivf_kmeans_assignments", "ivf_search",
+    "ivf_search_nprobe2", "join_anti", "join_full_outer",
     "join_hint_shuffle_hash", "join_left_outer", "join_right_outer",
-    "join_semi", "join_star_revenue", "json_extract", "json_map_explode",
-    "json_struct_parse", "key_skew_report", "langid_heuristic",
+    "join_salted_skew", "join_semi", "join_star_revenue", "json_extract",
+    "json_map_explode", "json_struct_parse", "key_skew_report",
+    "kmv_distinct_estimate", "langid_confusion_matrix", "langid_heuristic",
     "lateral_topk_per_nation", "latest_event_per_user", "limit_offset_page",
-    "map_column", "median_by_status", "minhash_estimate_eval",
-    "mix_quota_sample", "mode_priority_per_status", "mr_charcount",
-    "mr_lang_source_expand", "mr_wordcount_filtered",
-    "multimodal_decode_stats", "multimodal_frame_sample", "multimodal_meta",
+    "lsh_band_tuning_curve", "map_column", "markov_next_event_accuracy",
+    "median_by_status", "minhash_estimate_eval", "mix_quota_sample",
+    "mode_priority_per_status", "mr_charcount", "mr_lang_source_expand",
+    "mr_wordcount_filtered", "multimodal_decode_stats",
+    "multimodal_flip_augment", "multimodal_frame_sample", "multimodal_meta",
     "multimodal_pgm_decode", "multimodal_resize_thumbs",
     "multimodal_wav_decode", "multimodal_wav_features",
-    "multimodal_y4m_decode", "multimodal_y4m_motion", "nested_struct_ops",
+    "multimodal_y4m_decode", "multimodal_y4m_motion",
+    "mv_incremental_refresh", "nb_langid_train_eval", "nested_struct_ops",
     "not_in_subquery", "null_safe_join", "null_scalar_functions",
-    "orders_first_vs_repeat", "orders_monthly_growth",
-    "pack_sequences_stats", "pandas_udf_token_count", "percentiles",
-    "pii_scrub_stats", "pivot_status", "posexplode_tokens",
+    "ols_kfold_cv", "ols_price_model", "orders_first_vs_repeat",
+    "orders_monthly_growth", "pack_sequences_stats",
+    "pandas_udaf_micro_mean", "pandas_udf_token_count",
+    "pca_power_iteration", "percentiles", "pii_scrub_stats", "pivot_status",
+    "posexplode_tokens", "pq_adc_rerank_topk", "pq_adc_topk",
+    "pq_codebook_stats", "pq_recall_eval", "pq_train_stats",
     "price_histogram", "profile_documents", "projection", "rag_chunk_stats",
     "range_join_clicks", "ratio_to_report", "recursive_month_spine",
     "regex_functions", "retention_weekly", "returns_rate_by_month",
     "rollup_qty", "sample_hash_deterministic", "sample_per_group",
     "scalar_date", "scalar_math", "scalar_string", "scd_intervals",
-    "session_window_agg", "sessionize", "set_except", "set_intersect",
-    "set_union_distinct", "setop_all_variants", "shard_assignment_stats",
+    "semantic_dedup_stats", "session_window_agg", "sessionize",
+    "set_except", "set_intersect", "set_union_distinct",
+    "setop_all_variants", "shard_assignment_stats",
     "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
+    "streaming_dedup_runtime", "streaming_session_runtime",
+    "streaming_sliding_runtime", "streaming_stateful_runtime",
+    "streaming_static_join_runtime", "streaming_stream_join_runtime",
+    "streaming_tumbling_runtime", "streaming_upsert_runtime",
     "string_functions_2", "subquery_scalar", "text_quality_score",
     "text_repetition_ratio", "text_token_stats", "tfidf_top_terms",
     "timeseries_gap_fill", "token_pmi_pairs", "token_regex_count",
-    "top_bigrams_per_lang", "topk_global", "topk_with_ties", "tpch_q1",
-    "tpch_q10_returned_customers", "tpch_q11_value_concentration",
-    "tpch_q12_shipmode", "tpch_q13_order_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q20_dominant_suppliers", "tpch_q21_waiting_orders",
-    "tpch_q22_idle_customers", "tpch_q3_toporders",
-    "tpch_q4_priority_check", "tpch_q5_region_revenue", "tpch_q6_revenue",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "trending_per_hour", "udtf_tokenize",
-    "unigram_nll_quality", "union_all_tagged", "union_by_name_missing",
-    "unpivot_part_metrics", "variant_json_shred", "vector_arithmetic",
-    "vocab_oov_coverage", "weighted_avg_price", "window_lag_gap",
-    "window_range_frame", "window_rank_family", "window_running_sum",
-    "window_topk_per_group", "window_value_functions", "word_freq_topn",
+    "tokenizer_fertility_by_lang", "top_bigrams_per_lang", "topk_global",
+    "topk_with_ties", "tpch_q1", "tpch_q10_returned_customers",
+    "tpch_q11_value_concentration", "tpch_q12_shipmode",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
+    "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
+    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "train_val_test_split_stats",
+    "trending_per_hour", "udtf_tokenize", "unigram_nll_quality",
+    "union_all_tagged", "union_by_name_missing", "unpivot_part_metrics",
+    "variant_json_shred", "vector_arithmetic", "vocab_growth_curve",
+    "vocab_oov_coverage", "weak_label_vote_stats", "weighted_avg_price",
+    "window_lag_gap", "window_range_frame", "window_rank_family",
+    "window_running_sum", "window_topk_per_group", "window_value_functions",
+    "woe_iv_price_bins", "word_freq_topn", "zipf_fit_stats",
     "zorder_pruning_stats", "zscore_outliers"
 })
 
 
-# Round-5 driver window, in priority order (VERDICT r4 next-round #1/#2):
-# the r3 unverified tail fully cleared in round 4 (50/50 green, zero
-# wasted slots), so this round's ~50-slot window is aimed entirely at the
-# 91-query round-4 tail, highest-value first — the 8 streaming-RUNTIME
-# entries (real Structured Streaming execution has never faced the
-# driver's hash gate), the exact-recall dedup families, the PQ serving
-# path, the graph audits, then ML / sketches / text. Names NOT listed
-# here still rank ahead of verified queries (band 1/2) and rotate into
-# round 6's window. Order within this tuple is the driver-facing order.
+# Round-6 driver window, in priority order (VERDICT r5 next-round #1/#2):
+# the entire 42-query unverified tail leads — clearing it makes the
+# catalog 290/290 driver-verified for the first time — followed by the
+# new PNG-decode entry and 7 regression re-proves of the highest-risk
+# old greens (the three r5 text top-k retrofits plus their two oracle
+# neighbours, and the two 100-TB champion operators whose scale fixtures
+# are re-measured this round). 42 + 1 + 7 = 50 slots, zero waste.
 _PINNED_FIRST = (
-    # Structured-Streaming runtime entries (operators/streaming_runtime.py)
-    "streaming_tumbling_runtime",
-    "streaming_sliding_runtime",
-    "streaming_session_runtime",
-    "streaming_dedup_runtime",
-    "streaming_upsert_runtime",
-    "streaming_static_join_runtime",
-    "streaming_stateful_runtime",
-    "streaming_stream_join_runtime",
-    # exact-recall dedup families + banding evidence
-    "dedup_prefix_filter_pairs",
-    "dedup_sorted_neighborhood",
-    "lsh_band_tuning_curve",
-    "semantic_dedup_stats",
-    "dup_pairs_edit_distance",
-    # PQ serving path (codebook -> train -> ADC -> rerank -> recall)
-    "pq_codebook_stats",
-    "pq_train_stats",
-    "pq_adc_topk",
-    "pq_adc_rerank_topk",
-    "pq_recall_eval",
-    # graph audits over the near-dup graph
-    "dup_graph_pagerank",
-    "dup_graph_bfs_hops",
-    "dup_graph_link_prediction",
-    # gained its contract-gated oracle this round (VERDICT r4 #4)
-    "approx_aggregates",
-    # ML family
-    "pca_power_iteration",
-    "nb_langid_train_eval",
-    "ols_price_model",
-    "ols_kfold_cv",
-    "decision_stump_train",
-    "markov_next_event_accuracy",
-    "woe_iv_price_bins",
-    "weak_label_vote_stats",
-    "cluster_quality_db_index",
-    # sketches / engineering
-    "kmv_distinct_estimate",
-    "hll_distinct_estimate",
-    "countmin_topk_estimate",
-    "bloom_filter_join_stats",
-    "mv_incremental_refresh",
-    "cdc_merge_apply",
-    "ab_test_zstat",
-    # text family
-    "bpe_pair_merge_topk",
-    "bigram_nll_quality",
-    "tokenizer_fertility_by_lang",
-    "vocab_growth_curve",
-    "zipf_fit_stats",
-    "langid_confusion_matrix",
-    "detok_fidelity_stats",
-    "inverted_index_stats",
-    # UDAF slot, salted join, multimodal, curation audits
-    "pandas_udaf_micro_mean",
-    "join_salted_skew",
-    "multimodal_flip_augment",
-    "train_val_test_split_stats",
+    # --- the full r5 unverified tail (42), analytics/statistics wave ---
+    "acf_hourly_correlogram",
+    "approx_quantile_eval",
+    "association_rules_lift",
+    "benford_digit_stats",
     "cdc_chunk_stats",
+    "chi2_lang_source_independence",
+    "churn_label_stats",
+    "cohort_retention_matrix",
+    "consistent_hash_rebalance",
+    "dq_audit_stats",
+    "emd_price_urgent_binned",
+    "event_transition_entropy",
+    "events_autocorr_lag1",
+    "events_cusum_changepoint",
+    "events_decayed_trend",
+    "functional_dependency_audit",
+    "funnel_attribution_last_touch",
+    "join_cardinality_eval",
     "k_anonymity_stats",
+    "km_survival_signup_purchase",
     "l_diversity_stats",
+    "longest_streak_per_user",
+    "mad_outliers_by_type",
+    "mannwhitney_price_urgent",
+    "ohlc_bars_hourly",
+    "orders_backlog_monthly",
+    "peak_concurrency",
+    "psi_drift_stats",
+    "range_partition_balance",
+    "revenue_gini_by_nation",
+    "rfm_segments",
+    "rolling_reach_7d",
+    "seasonal_hod_profile",
+    "segmented_trend_breakpoint",
+    "skyline_pareto_parts",
+    "source_lang_kl",
+    "text_embedding_alignment",
+    "theil_sen_trend",
+    "trend_slope_per_type",
+    "user_path_trigrams",
+    "value_percentile_bands",
+    "weighted_median_price_by_flag",
+    # --- new catalog entry this round (stdlib-zlib PNG decode kernel) ---
+    "multimodal_png_decode",
+    # --- regression re-proves: r5-rewritten text top-k + neighbours,
+    # then the two scale-champion operators ---
+    "tfidf_top_terms",
+    "unigram_nll_quality",
+    "word_freq_topn",
+    "char_trigram_profile",
+    "token_pmi_pairs",
+    "dedup_minhash_lsh_pairs",
+    "ann_lsh_bucketed",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
