@@ -193,3 +193,145 @@ def test_y4m_roundtrip_spark(spark, sf_dir):
     for r in with_y4m_payload(docs).collect():
         w, h, frames = decode_y4m(bytes(r.payload))
         assert (w, h) == (8, 8) and len(frames) == _Y4M_FRAMES
+
+
+def _make_png(w, h, raster, filters=None):
+    """Independent minimal PNG encoder (zlib.compress path, NOT the SQL
+    stored-block path) for golden tests."""
+    import struct
+    import zlib
+
+    filters = filters or [0] * h
+    raw = b"".join(
+        bytes([filters[r]]) + _filter_row(raster, w, h, r, filters[r])
+        for r in range(h)
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _filter_row(raster, w, h, r, ft):
+    from thread_based_map_reduce_spark.operators.multimodal import _paeth_predictor
+
+    out = bytearray(w)
+    for c in range(w):
+        x = raster[r * w + c]
+        left = raster[r * w + c - 1] if c else 0
+        up = raster[(r - 1) * w + c] if r else 0
+        ul = raster[(r - 1) * w + c - 1] if r and c else 0
+        pred = [0, left, up, (left + up) // 2, _paeth_predictor(left, up, ul)][ft]
+        out[c] = (x - pred) & 255
+    return bytes(out)
+
+
+def test_decode_png_golden_all_filters():
+    from thread_based_map_reduce_spark.operators.multimodal import decode_png
+
+    raster = bytes(range(30))  # 6 rows x 5 px
+    payload = _make_png(5, 6, raster, filters=[0, 1, 2, 3, 4, 1])
+    w, h, out, ftypes = decode_png(payload)
+    assert (w, h) == (5, 6)
+    assert out == raster  # every filter round-trips through the unfilter loop
+    assert ftypes == [0, 1, 2, 3, 4, 1]
+
+
+def test_decode_png_rejects_corrupt():
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from thread_based_map_reduce_spark.operators.multimodal import decode_png
+
+    good = _make_png(3, 2, bytes(range(6)))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xff\xe0JFIF" + good[8:])
+    with _pytest.raises(ValueError, match="bad CRC"):
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # flip a byte inside IHDR data
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        decode_png(good[:-6])  # IEND ripped mid-chunk
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        import struct as _struct
+
+        ihdr = _struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)  # RGB, not gray
+        chunk = (
+            _struct.pack(">I", 13) + b"IHDR" + ihdr
+            + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+    with _pytest.raises(ValueError, match="bad zlib stream"):
+        # valid chunks, garbage IDAT body
+        import struct as _struct
+
+        ihdr = _struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+        def _chunk(typ, data):
+            return (
+                _struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", b"\x00garbage") + _chunk(b"IEND", b"")
+        )
+    with _pytest.raises(ValueError, match="missing IHDR"):
+        import struct as _struct
+
+        def _chunk2(typ, data):
+            return (
+                _struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk2(b"IEND", b""))
+    with _pytest.raises(ValueError, match="bad filter type"):
+        raw = b"\x07" + bytes(3) + b"\x00" + bytes(3)  # filter 7 invalid
+        import struct as _struct
+
+        ihdr = _struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+        def _chunk3(typ, data):
+            return (
+                _struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk3(b"IHDR", ihdr)
+            + _chunk3(b"IDAT", _zlib.compress(raw)) + _chunk3(b"IEND", b"")
+        )
+
+
+def test_png_roundtrip_spark(spark, sf_dir):
+    # JVM-synthesized payloads must be REAL PNGs: decode locally with the
+    # stdlib-backed parser and compare the recovered raster to the md5
+    # tiling the synthesis promises.
+    import hashlib
+
+    from thread_based_map_reduce_spark.operators.multimodal import (
+        decode_png,
+        with_png_payload,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = with_png_payload(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).limit(40).collect()
+    assert rows
+    for r in rows:
+        w, h, raster, ftypes = decode_png(bytes(r.payload))
+        assert (w, h) == (r.width, r.height)
+        md5_hex = hashlib.md5(r.text.encode()).hexdigest()
+        tiled = bytes.fromhex(md5_hex * ((w * h + 15) // 16))[: w * h]
+        assert raster == tiled, f"doc {r.doc_id}: raster != md5 tiling"
+        assert ftypes == [i % 5 for i in range(h)]

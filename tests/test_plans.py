@@ -117,6 +117,7 @@ _PYTHON_LANE = {
     "multimodal_decode_stats",
     "multimodal_resize_thumbs",
     "multimodal_pgm_decode",
+    "multimodal_png_decode",
     "multimodal_flip_augment",
     "pandas_udaf_micro_mean",
     "multimodal_wav_features",

@@ -1,14 +1,16 @@
 """Multimodal column operators (mandated extension, SURVEY §2.3).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-structs riding alongside. All five catalog queries now run REAL parser
-kernels over genuine container formats synthesized JVM-side — PGM (image),
-WAV (audio), Y4M (video) — with magic/header/length validation, numpy
-stats, and independent SQL oracles recomputing the same bytes.
+structs riding alongside. The catalog queries run REAL parser kernels
+over genuine container formats synthesized JVM-side — PGM and PNG
+(image), WAV (audio), Y4M (video) — with magic/header/CRC/length
+validation, numpy stats, and independent SQL oracles recomputing the
+same bytes. The PNG path needs nothing beyond the stdlib: chunk CRC32s,
+zlib inflate, and all five scanline filters are exercised end to end.
 
-The generic JPEG/PNG decode path (``decode_payload`` below) remains the
-one documented environmental stand-in: the container has no PIL/libvips,
-so it tiles bytes deterministically and the ``HAVE_PIL`` branch raises
+The generic JPEG decode path (``decode_payload`` below) remains the one
+documented environmental stand-in: the container has no PIL/libvips, so
+it tiles bytes deterministically and the ``HAVE_PIL`` branch raises
 until a real codec is wired in. Everything Spark-side of it is still real
 and tested: binary column synthesis, schema, Arrow batch shape through
 ``mapInPandas``, partitioning.
@@ -981,4 +983,308 @@ def q_multimodal_flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id long, width long, height long, "
         "sum_px long, wsum_orig long, wsum_flipped long",
+    )
+
+
+# -- REAL PNG decode path: stdlib zlib, all five scanline filters -------------
+#
+# Kills the repo's last capability stub (the PIL-gated generic decoder
+# above stays as the documented JPEG stand-in, but PNG needs no image lib
+# at all): PNG is chunked (length + type + data + CRC32) around a zlib
+# stream of filtered scanlines, and both halves are checkable with the
+# stdlib alone (zlib.crc32 / zlib.decompress). Payloads are synthesized
+# entirely JVM-side as VALID grayscale 8-bit PNGs — CRC32 via Spark's
+# crc32(), the zlib container as a deflate STORED block whose Adler-32 is
+# computed with aggregate() over the filtered stream, and each scanline
+# filtered with type row%5, so every filter the spec defines (None / Sub /
+# Up / Average / Paeth) is exercised on every image taller than 4 rows.
+# The decode kernel is a genuine parser: signature + chunk walk with CRC
+# verification + IHDR validation + inflate (Adler-verified by zlib) +
+# per-row unfiltering. The oracle recomputes the same pixels from md5
+# directly (as the PGM oracle does) plus the container size and the
+# filter-type row counts in closed form — it never touches the container,
+# so kernel and oracle are independent. Reference parity: the reference
+# has no media path at all (SURVEY §2.3 mandated extension).
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL grayscale 8-bit PNG per document, built entirely
+    JVM-side: signature + IHDR + one stored-block IDAT + IEND, raster =
+    the doc's md5 bytes tiled to width*height, scanline r filtered with
+    type r % 5."""
+    md5 = F.md5("text")
+    base = _media_docs(docs).select(
+        "doc_id",
+        "text",
+        (F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint") % 8 + 1).alias("width"),
+        (F.conv(F.substring(md5, 3, 2), 16, 10).cast("bigint") % 8 + 1).alias("height"),
+    )
+    base = base.withColumn("n_px", (F.col("width") * F.col("height")).cast("int"))
+    # raw pixels: md5 hex tiled to 2*n chars -> array<int> of n bytes
+    base = base.withColumn(
+        "px",
+        F.expr(
+            "transform(sequence(1, n_px), i -> "
+            "cast(conv(substring(repeat(md5(text), int(ceil(n_px / 16.0))), "
+            "2 * i - 1, 2), 16, 10) as int))"
+        ),
+    )
+    # per-byte predictors; scanline r uses filter type r % 5
+    left = "IF(idx % width = 0, 0, px[idx - 1])"
+    up = "IF(idx div width = 0, 0, px[idx - cast(width as int)])"
+    ul = "IF(idx % width = 0 OR idx div width = 0, 0, px[idx - cast(width as int) - 1])"
+    paeth = (
+        f"(CASE WHEN abs({left} + {up} - {ul} - {left}) <= abs({left} + {up} - {ul} - {up}) "
+        f"      AND abs({left} + {up} - {ul} - {left}) <= abs({left} + {up} - {ul} - {ul}) "
+        f"      THEN {left} "
+        f"      WHEN abs({left} + {up} - {ul} - {up}) <= abs({left} + {up} - {ul} - {ul}) "
+        f"      THEN {up} ELSE {ul} END)"
+    )
+    base = base.withColumn(
+        "fb",
+        F.expr(
+            "transform(sequence(0, n_px - 1), idx -> cast("
+            "((px[idx] - (CASE cast((idx div width) % 5 as int) "
+            " WHEN 0 THEN 0 "
+            f" WHEN 1 THEN {left} "
+            f" WHEN 2 THEN {up} "
+            f" WHEN 3 THEN ({left} + {up}) div 2 "
+            f" ELSE {paeth} END)) % 256 + 256) % 256 as int))"
+        ),
+    )
+    # filtered stream: per row, the filter-type byte then the row's bytes
+    base = base.withColumn(
+        "s_arr",
+        F.expr(
+            "flatten(transform(sequence(0, cast(height as int) - 1), r -> "
+            "concat(array(cast(r % 5 as int)), "
+            "slice(fb, r * cast(width as int) + 1, cast(width as int)))))"
+        ),
+    ).withColumn("m", (F.col("height") * (F.col("width") + 1)).cast("int"))
+    # Adler-32 of the filtered stream (fits comfortably in bigint: m <= 72)
+    base = base.withColumn(
+        "adler",
+        F.expr(
+            "((cast(m as bigint) + aggregate(sequence(0, m - 1), 0L, "
+            "(acc, i) -> acc + (m - i) * s_arr[i])) % 65521) * 65536 "
+            "+ (1 + aggregate(s_arr, 0L, (acc, x) -> acc + x)) % 65521"
+        ),
+    )
+    be32 = "lpad(hex({0}), 8, '0')"
+    le16 = "concat(lpad(hex({0} % 256), 2, '0'), lpad(hex({0} div 256), 2, '0'))"
+    base = base.withColumn(
+        "zlib_hex",
+        F.expr(
+            "concat('7801', '01', "
+            + le16.format("m") + ", " + le16.format("(65535 - m)") + ", "
+            "array_join(transform(s_arr, x -> lpad(hex(x), 2, '0')), ''), "
+            + be32.format("adler") + ")"
+        ),
+    ).withColumn(
+        "ihdr_hex",
+        # 13-byte IHDR data: w, h (BE32), bit depth 8, color 0 (grayscale),
+        # compression 0, filter 0, interlace 0
+        F.expr(
+            "concat(" + be32.format("width") + ", " + be32.format("height")
+            + ", '0800000000')"
+        ),
+    )
+    base = base.withColumn(
+        "png_hex",
+        F.expr(
+            "concat('89504E470D0A1A0A', "
+            "'0000000D', '49484452', ihdr_hex, "
+            + be32.format("crc32(unhex(concat('49484452', ihdr_hex)))") + ", "
+            + be32.format("(m + 11)") + ", '49444154', zlib_hex, "
+            + be32.format("crc32(unhex(concat('49444154', zlib_hex)))") + ", "
+            "'0000000049454E44AE426082')"
+        ),
+    )
+    return base.select(
+        "doc_id", "width", "height", F.unhex("png_hex").alias("payload")
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predictor(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes, list[int]]:
+    """REAL PNG parser for grayscale 8-bit images, stdlib only: signature,
+    chunk walk with CRC32 verification, IHDR validation, zlib inflate
+    (Adler-32 verified by zlib itself), and per-scanline unfiltering of
+    all five spec filters. Raises ValueError on every malformed-input
+    path a production decoder must reject. Returns (w, h, raster,
+    filter_types)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, dims, idat, seen_iend = 8, None, b"", False
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated chunk header")
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated chunk data")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant (need gray8, "
+                                 "deflate, adaptive filters, no interlace)")
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR")
+    if not seen_iend:
+        raise ValueError("missing IEND")
+    w, h = dims
+    try:
+        raw = zlib.decompress(idat)  # verifies the Adler-32 trailer too
+    except zlib.error as exc:
+        raise ValueError(f"bad zlib stream: {exc}") from exc
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"scanline data {len(raw)} != {h}*({w}+1)")
+    out = bytearray()
+    prev = bytearray(w)
+    ftypes: list[int] = []
+    for r in range(h):
+        ft = raw[r * (w + 1)]
+        if ft > 4:
+            raise ValueError(f"bad filter type {ft}")
+        ftypes.append(ft)
+        line = raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+        cur = bytearray(w)
+        for c in range(w):
+            left = cur[c - 1] if c else 0
+            up = prev[c]
+            ul = prev[c - 1] if c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth_predictor(left, up, ul)
+            cur[c] = (line[c] + pred) & 255
+        out += cur
+        prev = cur
+    return w, h, bytes(out), ftypes
+
+
+def decode_png_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over REAL PNG payloads: full chunk/CRC/
+    inflate/unfilter decode, numpy pixel stats, plus the per-filter row
+    counts that prove the unfilter loop actually read the stream."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                w, h, raster, ftypes = decode_png(payload)
+                px = np.frombuffer(raster, dtype=np.uint8)
+                counts = [ftypes.count(t) for t in range(5)]
+                out.append(
+                    (
+                        row.doc_id, w, h, int(px.size),
+                        float(px.mean()), int(px.min()), int(px.max()),
+                        len(payload), *counts,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "mean_px", "min_px", "max_px", "png_bytes",
+                    "rows_none", "rows_sub", "rows_up", "rows_avg",
+                    "rows_paeth",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "mean_px double, min_px long, max_px long, png_bytes long, "
+        "rows_none long, rows_sub long, rows_up long, rows_avg long, "
+        "rows_paeth long",
+    )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(list_avg(px), 6) AS mean_px,
+               CAST(list_min(px) AS BIGINT) AS min_px,
+               CAST(list_max(px) AS BIGINT) AS max_px,
+               -- 8 sig + 25 IHDR + (12 + (m+11)) IDAT + 12 IEND, m = h*(w+1)
+               CAST(68 + h * (w + 1) AS BIGINT) AS png_bytes,
+               CAST(len([r FOR r IN range(0, h) IF r % 5 = 0]) AS BIGINT) AS rows_none,
+               CAST(len([r FOR r IN range(0, h) IF r % 5 = 1]) AS BIGINT) AS rows_sub,
+               CAST(len([r FOR r IN range(0, h) IF r % 5 = 2]) AS BIGINT) AS rows_up,
+               CAST(len([r FOR r IN range(0, h) IF r % 5 = 3]) AS BIGINT) AS rows_avg,
+               CAST(len([r FOR r IN range(0, h) IF r % 5 = 4]) AS BIGINT) AS rows_paeth
+        FROM (
+            SELECT doc_id, w, h,
+                   [('0x' || substr(repeat(md5(text), ((w * h + 15) / 16)::INT),
+                                    2 * i - 1, 2))::INT
+                    for i in range(1, (w * h)::INT + 1)] AS px
+            FROM (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 1, 2))::BIGINT % 8 + 1 AS w,
+                       ('0x' || substr(md5(text), 3, 2))::BIGINT % 8 + 1 AS h
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+        )
+    """,
+    doc="REAL PNG decode, stdlib-only and oracle-checked: payloads are "
+    "genuine grayscale-8 PNGs synthesized JVM-side (crc32() chunks, a "
+    "stored-block zlib stream with aggregate()-computed Adler-32, scanline "
+    "r filtered with type r % 5 so all five spec filters are exercised); "
+    "the kernel walks chunks, verifies every CRC, inflates, and unfilters "
+    "None/Sub/Up/Average/Paeth; the oracle recomputes pixels from md5 in "
+    "closed form plus the container size and filter-row counts, never "
+    "touching the container.",
+    tags=("multimodal",),
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_png_images(with_png_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px", "max_px", "png_bytes",
+        "rows_none", "rows_sub", "rows_up", "rows_avg", "rows_paeth",
     )
