@@ -29,10 +29,29 @@ QUERIES = [
 
 
 def time_query(fn, spark, sf_dir: str, reps: int = 3) -> tuple[float, int]:
+    # Full evaluation, not count(): a bare count() lets Catalyst prune
+    # every projected column, so expensive output expressions (payload
+    # synthesis, array building) would be skipped and the upward ratio
+    # understated for arbitrary argv-passed queries (ADVICE r5). Hashing
+    # every column to one aggregate row forces each output expression to
+    # evaluate while keeping the driver-side result tiny.
+    from pyspark.sql import functions as F
+
     best, rows = float("inf"), 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        try:
+            h = F.xxhash64(*df.columns)
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"), F.count(h).alias("h")
+            ).collect()[0]
+        except Exception:  # xxhash64 rejects some types (maps) — serialize
+            h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"), F.count(h).alias("h")
+            ).collect()[0]
+        rows = agg["n"]
         best = min(best, time.perf_counter() - t0)
     return best, rows
 

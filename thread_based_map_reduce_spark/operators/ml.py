@@ -37,11 +37,13 @@ Cross-engine determinism techniques (catalog.py header conventions):
   integer could floor differently per platform and flip the BIGINT —
   failing the hash gate nondeterministically for that (value, platform).
   Every micronat call site in this file shares that exposure; it has
-  never fired across four driver rounds + the local suite (the floor
+  never fired across five driver rounds + the local suite (the floor
   boundary is hit with probability ~1e-10 per cell, and the inputs are
   low-entropy rationals far from boundaries). If it ever does, the fix
-  is a tolerance path in the oracle comparison for micronat columns, not
-  a change to the operators.
+  is READY, not a change to the operators: rename the affected output
+  column to the ``_micronat`` suffix and pass ``micronat_tolerance=1`` to
+  ``plans.oracle_check.compare_frames`` (off by default; unit-tested in
+  tests/test_micronat_tolerance.py).
 - OLS moment sums are BIGINT (integer features) and DECIMAL(30,6)/(32,6)
   (price moments) — exact and associative; the Cramer determinants are
   then ONE shared SQL expression tree (`_OLS_BETA_SQL`, passed to

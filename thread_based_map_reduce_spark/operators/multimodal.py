@@ -160,7 +160,7 @@ def resize_images(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
                upper(substr(md5(text), 2 * i - 1, 2)) AS frame_hex
         FROM (
             SELECT doc_id, text, unnest(range(1, 17)) AS i
-            FROM documents WHERE doc_id < 50
+            FROM documents WHERE doc_id < 50 AND text IS NOT NULL
         )
         WHERE (i - 1) % 4 = 0
     """,
@@ -228,7 +228,7 @@ def resize_pgm_thumbs(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFram
                            ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
                            ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
                     FROM documents
-                    WHERE doc_id < 100
+                    WHERE doc_id < 100 AND text IS NOT NULL
                 )
             )
         )
@@ -257,6 +257,7 @@ def q_multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(('0x' || substr(md5(text), 1, 2))::BIGINT % 64 + 1 AS BIGINT) AS width,
                CAST(('0x' || substr(md5(text), 3, 2))::BIGINT % 64 + 1 AS BIGINT) AS height
         FROM documents
+        WHERE text IS NOT NULL
     """,
     doc="Multimodal metadata projection: binary payload byte length + typed "
     "width/height metadata (binary column plumbing, JVM-side)",
@@ -295,6 +296,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
                            ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
                     FROM documents
+                    WHERE text IS NOT NULL
                 )
             )
         )
@@ -443,6 +445,7 @@ def decode_pgm_images(df: DataFrame) -> DataFrame:
                        ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
                        ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
                 FROM documents
+                WHERE text IS NOT NULL
             )
         )
     """,
@@ -594,6 +597,7 @@ def decode_wav_audio(df: DataFrame) -> DataFrame:
                 SELECT doc_id, text,
                        ('0x' || substr(md5(text), 5, 3))::BIGINT % 2048 + 16 AS n
                 FROM documents
+                WHERE text IS NOT NULL
             )
         )
     """,
@@ -675,6 +679,7 @@ def wav_feature_frames(df: DataFrame) -> DataFrame:
                     SELECT doc_id, text,
                            ('0x' || substr(md5(text), 5, 3))::BIGINT % 2048 + 16 AS n
                     FROM documents
+                    WHERE text IS NOT NULL
                 )
             )
         )
@@ -808,7 +813,7 @@ def decode_y4m_videos(df: DataFrame) -> DataFrame:
                                     2 * i - 1, 2))::INT
                     for i in range(1, {_Y4M_W * _Y4M_H} + 1)] AS y
             FROM documents, range(0, {_Y4M_FRAMES}) t(f)
-            WHERE doc_id < 100
+            WHERE doc_id < 100 AND text IS NOT NULL
         )
     """,
     doc="REAL video decode, oracle-checked: payloads are genuine Y4M "
@@ -866,7 +871,7 @@ def y4m_motion_frames(df: DataFrame) -> DataFrame:
                                     2 * i - 1, 2))::BIGINT
                     for i in range(1, {_Y4M_W * _Y4M_H} + 1)] AS p
             FROM documents, range(0, {_Y4M_FRAMES}) t(f)
-            WHERE doc_id < 100
+            WHERE doc_id < 100 AND text IS NOT NULL
         ),
         sad AS (
             SELECT a.doc_id,
@@ -935,6 +940,7 @@ def q_multimodal_y4m_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ('0x' || substr(md5(text), 1, 2))::BIGINT % 16 + 1 AS w,
                        ('0x' || substr(md5(text), 3, 2))::BIGINT % 16 + 1 AS h
                 FROM documents
+                WHERE text IS NOT NULL
             )
         )
     """,

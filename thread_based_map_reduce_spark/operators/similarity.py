@@ -785,6 +785,7 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
                    [floor(x * 1000000)::BIGINT
                     for x in embedding::DOUBLE[]] AS qv
             FROM embeddings
+            WHERE embedding IS NOT NULL
         )""",
         f"""c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qv AS c

@@ -65,6 +65,81 @@ class CompareResult:
     oracle_checked: bool = True
 
 
+# Suffix marking integer columns produced by the micronat quantization
+# pattern (floor(1e6 * ln(x)) into BIGINT — see operators/ml.py header).
+# Neither libm nor the JVM guarantees a correctly-rounded ln/exp, so a
+# value whose true 1e6*ln(x) sits within ~1 ulp of an integer could floor
+# differently per platform and legitimately differ by ±1 between engines.
+# That exposure has never fired (five driver rounds + the full local
+# suite); this path exists so the documented fix is a flag flip, not an
+# emergency query rewrite (VERDICT r5 #7 / ADVICE r4).
+MICRONAT_SUFFIX = "_micronat"
+
+
+def compare_frames(
+    spdf, opdf, *, micronat_tolerance: int = 0
+) -> list[str]:
+    """Compare two result frames; return a list of problems (empty = match).
+
+    Default (``micronat_tolerance=0``): exact rows + columns +
+    order-insensitive value hash — bit-identical semantics, byte-for-byte
+    the historical behavior. With ``micronat_tolerance=N`` (OFF by
+    default; opt in only after a confirmed platform ulp divergence),
+    columns whose name ends with ``MICRONAT_SUFFIX`` compare as integers
+    within ±N after rows are aligned on the exact-matched remainder;
+    every other column still compares exactly.
+    """
+    problems: list[str] = []
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return [f"columns {sorted(spdf.columns)} vs {sorted(opdf.columns)}"]
+    if len(spdf) != len(opdf):
+        return [f"rowcount {len(spdf)} vs {len(opdf)}"]
+    tol_cols = [c for c in spdf.columns if c.endswith(MICRONAT_SUFFIX)]
+    if micronat_tolerance > 0 and tol_cols:
+        exact_cols = sorted(c for c in spdf.columns if c not in tol_cols)
+        tol_sorted = sorted(tol_cols)
+
+        def recs(pdf):
+            # sort by the exact part first, then the tolerance part: within
+            # a group of identical exact columns, pairing the sorted
+            # tolerance values minimizes the max pairwise difference, so a
+            # genuine ±N quantization wiggle aligns correctly
+            return sorted(
+                (
+                    tuple(canon_cell(v) for v in exact_part),
+                    tuple(int(v) for v in tol_part),
+                )
+                for exact_part, tol_part in zip(
+                    pdf[exact_cols].itertuples(index=False, name=None),
+                    pdf[tol_sorted].itertuples(index=False, name=None),
+                )
+            )
+
+        for i, (srec, orec) in enumerate(zip(recs(spdf), recs(opdf))):
+            if srec[0] != orec[0]:
+                problems.append(f"row {i}: exact columns differ {srec[0]} vs {orec[0]}")
+                break
+            for col, sv, ov in zip(tol_sorted, srec[1], orec[1]):
+                if abs(sv - ov) > micronat_tolerance:
+                    problems.append(
+                        f"row {i}: {col} |{sv} - {ov}| > ±{micronat_tolerance}"
+                    )
+            if problems:
+                break
+        return problems
+    srows, orows = frame_rows(spdf), frame_rows(opdf)
+    if frame_hash(srows) != frame_hash(orows):
+        oset = set(orows)
+        sset = set(srows)
+        problems.append(
+            "value hash; spark-only="
+            + repr([r for r in srows if r not in oset][:3])
+            + " oracle-only="
+            + repr([r for r in orows if r not in sset][:3])
+        )
+    return problems
+
+
 def compare_query(
     spark: SparkSession,
     con: duckdb.DuckDBPyConnection,
@@ -72,25 +147,12 @@ def compare_query(
     fn,
     oracle: str | None,
     sf_dir: str,
+    *,
+    micronat_tolerance: int = 0,
 ) -> CompareResult:
     spdf = fn(spark, sf_dir).toPandas()
     if oracle is None:
         return CompareResult(name, ok=len(spdf) >= 0, rows=len(spdf), oracle_checked=False)
     opdf = con.execute(oracle).df()
-    problems: list[str] = []
-    if sorted(spdf.columns) != sorted(opdf.columns):
-        problems.append(f"columns {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
-    elif len(spdf) != len(opdf):
-        problems.append(f"rowcount {len(spdf)} vs {len(opdf)}")
-    else:
-        srows, orows = frame_rows(spdf), frame_rows(opdf)
-        if frame_hash(srows) != frame_hash(orows):
-            oset = set(orows)
-            sset = set(srows)
-            problems.append(
-                "value hash; spark-only="
-                + repr([r for r in srows if r not in oset][:3])
-                + " oracle-only="
-                + repr([r for r in orows if r not in sset][:3])
-            )
+    problems = compare_frames(spdf, opdf, micronat_tolerance=micronat_tolerance)
     return CompareResult(name, ok=not problems, rows=len(spdf), problems=problems)

@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["get_spark", "pin_session_defaults", "reliable_checkpoint"]
 
 
+_TMPFS_AUTO_MIN_FREE = 32 * 1024**3  # bytes free on /dev/shm for auto mode
+
+
+def _tmpfs_shuffle_ok(path: str) -> bool:
+    """Decide whether shuffle/spill dirs may live on RAM-backed tmpfs."""
+    flag = os.environ.get("TBMR_TMPFS_SHUFFLE")
+    if flag is not None:
+        return flag.strip().lower() in ("1", "true", "yes", "on")
+    if not (os.path.isdir(path) and os.access(path, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= _TMPFS_AUTO_MIN_FREE
+
+
 def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for local[N] analytics.
 
@@ -45,14 +62,20 @@ def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> Sp
         # the big side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill files on tmpfs when the box has one (the test box mounts
-    # a 126 GiB /dev/shm; sf0.1 shuffle data is MBs). The default /tmp sits
-    # on the system disk, whose I/O-wait — not CPU — dominated the
-    # shuffle-heavy dedup timings on the shared box (BENCH r4/r5 drift
-    # investigation: 98% idle CPU, load driven by iowait). On a real
-    # cluster this knob points at executor-local NVMe instead; nothing in
-    # the engine depends on it.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    # Shuffle/spill files on tmpfs when the box has a LARGE one (the test
+    # box mounts a 126 GiB /dev/shm; sf0.1 shuffle data is MBs). The
+    # default /tmp sits on the system disk, whose I/O-wait — not CPU —
+    # dominated the shuffle-heavy dedup timings on the shared box (BENCH
+    # r4/r5 drift investigation: 98% idle CPU, load driven by iowait).
+    # Gated (ADVICE r5): spill exists to relieve memory pressure, so
+    # pointing it at RAM-backed tmpfs on an arbitrary host would consume
+    # RAM (or hit ENOSPC) exactly when spilling matters. Auto mode
+    # requires >= 32 GiB free on /dev/shm — a deliberate "big test box"
+    # signature, far above the testdata's worst-case shuffle footprint;
+    # TBMR_TMPFS_SHUFFLE=1 forces it on, =0 forces it off. A real cluster
+    # sets spark.local.dir to executor-local NVMe; nothing here depends
+    # on the knob.
+    if _tmpfs_shuffle_ok("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/tbmr-spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
