@@ -1,40 +1,50 @@
 #!/usr/bin/env python3
-"""Synthesize a 10×-sf0.1 documents/embeddings fixture for UPWARD scaling
-evidence (VERDICT r4 next-round #6).
+"""Synthesize larger documents/embeddings fixtures for UPWARD scaling
+evidence (VERDICT r4 #6, r5 #5/#6).
 
 The driver's largest testdata is sf0.1 (5,000 documents / 2,000
 embeddings). The dedup/curation families carry 100 TB scale claims whose
 downward evidence (sf0.01 → sf0.1 ratio table in BASELINE.md) proves no
-quadratic drift — this script adds the upward point: 50,000 documents /
-20,000 embeddings with the SAME generative shape as the driver testdata
-(measured from /root/testdata/sf0.1, seed-deterministic):
+quadratic drift — these fixtures add the upward points with the SAME
+generative shape as the driver testdata (measured from
+/root/testdata/sf0.1, seed-deterministic):
 
-- text: 10–100 tokens uniform from the observed 31-word vocabulary
-  (avg ~54 tokens), matching the sf0.1 marginal;
-- near-dups: ~4.3% of docs are a copy of an earlier doc with a few token
+- text: 10–100 tokens uniform (avg ~54), matching the sf0.1 marginal;
+- near-dups: ~4.3% of docs copy an earlier doc with a few token
   substitutions (sf0.1 has 216 same-prefix groups / 5,000 docs) and
   ~0.15% are exact copies (8 / 5,000);
 - lang mix: en-heavy (~41%) over {en, de, es, fr, zh}; sources src0..19;
 - embeddings: 64-dim unit-norm gaussian, label uniform 0..9 (the driver
   embeddings have centroid-norm ≈ 0.07 — i.e. NO cluster structure).
 
-Writes to .scale10/ inside the repo (never touches /root/testdata).
-Usage: python scripts/gen_scale_fixture.py [n_docs] (default 50000)
+Two vocabulary modes (VERDICT r5 #5):
+
+- default: the observed sf0.1 vocabulary, constant 31 words. HONEST
+  CAVEAT (BASELINE.md): holding vocabulary constant while docs grow
+  densifies every blocking key n× — adversarial for blocked-quadratic
+  fallbacks, unrealistic for real corpora.
+- --vocab-growth: Heaps-law shape, vocab = round(31 * sqrt(n/5000)) —
+  the 31 sf0.1 words plus deterministic synthetic words — so blocking-key
+  densification matches how real corpora grow.
+
+Writes inside the repo (never touches /root/testdata).
+Usage: python scripts/gen_scale_fixture.py [n_docs] [--vocab-growth]
+       [--out DIR]   (defaults: 50000, constant vocab, .scale10/)
 """
 
 from __future__ import annotations
 
+import argparse
+import math
 import os
-import sys
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, ".scale10")
 
-VOCAB = [
+BASE_VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
@@ -44,7 +54,16 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
 
 
-def gen_documents(n_docs: int, rng: np.random.Generator):
+def build_vocab(n_docs: int, vocab_growth: bool) -> list[str]:
+    if not vocab_growth:
+        return list(BASE_VOCAB)
+    # Heaps-law: sf0.1 (5,000 docs) observed 31 words -> vocab ∝ sqrt(n)
+    target = max(len(BASE_VOCAB), round(len(BASE_VOCAB) * math.sqrt(n_docs / 5000)))
+    extra = [f"w{i:04d}" for i in range(len(BASE_VOCAB), target)]
+    return BASE_VOCAB + extra
+
+
+def gen_documents(n_docs: int, rng: np.random.Generator, vocab: list[str]):
     texts: list[str] = []
     token_lists: list[list[str]] = []
     for i in range(n_docs):
@@ -55,12 +74,12 @@ def gen_documents(n_docs: int, rng: np.random.Generator):
             toks = list(token_lists[int(rng.integers(0, i))])
             n_edit = 1 + int(rng.integers(0, max(2, len(toks) // 12)))
             for _ in range(n_edit):
-                toks[int(rng.integers(0, len(toks)))] = VOCAB[
-                    int(rng.integers(0, len(VOCAB)))
+                toks[int(rng.integers(0, len(toks)))] = vocab[
+                    int(rng.integers(0, len(vocab)))
                 ]
         else:
             n_tok = int(rng.integers(10, 101))
-            toks = [VOCAB[int(j)] for j in rng.integers(0, len(VOCAB), n_tok)]
+            toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_tok)]
         token_lists.append(toks)
         texts.append(" ".join(toks))
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
@@ -89,12 +108,27 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    os.makedirs(OUT, exist_ok=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_docs", nargs="?", type=int, default=50_000)
+    ap.add_argument("--vocab-growth", action="store_true",
+                    help="Heaps-law vocabulary (∝ sqrt(n)) instead of constant 31 words")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default .scale10/, or .scale10h/ with --vocab-growth)")
+    args = ap.parse_args()
+    out = args.out or os.path.join(
+        ROOT, ".scale10h" if args.vocab_growth else ".scale10"
+    )
+    if not os.path.isabs(out):
+        out = os.path.join(ROOT, out)
+    os.makedirs(out, exist_ok=True)
+    vocab = build_vocab(args.n_docs, args.vocab_growth)
     rng = np.random.default_rng(42)
-    pq.write_table(gen_documents(n_docs, rng), os.path.join(OUT, "documents.parquet"))
-    pq.write_table(gen_embeddings(n_docs * 2 // 5, rng), os.path.join(OUT, "embeddings.parquet"))
-    print(f"wrote {OUT}: {n_docs} documents, {n_docs * 2 // 5} embeddings")
+    pq.write_table(gen_documents(args.n_docs, rng, vocab), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(args.n_docs * 2 // 5, rng), os.path.join(out, "embeddings.parquet"))
+    print(
+        f"wrote {out}: {args.n_docs} documents, {args.n_docs * 2 // 5} embeddings, "
+        f"vocab={len(vocab)} ({'heaps' if args.vocab_growth else 'constant'})"
+    )
 
 
 if __name__ == "__main__":

@@ -62,8 +62,15 @@ def main() -> None:
 
     _load_all()
     spark = get_spark()
-    scale_dir = os.path.join(ROOT, ".scale10")
-    base_dir = "/root/testdata/sf0.1"
+    # SCALE_FIXTURE_DIR picks the upward fixture (.scale10 constant-vocab,
+    # .scale10h Heaps-vocab, .scale100h for the 100x point, ...);
+    # SCALE_BASE_DIR overrides the 1x side.
+    scale_dir = os.environ.get(
+        "SCALE_FIXTURE_DIR", os.path.join(ROOT, ".scale10")
+    )
+    if not os.path.isabs(scale_dir):
+        scale_dir = os.path.join(ROOT, scale_dir)
+    base_dir = os.environ.get("SCALE_BASE_DIR", "/root/testdata/sf0.1")
     out = {}
     # any query names on argv override the default dedup/curation set
     # (the 10x fixture only carries documents + embeddings, so only
