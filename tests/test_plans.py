@@ -106,6 +106,19 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert count_nodes(plan, "Exchange") <= 1
 
 
+def test_cogroup_shuffle_immune_to_aqe_coalescing(spark, sf_dir):
+    # Per-key Python cogroup cost scales with KEY COUNT, not bytes; AQE's
+    # byte-based coalescing sees a few MB, collapses the shuffle to one
+    # partition, and serializes every per-key merge call on one core
+    # (measured 14.3 s vs 2.5 s at sf0.1). Both cogroup inputs must arrive
+    # via explicit REPARTITION_BY_NUM exchanges, which AQE never coalesces.
+    plan = plan_of(spark, sf_dir, "cogroup_user_activity")
+    assert plan.count("REPARTITION_BY_NUM") >= 2, (
+        "cogroup inputs lost their explicit repartition — AQE will coalesce "
+        "the Python lane to one partition"
+    )
+
+
 # Queries whose POINT is the Python lane (parity/UDF/multimodal kernels).
 _PYTHON_LANE = {
     "mr_charcount",

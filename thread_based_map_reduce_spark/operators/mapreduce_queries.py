@@ -190,13 +190,29 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cogrouped applyInPandas: events and orders grouped on the same key "
     "arrive as two aligned pandas frames per key (either may be empty — the "
     "full-outer contract). The declarative twin is the two-agg full join in "
-    "the oracle; the cogroup form is for merge logic SQL can't express.",
+    "the oracle; the cogroup form is for merge logic SQL can't express. "
+    "Scale: the per-key Python call is the cost model — time scales with "
+    "KEY COUNT, not bytes — so the cogroup shuffle is an explicit "
+    "repartition(N, key): AQE's byte-based partition coalescing would see "
+    "a few MB, collapse to one partition, and serialize every per-key call "
+    "on one core (measured 14.3 s vs 2.5 s at sf0.1's 15k keys). "
+    "REPARTITION_BY_NUM is exempt from coalescing, keeping the Python lane "
+    "cluster-wide; plan-gated in test_plans.py.",
     tags=("parity", "mapreduce", "cogroup"),
 )
 def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    # Per-key Python cost ⇒ parallelism must follow key count, not bytes:
+    # pin the cogroup shuffle width so AQE cannot coalesce it away.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .repartition(n_part, "user_id")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+        .repartition(n_part, "user_id")
     )
 
     def merge(key, ev_pdf, od_pdf):
@@ -207,9 +223,15 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [key[0]],
                 "n_events": [len(ev_pdf)],
                 "n_orders": [len(od_pdf)],
-                "ev_total": [round(float(ev_pdf["value"].sum()), 2) if len(ev_pdf) else 0.0],
+                "ev_total": [
+                    round(float(ev_pdf["value"].to_numpy().sum()), 2)
+                    if len(ev_pdf)
+                    else 0.0
+                ],
                 "ord_total": [
-                    round(float(od_pdf["o_totalprice"].sum()), 2) if len(od_pdf) else 0.0
+                    round(float(od_pdf["o_totalprice"].to_numpy().sum()), 2)
+                    if len(od_pdf)
+                    else 0.0
                 ],
             }
         )
