@@ -558,3 +558,25 @@ def test_unpartitioned_window_sweep_all_plans(spark, sf_dir):
         "partition-less Window nodes outside the audited bounded sites "
         f"(add a boundedness comment + allowlist entry if truly bounded): {offenders}"
     )
+
+
+def test_grouped_python_shuffles_are_coalesce_exempt(spark, sf_dir):
+    # Companion sweep to the cogroup gate above, generalized: every per-key
+    # grouped-Python node (FlatMapGroupsInPandas / FlatMapCoGroupsInPandas —
+    # one Python call per key) must be fed by explicit REPARTITION_BY_NUM
+    # exchanges. A plain ENSURE_REQUIREMENTS shuffle under these nodes is
+    # eligible for AQE byte-based coalescing, which collapses a small-bytes
+    # / many-keys stage to one partition and serializes the Python lane.
+    qs = queries()
+    offenders = {}
+    for name, fn in qs.items():
+        plan = plan_of(spark, sf_dir, name)
+        need = count_nodes(plan, "FlatMapGroupsInPandas") + 2 * count_nodes(
+            plan, "FlatMapCoGroupsInPandas"
+        )
+        if need and plan.count("REPARTITION_BY_NUM") < need:
+            offenders[name] = (need, plan.count("REPARTITION_BY_NUM"))
+    assert not offenders, (
+        "grouped-Python nodes fed by coalescible shuffles (pin with "
+        f"repartition(n, *keys) — see mapreduce.run_map_reduce): {offenders}"
+    )

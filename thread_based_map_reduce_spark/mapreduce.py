@@ -122,4 +122,12 @@ def run_map_reduce(
     def run_reduce(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(list(reduce_fn(key, pdf)), columns=out_columns)
 
+    # reduce_fn cost scales with KEY COUNT, not shuffle bytes — AQE's
+    # byte-based partition coalescing would collapse a small-bytes /
+    # many-keys shuffle to one partition and serialize every per-key
+    # Python call on one core. An explicit repartition on the group keys
+    # plans as REPARTITION_BY_NUM (exempt from coalescing) and satisfies
+    # the groupBy's ClusteredDistribution, so it stays a single exchange.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    mapped = mapped.repartition(n_part, *key_cols)
     return mapped.groupBy(*key_cols).applyInPandas(run_reduce, schema=out_schema)
