@@ -220,6 +220,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # neighbours, and the two 100-TB champion operators whose scale fixtures
 # are re-measured this round). 42 + 1 + 7 = 50 slots, zero waste.
 _PINNED_FIRST = (
+    # r7 window note: pin a `dup_span_fraction` re-prove — its checkpoint
+    # moved from the exploded span table to the pre-explode gram arrays in
+    # r6 (same rows, local-oracle-green), after its last driver-green row.
     # --- the full r5 unverified tail (42), analytics/statistics wave ---
     "acf_hourly_correlogram",
     "approx_quantile_eval",
