@@ -220,9 +220,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # neighbours, and the two 100-TB champion operators whose scale fixtures
 # are re-measured this round). 42 + 1 + 7 = 50 slots, zero waste.
 _PINNED_FIRST = (
-    # r7 window note: pin a `dup_span_fraction` re-prove — its checkpoint
-    # moved from the exploded span table to the pre-explode gram arrays in
-    # r6 (same rows, local-oracle-green), after its last driver-green row.
+    # r7 window note: pin re-proves for queries whose code changed in r6
+    # AFTER their last driver-green row (all local-oracle-green since):
+    #   - dup_span_fraction (checkpoint moved from the exploded span table
+    #     to the pre-explode gram arrays)
+    #   - mr_charcount, mr_wordcount_filtered, mr_lang_source_expand,
+    #     cogroup_user_activity (grouped-Python shuffle width pinned to
+    #     REPARTITION_BY_NUM so AQE cannot coalesce the Python lane)
     # --- the full r5 unverified tail (42), analytics/statistics wave ---
     "acf_hourly_correlogram",
     "approx_quantile_eval",
