@@ -227,6 +227,8 @@ _PINNED_FIRST = (
     #   - mr_charcount, mr_wordcount_filtered, mr_lang_source_expand,
     #     cogroup_user_activity (grouped-Python shuffle width pinned to
     #     REPARTITION_BY_NUM so AQE cannot coalesce the Python lane)
+    #   - dedup_prefix_filter_pairs (prefix index now checkpoints the
+    #     compact per-doc ordered arrays; tsets projected from them)
     # --- the full r5 unverified tail (42), analytics/statistics wave ---
     "acf_hourly_correlogram",
     "approx_quantile_eval",
