@@ -229,6 +229,11 @@ _PINNED_FIRST = (
     #     REPARTITION_BY_NUM so AQE cannot coalesce the Python lane)
     #   - dedup_prefix_filter_pairs (prefix index now checkpoints the
     #     compact per-doc ordered arrays; tsets projected from them)
+    #   - lsh_band_tuning_curve (sig+tsets fused into one grouped agg)
+    #   - the 7 streaming_*_runtime queries through run_stream_to_memory
+    #     (local runner pins shuffle width 8 for the stream's lifetime —
+    #     state-store instantiation overhead; streaming_upsert_runtime
+    #     unchanged)
     # --- the full r5 unverified tail (42), analytics/statistics wave ---
     "acf_hourly_correlogram",
     "approx_quantile_eval",
