@@ -1789,22 +1789,29 @@ def _tune_oracle() -> str:
     tags=("dedup", "lsh", "minhash", "eval"),
 )
 def q_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures(spark, sf_dir)
-    sig = reliable_checkpoint(sig)  # shared by all four configs
+    # ONE shingle pass and ONE grouped aggregation for the whole curve:
+    # the minhash signature mins AND the per-doc shingle-hash set come out
+    # of the same groupBy (the `combined` pattern from _lsh_verified_pairs),
+    # checkpointed once and shared by all four banding configs — previously
+    # the tokenize→shingle→hash pipeline ran twice (sig pass + tsets pass)
+    # with two separate checkpoints.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    tsets = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))
-            ).alias("s"),
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
+    combined = reliable_checkpoint(
+        hashed.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h"), i)).cast("bigint").alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.array_sort(F.collect_set("h")).alias("ts"),
         )
-        .select("doc_id", (portable_hash64("s") % MINHASH_PRIME).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("h")).alias("ts"))
     )
-    tsets = reliable_checkpoint(tsets)
+    sig = combined
+    tsets = combined.select("doc_id", "ts")
     out = None
     for r, b in _TUNE_CONFIGS:
         bands = None
