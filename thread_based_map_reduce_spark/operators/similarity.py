@@ -1091,7 +1091,15 @@ def covariance_df(emb: DataFrame) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 1e6),
     )
-    base = emb.select(qv.alias("qv"))
+    # Checkpoint the compact per-row quantized form (the r6
+    # checkpoint-placement rule): base feeds BOTH the per-dim sums and the
+    # triangle-product explode, and without the lineage cut each consumer
+    # re-runs the scan+transform — worse, InferFiltersFromGenerate guards
+    # the two explodes with `isnotnull(qv) AND size(qv) > 0`, and predicate
+    # pushdown substitutes the full transform INTO that filter, evaluating
+    # the 64-element quantization twice more per row. With qv a
+    # materialized attribute the inferred guard is a cheap column test.
+    base = reliable_checkpoint(emb.select(qv.alias("qv")))
     # per-dim integer sums (64 rows) — broadcast back onto the pair sums
     dims = (
         base.select(F.posexplode("qv").alias("p", "qx"))
@@ -1965,7 +1973,12 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity("embedding", "ce").alias("ccos"),
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    assigned = (
+    # Checkpoint the compact per-vector assignment (the r6
+    # checkpoint-placement rule): `assigned` feeds per_cell AND both sides
+    # of the within-cell self-join — four consumers that would each replay
+    # the centroid cross-join + row_number window, and whose pushed-down
+    # null guards would re-inline the cosine/norm aggregates otherwise.
+    assigned = reliable_checkpoint(
         scored.withColumn("rc", F.row_number().over(wc))
         .where(F.col("rc") == 1)
         .select("vec_id", "embedding", "cell")
@@ -2091,8 +2104,14 @@ PCA_ITERS = 2
 )
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = covariance_df(load_table(spark, sf_dir, "embeddings"))
-    cint = cov.select(
-        "i", "j", F.round(F.col("cov") * 1e6, 0).cast("bigint").alias("c")
+    # The 64x64 upper-triangle integer matrix (2,080 rows) feeds three
+    # consumers (w1, w2 via cfull, and the trace); cut lineage here so the
+    # whole covariance pipeline runs once, not once per consumer per
+    # power-iteration reference (the r6 checkpoint-placement rule).
+    cint = reliable_checkpoint(
+        cov.select(
+            "i", "j", F.round(F.col("cov") * 1e6, 0).cast("bigint").alias("c")
+        )
     )
     cfull = cint.unionAll(
         cint.where(F.col("i") != F.col("j")).select(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.textfns import char_ngrams_of_chars, ngrams_of_tokens, tokens
 from ..plans.catalog import register
+from ..session import reliable_checkpoint
 from ..sources.registry import load_table
 
 # deterministic English-marker stopword list (subset of the corpus vocab)
@@ -386,7 +387,17 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.sort_array(F.array_distinct(tokens("text"))).alias("ts"))
+    # Checkpoint the compact per-doc sorted-distinct token arrays (the r6
+    # checkpoint-placement rule): `ts` feeds BOTH the pair explode and the
+    # unigram-count explode, and each explode additionally gets an
+    # inferred `isnotnull(ts) AND size(ts) > 0` guard with the full
+    # split+distinct+sort pipeline substituted in — four evaluations per
+    # row without the lineage cut.
+    toks = reliable_checkpoint(
+        docs.select(
+            "doc_id", F.sort_array(F.array_distinct(tokens("text"))).alias("ts")
+        )
+    )
     pairs = toks.select(
         F.explode(
             F.expr(
@@ -635,13 +646,22 @@ def q_hapax_rate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    tris = toks.select("doc_id", ngrams_of_tokens(F.col("toks"), 3).alias("tris"))
-    # stage size(tris) as a real column: referencing the size EXPRESSION in
-    # the filter and twice in the projection re-evaluates it per reference
-    # once predicate pushdown substitutes the alias (measured ~15% at
-    # sf0.1; same staging trap ngrams_of_tokens documents)
+    # Filter on the CHEAP equivalent predicate BEFORE building trigrams:
+    # size(tris) > 0 <=> size(toks) >= 3 (tris has max(len-2, 0) entries).
+    # Filtering on size(tris) afterwards pushes the predicate below the
+    # projections, and the substituted condition re-evaluates the whole
+    # split+transform trigram build per row — with split(text) appearing
+    # THREE times inside the pushed condition (measured 2.1 s vs 0.9 s at
+    # sf0.1 for this per-row-only query).
+    tris = (
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", ngrams_of_tokens(F.col("toks"), 3).alias("tris"))
+    )
+    # stage size(tris) as a real column: referencing the size EXPRESSION
+    # twice in the projection re-evaluates it per reference (same staging
+    # trap ngrams_of_tokens documents)
     sized = tris.select("doc_id", "tris", F.size("tris").alias("_n"))
-    return sized.where(F.col("_n") > 0).select(
+    return sized.select(
         "doc_id",
         F.col("_n").cast("bigint").alias("n_tri"),
         F.round(

@@ -39,10 +39,20 @@ def curate_corpus(
     """Build the curated-corpus DataFrame; write it iff ``out_dir`` given."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. exact dedup — narrow 8-byte shuffle key, min doc_id is canonical
+    # 1. exact dedup — narrow 8-byte shuffle key, min doc_id is canonical.
+    # The token-derived quality inputs are computed HERE, below the window's
+    # exchange, so they are materialized once per row as real shuffled
+    # columns (two bigints): the quality gate in step 3 is then a cheap
+    # column test. Filtering on a quality EXPRESSION above the window keeps
+    # the predicate there (it can't push past the window), but the
+    # substituted condition re-splits text ~3x per row inside one Filter —
+    # no cross-reference elimination in predicate codegen.
+    toks = tokens("text")
     w = W.partitionBy("text_hash").orderBy("doc_id")
     exact = (
         docs.withColumn("text_hash", portable_hash64("text"))
+        .withColumn("_nt", F.size(toks))
+        .withColumn("_nu", F.size(F.array_distinct(toks)))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
@@ -55,18 +65,15 @@ def curate_corpus(
     deduped = exact.join(F.broadcast(near_dups), "doc_id", "left_anti")
 
     # 3+4. quality + language gates (pure column math — no shuffle)
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
     quality = (
-        0.5 * (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)))
-        + 0.3 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        0.5 * (F.col("_nu").cast("double") / F.nullif(F.col("_nt"), F.lit(0)))
+        + 0.3 * F.least(F.col("_nt") / F.lit(20.0), F.lit(1.0))
         + 0.2 * F.least(F.length("text") / F.lit(100.0), F.lit(1.0))
     )
     scored = deduped.withColumn("quality", F.round(quality, 6)).withColumn(
-        "n_tokens", n_tokens.cast("bigint")
+        "n_tokens", F.col("_nt").cast("bigint")
     )
-    gated = scored.where(F.col("quality") >= quality_min)
+    gated = scored.where(F.col("quality") >= quality_min).drop("_nt", "_nu")
     if langs:
         gated = gated.where(F.col("lang").isin(*langs))
 
