@@ -635,3 +635,97 @@ def test_grouped_python_shuffles_are_coalesce_exempt(spark, sf_dir):
         "grouped-Python nodes fed by coalescible shuffles (pin with "
         f"repartition(n, *keys) — see mapreduce.run_map_reduce): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic pushed-filter expression-blowup sweep (round 6).
+#
+# When a query filters on a COMPUTED column (quality score, ngram array,
+# assignment rank), Catalyst pushes the predicate below the projection and
+# substitutes the full defining expression into the Filter condition.
+# Predicate codegen does no cross-reference elimination, so an expression
+# referenced k times in the condition is evaluated k times per row — the r6
+# audit found split(text) inlined 3-4x per row this way in six queries
+# (text_repetition_ratio alone was 2.1s -> 0.9s at sf0.1 once fixed by
+# filtering on the cheap equivalent predicate, or materializing the column
+# below an exchange/checkpoint first). One occurrence per condition is
+# legitimate (a predicate must evaluate its expression once); TWO-or-more of
+# the same expensive call in a single Filter condition is the re-inlining
+# signature and fails here.
+# ---------------------------------------------------------------------------
+
+# expensive (per-row allocating / O(len) or worse) SQL functions whose
+# duplication inside one Filter condition indicates substituted re-evaluation
+_EXPENSIVE_FILTER_FNS = (
+    "split(", "transform(", "aggregate(", "array_distinct(", "sort_array(",
+    "array_sort(", "regexp_extract_all(", "sentences(", "flatten(", "zip_with(",
+)
+
+# query name -> {fn: max occurrences within a single Filter condition}.
+# Frozen empty by the round-6 sweep of all 291 plans after the six fixes.
+_AUDITED_FILTER_BLOWUP_SITES: dict = {}
+
+
+def repeated_expensive_filter_fns(plan: str) -> dict:
+    """Max per-condition multiplicity (>= 2) of each expensive fn in Filters."""
+    worst: dict = {}
+    for m in re.finditer(
+        r"^\(\d+\) Filter(?:\s.*)?\n((?:.+\n)+?)\n", plan + "\n", re.M
+    ):
+        cm = re.search(r"^Condition\s*:\s*(.*)$", m.group(1), re.M)
+        if not cm:
+            continue
+        cond = cm.group(1)
+        for f in _EXPENSIVE_FILTER_FNS:
+            c = cond.count(f)
+            if c >= 2:
+                key = f.rstrip("(")
+                worst[key] = max(worst.get(key, 0), c)
+    return worst
+
+
+def test_filter_blowup_detector_fires(spark, sf_dir):
+    # Rebuild the exact pre-fix curate_corpus shape: a quality expression
+    # referencing tokens() twice, filtered ABOVE a window so pushdown
+    # substitutes the token pipeline into the Filter condition (4x split).
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.functions.textfns import tokens
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = 0.5 * (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.nullif(F.size(toks), F.lit(0))
+    ) + 0.3 * F.least(F.size(toks) / F.lit(20.0), F.lit(1.0))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    probe = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn("q", quality)
+        .where(F.col("q") >= 0.5)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    hits = repeated_expensive_filter_fns(buf.getvalue())
+    assert hits.get("split", 0) >= 2, f"detector missed the probe: {hits}"
+
+
+def test_filter_blowup_sweep_all_plans(spark, sf_dir):
+    qs = queries()
+    offenders = {}
+    for name, fn in qs.items():
+        hits = repeated_expensive_filter_fns(plan_of(spark, sf_dir, name))
+        audited = _AUDITED_FILTER_BLOWUP_SITES.get(name, {})
+        bad = {f: c for f, c in hits.items() if c > audited.get(f, 0)}
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "expensive expression inlined >= 2x into a single Filter condition "
+        "(filter on the cheap equivalent predicate on the RAW column, or "
+        "materialize the computed column below an exchange/checkpoint before "
+        f"filtering — see text_repetition_ratio / pipeline.curate_corpus): {offenders}"
+    )
