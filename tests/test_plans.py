@@ -669,8 +669,10 @@ _AUDITED_FILTER_BLOWUP_SITES: dict = {}
 def repeated_expensive_filter_fns(plan: str) -> dict:
     """Max per-condition multiplicity (>= 2) of each expensive fn in Filters."""
     worst: dict = {}
+    # NB: [ \t] not \s in the optional suffix — \s matches the newline and
+    # would swallow the section's first detail line for un-suffixed nodes
     for m in re.finditer(
-        r"^\(\d+\) Filter(?:\s.*)?\n((?:.+\n)+?)\n", plan + "\n", re.M
+        r"^\(\d+\) Filter(?:[ \t].*)?\n((?:.+\n)+?)\n", plan + "\n", re.M
     ):
         cm = re.search(r"^Condition\s*:\s*(.*)$", m.group(1), re.M)
         if not cm:
