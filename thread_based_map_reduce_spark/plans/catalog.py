@@ -234,6 +234,11 @@ _PINNED_FIRST = (
     #     (local runner pins shuffle width 8 for the stream's lifetime —
     #     state-store instantiation overhead; streaming_upsert_runtime
     #     unchanged)
+    #   - the late-r6 checkpoint-placement/filter retrofits:
+    #     text_repetition_ratio, semantic_dedup_stats, pca_power_iteration,
+    #     embedding_covariance, corpus_curation_stats, curation_pipeline_v2,
+    #     dedup_embedding_lsh (token_pmi_pairs is already a re-prove slot
+    #     in THIS window)
     # --- the full r5 unverified tail (42), analytics/statistics wave ---
     "acf_hourly_correlogram",
     "approx_quantile_eval",
