@@ -45,6 +45,7 @@ def main() -> int:
     else:
         selected = bench_queries()
 
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("tbmr-bench")
 
     # warmup: spin up executors, codegen, and the parquet reader path on the
@@ -76,6 +77,11 @@ def main() -> int:
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
     total = round(sum(timings.values()), 3)
 
+    # Environment stamps: host load (1m/5m/15m) before and after the run.
+    # The r4/r6 drift investigations both traced disjoint-spread timing
+    # moves to host iowait, not code — recording the load in the artifact
+    # itself makes that call possible from the JSON alone.
+    load_end = [round(x, 2) for x in os.getloadavg()]
     print(
         json.dumps(
             {
@@ -88,6 +94,8 @@ def main() -> int:
                 "n_queries": len(timings),
                 "reps": reps,
                 "query_minmax": spread,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
             }
         )
     )
