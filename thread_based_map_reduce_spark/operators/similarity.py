@@ -1987,12 +1987,15 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity("embedding", "ce").alias("ccos"),
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    # Checkpoint the compact per-vector assignment (the r6
-    # checkpoint-placement rule): `assigned` feeds per_cell AND both sides
-    # of the within-cell self-join — four consumers that would each replay
-    # the centroid cross-join + row_number window, and whose pushed-down
-    # null guards would re-inline the cosine/norm aggregates otherwise.
-    assigned = reliable_checkpoint(
+    # NO lineage cut here, deliberately (the r6 rule's measured boundary):
+    # `assigned` feeds per_cell and both self-join sides, but all consumers
+    # sit directly on the window's Exchange(hashpartitioning(vec_id)) —
+    # ReusedExchange already shares it, the post-exchange work (row_number
+    # + rc=1 filter) is cheap, and a checkpoint of the vector-wide rows
+    # measured as pure write overhead (interleaved full-eval A/B: ~3.96 s
+    # vs ~4.48 s median with the cut). Contrast covariance_df below, where
+    # the expensive aggregate sits BETWEEN the exchange and the consumers.
+    assigned = (
         scored.withColumn("rc", F.row_number().over(wc))
         .where(F.col("rc") == 1)
         .select("vec_id", "embedding", "cell")
