@@ -731,3 +731,25 @@ def test_filter_blowup_sweep_all_plans(spark, sf_dir):
         "materialize the computed column below an exchange/checkpoint before "
         f"filtering — see text_repetition_ratio / pipeline.curate_corpus): {offenders}"
     )
+
+
+@pytest.mark.parametrize("name", ["dedup_embedding_lsh", "dedup_embedding_cosine"])
+def test_cosine_verify_dot_is_staged(spark, sf_dir, name):
+    # The verify stage projects the 64-element dot product ONCE as _dot and
+    # filters on the scalar; if the cos expression is ever written back into
+    # both where and select, pushdown re-inlines the aggregate fold into the
+    # Filter condition and it evaluates per reference (the r6
+    # dedup_embedding_lsh fix — 2.94 s -> 2.43 s interleaved at sf0.1).
+    # Zero `aggregate(` in ANY Filter condition is the frozen invariant.
+    # (semantic_dedup_stats is deliberately different: its dot is used
+    # by the filter ONLY, so filter-side evaluation is already optimal.)
+    plan = plan_of(spark, sf_dir, name)
+    for m in re.finditer(
+        r"^\(\d+\) Filter(?:[ \t].*)?\n((?:.+\n)+?)\n", plan + "\n", re.M
+    ):
+        cm = re.search(r"^Condition\s*:\s*(.*)$", m.group(1), re.M)
+        if cm:
+            assert "aggregate(" not in cm.group(1), (
+                f"{name}: dot-product fold re-inlined into a Filter — "
+                f"stage it as _dot before the where: {cm.group(1)[:200]}"
+            )
