@@ -34,7 +34,11 @@ def _tmpfs_shuffle_ok(path: str) -> bool:
     return st.f_bavail * st.f_frsize >= _TMPFS_AUTO_MIN_FREE
 
 
-def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "tbmr-spark",
+    cpus: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for local[N] analytics.
 
     - AQE on: runtime coalescing, skew-join splitting — our stand-in for the
@@ -77,6 +81,12 @@ def get_spark(app_name: str = "tbmr-spark", cpus: int | str | None = None) -> Sp
     # on the knob.
     if _tmpfs_shuffle_ok("/dev/shm"):
         builder = builder.config("spark.local.dir", "/dev/shm/tbmr-spark-local")
+    # Static conf (event log, etc.) for measurement harnesses; only
+    # effective when this call actually CREATES the session — getOrCreate
+    # ignores builder conf on reuse, so callers needing it must stop the
+    # active session first (scripts/shuffle_metrics.py does).
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
