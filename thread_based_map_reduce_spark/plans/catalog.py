@@ -115,23 +115,28 @@ def _load_all() -> None:
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # regenerated after CORRECTNESS_r05.json (248 hash-green names across
-    # r1-r5; zero mismatches ever) via scripts/update_verified.py.
-    "ab_test_zstat", "agg_salted_skew", "ann_bruteforce_topk",
-    "ann_lsh_bucketed", "ann_lsh_multiprobe", "ann_recall_eval",
-    "approx_aggregates", "argmax_aggregates", "array_hof", "array_setops",
-    "asof_join_signup", "basket_part_pairs", "best_day_per_month",
-    "bigram_nll_quality", "bitwise_ops", "bloom_filter_join_stats",
-    "bpe_pair_merge_topk", "case_banding", "cdc_merge_apply",
-    "centroid_per_label", "char_trigram_profile", "charcount",
-    "cluster_quality_db_index", "cogroup_user_activity", "collect_sorted",
+    # regenerated after CORRECTNESS_r06.json (291 hash-green names across
+    # r1-r6 — the full catalog; zero mismatches ever) via
+    # scripts/update_verified.py.
+    "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
+    "ann_recall_eval", "approx_aggregates", "approx_quantile_eval",
+    "argmax_aggregates", "array_hof", "array_setops", "asof_join_signup",
+    "association_rules_lift", "basket_part_pairs", "benford_digit_stats",
+    "best_day_per_month", "bigram_nll_quality", "bitwise_ops",
+    "bloom_filter_join_stats", "bpe_pair_merge_topk", "case_banding",
+    "cdc_chunk_stats", "cdc_merge_apply", "centroid_per_label",
+    "char_trigram_profile", "charcount", "chi2_lang_source_independence",
+    "churn_label_stats", "cluster_quality_db_index",
+    "cogroup_user_activity", "cohort_retention_matrix", "collect_sorted",
     "compaction_plan_stats", "conditional_aggregates",
-    "corpus_curation_stats", "correlated_min_subquery",
-    "countmin_topk_estimate", "cross_join_bounded", "cube_counts",
-    "cumulative_revenue_share", "curation_pipeline_v2",
-    "customer_ltv_deciles", "date_interval_arithmetic",
-    "decision_stump_train", "decontam_eval_overlap", "dedup_canonical_map",
-    "dedup_clusters", "dedup_clusters_twostar", "dedup_embedding_cosine",
+    "consistent_hash_rebalance", "corpus_curation_stats",
+    "correlated_min_subquery", "countmin_topk_estimate",
+    "cross_join_bounded", "cube_counts", "cumulative_revenue_share",
+    "curation_pipeline_v2", "customer_ltv_deciles",
+    "date_interval_arithmetic", "decision_stump_train",
+    "decontam_eval_overlap", "dedup_canonical_map", "dedup_clusters",
+    "dedup_clusters_twostar", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_exact", "dedup_graph_triangles",
     "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
     "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
@@ -139,158 +144,140 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "dedup_sorted_neighborhood", "detok_fidelity_stats",
     "discount_effect_by_band", "distinct_counts_exact", "distinct_pairs",
     "doc_char_entropy", "doc_fingerprint", "domain_mix_weights",
-    "dup_graph_bfs_hops", "dup_graph_degree_stats",
+    "dq_audit_stats", "dup_graph_bfs_hops", "dup_graph_degree_stats",
     "dup_graph_link_prediction", "dup_graph_pagerank",
     "dup_pairs_edit_distance", "dup_span_fraction", "embedding_covariance",
     "embedding_norm_stats", "embedding_quantize_stats",
-    "embeddings_dim_stats", "event_type_transitions",
-    "events_anomaly_trailing_z", "events_dow_hour_heatmap",
-    "events_error_rate_hourly", "events_interarrival_stats",
-    "events_rollup_day_from_hour", "events_sliding_2h",
-    "events_tumbling_hour", "exists_correlated",
+    "embeddings_dim_stats", "emd_price_urgent_binned",
+    "event_transition_entropy", "event_type_transitions",
+    "events_anomaly_trailing_z", "events_autocorr_lag1",
+    "events_cusum_changepoint", "events_decayed_trend",
+    "events_dow_hour_heatmap", "events_error_rate_hourly",
+    "events_interarrival_stats", "events_rollup_day_from_hour",
+    "events_sliding_2h", "events_tumbling_hour", "exists_correlated",
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
+    "functional_dependency_audit", "funnel_attribution_last_touch",
     "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
     "having_filter", "hll_distinct_estimate", "inline_struct_explode",
     "inverted_index_stats", "ivf_kmeans_assignments", "ivf_search",
-    "ivf_search_nprobe2", "join_anti", "join_full_outer",
-    "join_hint_shuffle_hash", "join_left_outer", "join_right_outer",
-    "join_salted_skew", "join_semi", "join_star_revenue", "json_extract",
-    "json_map_explode", "json_struct_parse", "key_skew_report",
-    "kmv_distinct_estimate", "langid_confusion_matrix", "langid_heuristic",
+    "ivf_search_nprobe2", "join_anti", "join_cardinality_eval",
+    "join_full_outer", "join_hint_shuffle_hash", "join_left_outer",
+    "join_right_outer", "join_salted_skew", "join_semi",
+    "join_star_revenue", "json_extract", "json_map_explode",
+    "json_struct_parse", "k_anonymity_stats", "key_skew_report",
+    "km_survival_signup_purchase", "kmv_distinct_estimate",
+    "l_diversity_stats", "langid_confusion_matrix", "langid_heuristic",
     "lateral_topk_per_nation", "latest_event_per_user", "limit_offset_page",
-    "lsh_band_tuning_curve", "map_column", "markov_next_event_accuracy",
-    "median_by_status", "minhash_estimate_eval", "mix_quota_sample",
-    "mode_priority_per_status", "mr_charcount", "mr_lang_source_expand",
-    "mr_wordcount_filtered", "multimodal_decode_stats",
-    "multimodal_flip_augment", "multimodal_frame_sample", "multimodal_meta",
-    "multimodal_pgm_decode", "multimodal_resize_thumbs",
+    "longest_streak_per_user", "lsh_band_tuning_curve",
+    "mad_outliers_by_type", "mannwhitney_price_urgent", "map_column",
+    "markov_next_event_accuracy", "median_by_status",
+    "minhash_estimate_eval", "mix_quota_sample", "mode_priority_per_status",
+    "mr_charcount", "mr_lang_source_expand", "mr_wordcount_filtered",
+    "multimodal_decode_stats", "multimodal_flip_augment",
+    "multimodal_frame_sample", "multimodal_meta", "multimodal_pgm_decode",
+    "multimodal_png_decode", "multimodal_resize_thumbs",
     "multimodal_wav_decode", "multimodal_wav_features",
     "multimodal_y4m_decode", "multimodal_y4m_motion",
     "mv_incremental_refresh", "nb_langid_train_eval", "nested_struct_ops",
     "not_in_subquery", "null_safe_join", "null_scalar_functions",
-    "ols_kfold_cv", "ols_price_model", "orders_first_vs_repeat",
+    "ohlc_bars_hourly", "ols_kfold_cv", "ols_price_model",
+    "orders_backlog_monthly", "orders_first_vs_repeat",
     "orders_monthly_growth", "pack_sequences_stats",
     "pandas_udaf_micro_mean", "pandas_udf_token_count",
-    "pca_power_iteration", "percentiles", "pii_scrub_stats", "pivot_status",
-    "posexplode_tokens", "pq_adc_rerank_topk", "pq_adc_topk",
-    "pq_codebook_stats", "pq_recall_eval", "pq_train_stats",
-    "price_histogram", "profile_documents", "projection", "rag_chunk_stats",
-    "range_join_clicks", "ratio_to_report", "recursive_month_spine",
-    "regex_functions", "retention_weekly", "returns_rate_by_month",
-    "rollup_qty", "sample_hash_deterministic", "sample_per_group",
-    "scalar_date", "scalar_math", "scalar_string", "scd_intervals",
+    "pca_power_iteration", "peak_concurrency", "percentiles",
+    "pii_scrub_stats", "pivot_status", "posexplode_tokens",
+    "pq_adc_rerank_topk", "pq_adc_topk", "pq_codebook_stats",
+    "pq_recall_eval", "pq_train_stats", "price_histogram",
+    "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
+    "range_join_clicks", "range_partition_balance", "ratio_to_report",
+    "recursive_month_spine", "regex_functions", "retention_weekly",
+    "returns_rate_by_month", "revenue_gini_by_nation", "rfm_segments",
+    "rolling_reach_7d", "rollup_qty", "sample_hash_deterministic",
+    "sample_per_group", "scalar_date", "scalar_math", "scalar_string",
+    "scd_intervals", "seasonal_hod_profile", "segmented_trend_breakpoint",
     "semantic_dedup_stats", "session_window_agg", "sessionize",
     "set_except", "set_intersect", "set_union_distinct",
-    "setop_all_variants", "shard_assignment_stats",
-    "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
-    "streaming_dedup_runtime", "streaming_session_runtime",
-    "streaming_sliding_runtime", "streaming_stateful_runtime",
-    "streaming_static_join_runtime", "streaming_stream_join_runtime",
-    "streaming_tumbling_runtime", "streaming_upsert_runtime",
-    "string_functions_2", "subquery_scalar", "text_quality_score",
+    "setop_all_variants", "shard_assignment_stats", "skyline_pareto_parts",
+    "source_lang_kl", "source_lang_quality_matrix", "stats_agg",
+    "stratified_token_quantiles", "streaming_dedup_runtime",
+    "streaming_session_runtime", "streaming_sliding_runtime",
+    "streaming_stateful_runtime", "streaming_static_join_runtime",
+    "streaming_stream_join_runtime", "streaming_tumbling_runtime",
+    "streaming_upsert_runtime", "string_functions_2", "subquery_scalar",
+    "text_embedding_alignment", "text_quality_score",
     "text_repetition_ratio", "text_token_stats", "tfidf_top_terms",
-    "timeseries_gap_fill", "token_pmi_pairs", "token_regex_count",
-    "tokenizer_fertility_by_lang", "top_bigrams_per_lang", "topk_global",
-    "topk_with_ties", "tpch_q1", "tpch_q10_returned_customers",
-    "tpch_q11_value_concentration", "tpch_q12_shipmode",
-    "tpch_q13_order_distribution", "tpch_q14_promo_share",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
-    "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
-    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "theil_sen_trend", "timeseries_gap_fill", "token_pmi_pairs",
+    "token_regex_count", "tokenizer_fertility_by_lang",
+    "top_bigrams_per_lang", "topk_global", "topk_with_ties", "tpch_q1",
+    "tpch_q10_returned_customers", "tpch_q11_value_concentration",
+    "tpch_q12_shipmode", "tpch_q13_order_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety", "tpch_q17_small_quantity",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q20_dominant_suppliers", "tpch_q21_waiting_orders",
+    "tpch_q22_idle_customers", "tpch_q3_toporders",
+    "tpch_q4_priority_check", "tpch_q5_region_revenue", "tpch_q6_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "train_val_test_split_stats",
-    "trending_per_hour", "udtf_tokenize", "unigram_nll_quality",
-    "union_all_tagged", "union_by_name_missing", "unpivot_part_metrics",
+    "trend_slope_per_type", "trending_per_hour", "udtf_tokenize",
+    "unigram_nll_quality", "union_all_tagged", "union_by_name_missing",
+    "unpivot_part_metrics", "user_path_trigrams", "value_percentile_bands",
     "variant_json_shred", "vector_arithmetic", "vocab_growth_curve",
     "vocab_oov_coverage", "weak_label_vote_stats", "weighted_avg_price",
-    "window_lag_gap", "window_range_frame", "window_rank_family",
-    "window_running_sum", "window_topk_per_group", "window_value_functions",
-    "woe_iv_price_bins", "word_freq_topn", "zipf_fit_stats",
-    "zorder_pruning_stats", "zscore_outliers"
+    "weighted_median_price_by_flag", "window_lag_gap", "window_range_frame",
+    "window_rank_family", "window_running_sum", "window_topk_per_group",
+    "window_value_functions", "woe_iv_price_bins", "word_freq_topn",
+    "zipf_fit_stats", "zorder_pruning_stats", "zscore_outliers"
 })
 
 
-# Round-6 driver window, in priority order (VERDICT r5 next-round #1/#2):
-# the entire 42-query unverified tail leads — clearing it makes the
-# catalog 290/290 driver-verified for the first time — followed by the
-# new PNG-decode entry and 7 regression re-proves of the highest-risk
-# old greens (the three r5 text top-k retrofits plus their two oracle
-# neighbours, and the two 100-TB champion operators whose scale fixtures
-# are re-measured this round). 42 + 1 + 7 = 50 slots, zero waste.
+# Round-7 driver window, in priority order (VERDICT r6 next-round #1):
+# the catalog went fully driver-verified in r6 (291/291 cumulative), so
+# this window is pure verification-debt paydown plus this round's new
+# entries. First the 22 queries whose code changed in round 6 AFTER their
+# last driver-green row (all local-oracle-green at HEAD since, but their
+# driver rows predate the change): the dup_span_fraction checkpoint move,
+# the four grouped-Python width-pinned queries, the PPJoin index
+# restructure, the band-tuning fusion, the 7 streaming-runtime entries
+# under the width-8 local runner (upsert was unchanged), and the late-r6
+# checkpoint/filter retrofits. Then the round-7 additions (JPEG decode,
+# incremental-dedup e2e, BM25, KLL sketch, per-key reservoir, streaming
+# minhash dedup) — pinned explicitly even though unverified entries lead
+# anyway, so the window order is fully deterministic. Remaining slots
+# fall through to the verified tail as regression re-proves.
 _PINNED_FIRST = (
-    # r7 window note: pin re-proves for queries whose code changed in r6
-    # AFTER their last driver-green row (all local-oracle-green since):
-    #   - dup_span_fraction (checkpoint moved from the exploded span table
-    #     to the pre-explode gram arrays)
-    #   - mr_charcount, mr_wordcount_filtered, mr_lang_source_expand,
-    #     cogroup_user_activity (grouped-Python shuffle width pinned to
-    #     REPARTITION_BY_NUM so AQE cannot coalesce the Python lane)
-    #   - dedup_prefix_filter_pairs (prefix index now checkpoints the
-    #     compact per-doc ordered arrays; tsets projected from them)
-    #   - lsh_band_tuning_curve (sig+tsets fused into one grouped agg)
-    #   - the 7 streaming_*_runtime queries through run_stream_to_memory
-    #     (local runner pins shuffle width 8 for the stream's lifetime —
-    #     state-store instantiation overhead; streaming_upsert_runtime
-    #     unchanged)
-    #   - the late-r6 checkpoint-placement/filter retrofits:
-    #     text_repetition_ratio, semantic_dedup_stats, pca_power_iteration,
-    #     embedding_covariance, corpus_curation_stats, curation_pipeline_v2,
-    #     dedup_embedding_lsh (token_pmi_pairs is already a re-prove slot
-    #     in THIS window)
-    # --- the full r5 unverified tail (42), analytics/statistics wave ---
-    "acf_hourly_correlogram",
-    "approx_quantile_eval",
-    "association_rules_lift",
-    "benford_digit_stats",
-    "cdc_chunk_stats",
-    "chi2_lang_source_independence",
-    "churn_label_stats",
-    "cohort_retention_matrix",
-    "consistent_hash_rebalance",
-    "dq_audit_stats",
-    "emd_price_urgent_binned",
-    "event_transition_entropy",
-    "events_autocorr_lag1",
-    "events_cusum_changepoint",
-    "events_decayed_trend",
-    "functional_dependency_audit",
-    "funnel_attribution_last_touch",
-    "join_cardinality_eval",
-    "k_anonymity_stats",
-    "km_survival_signup_purchase",
-    "l_diversity_stats",
-    "longest_streak_per_user",
-    "mad_outliers_by_type",
-    "mannwhitney_price_urgent",
-    "ohlc_bars_hourly",
-    "orders_backlog_monthly",
-    "peak_concurrency",
-    "psi_drift_stats",
-    "range_partition_balance",
-    "revenue_gini_by_nation",
-    "rfm_segments",
-    "rolling_reach_7d",
-    "seasonal_hod_profile",
-    "segmented_trend_breakpoint",
-    "skyline_pareto_parts",
-    "source_lang_kl",
-    "text_embedding_alignment",
-    "theil_sen_trend",
-    "trend_slope_per_type",
-    "user_path_trigrams",
-    "value_percentile_bands",
-    "weighted_median_price_by_flag",
-    # --- new catalog entry this round (stdlib-zlib PNG decode kernel) ---
-    "multimodal_png_decode",
-    # --- regression re-proves: r5-rewritten text top-k + neighbours,
-    # then the two scale-champion operators ---
-    "tfidf_top_terms",
-    "unigram_nll_quality",
-    "word_freq_topn",
-    "char_trigram_profile",
+    # --- changed-after-green re-proves (r6 rewrites, driver rows stale) ---
+    "dup_span_fraction",
+    "mr_charcount",
+    "mr_wordcount_filtered",
+    "mr_lang_source_expand",
+    "cogroup_user_activity",
+    "dedup_prefix_filter_pairs",
+    "lsh_band_tuning_curve",
+    "streaming_dedup_runtime",
+    "streaming_session_runtime",
+    "streaming_sliding_runtime",
+    "streaming_stateful_runtime",
+    "streaming_static_join_runtime",
+    "streaming_stream_join_runtime",
+    "streaming_tumbling_runtime",
+    "text_repetition_ratio",
+    "semantic_dedup_stats",
+    "pca_power_iteration",
+    "embedding_covariance",
+    "corpus_curation_stats",
+    "curation_pipeline_v2",
+    "dedup_embedding_lsh",
     "token_pmi_pairs",
+    # --- new round-7 catalog entries ---
+    "multimodal_jpeg_decode",
+    "dedup_incremental_e2e",
+    "bm25_retrieval_topk",
+    "kll_quantile_sketch",
+    "reservoir_sample_per_key",
+    "streaming_minhash_dedup_runtime",
+    # --- regression re-proves of the scale champions (fixtures re-cut
+    # whenever the 100x curve grows; keep their driver rows fresh) ---
     "dedup_minhash_lsh_pairs",
     "ann_lsh_bucketed",
 )
