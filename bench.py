@@ -80,7 +80,25 @@ def main() -> int:
     # Environment stamps: host load (1m/5m/15m) before and after the run.
     # The r4/r6 drift investigations both traced disjoint-spread timing
     # moves to host iowait, not code — recording the load in the artifact
-    # itself makes that call possible from the JSON alone.
+    # itself makes that call possible from the JSON alone. r6 closed the
+    # loop the hard way (BENCH_r06: start load 1.90 on a box whose quiet
+    # baseline is 0.03, +0.4-0.7 s uniform inflation on untouched trivial
+    # queries); now the artifact SAYS so instead of requiring forensics:
+    # a pre-run 1-minute load above the threshold marks the JSON
+    # contended=true and warns on stderr. Read a contended artifact
+    # against BASELINE.md's quiet-box record, not at face value.
+    contended_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "0.5")
+    )
+    contended = load_start[0] > contended_threshold
+    if contended:
+        print(
+            f"WARNING: bench started on a contended box (1m load "
+            f"{load_start[0]} > {contended_threshold}); timings will be "
+            "inflated by external load — artifact marked contended=true. "
+            "See BASELINE.md 'Reading a contended artifact'.",
+            file=sys.stderr,
+        )
     load_end = [round(x, 2) for x in os.getloadavg()]
     print(
         json.dumps(
@@ -96,6 +114,7 @@ def main() -> int:
                 "query_minmax": spread,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
+                "contended": contended,
             }
         )
     )

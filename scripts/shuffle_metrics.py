@@ -33,7 +33,6 @@ CHAMPIONS = ["dedup_minhash_lsh_pairs", "ann_lsh_bucketed"]
 
 
 def _sum_event_log(log_dir: str) -> dict[str, float]:
-    write = read = spill_mem = spill_disk = 0
     paths = []
     for root, _, files in os.walk(log_dir):
         paths += [
@@ -41,6 +40,11 @@ def _sum_event_log(log_dir: str) -> dict[str, float]:
             for f in files
             if not f.endswith(".crc") and "appstatus" not in f
         ]
+    # Keyed by (app path, stage id), keeping the highest attempt: a stage
+    # re-attempt after a fetch failure emits a second StageCompleted event
+    # for the same stage id, and summing both would double-count its bytes
+    # (ADVICE r6). The last attempt's Accumulables carry the stage totals.
+    per_stage: dict[tuple[str, int], tuple[int, dict[str, int]]] = {}
     for path in paths:
         with open(path, errors="ignore") as f:
             for line in f:
@@ -50,23 +54,32 @@ def _sum_event_log(log_dir: str) -> dict[str, float]:
                     continue
                 if ev.get("Event") != "SparkListenerStageCompleted":
                     continue
+                info = ev["Stage Info"]
+                key = (path, info.get("Stage ID", -1))
+                attempt = info.get("Stage Attempt ID", 0)
                 # "Accumulables" carries the stage-level totals the UI
                 # shows; task-level sums would double-count retries.
-                for acc in ev["Stage Info"].get("Accumulables", []):
-                    name, val = acc.get("Name"), acc.get("Value")
-                    if not isinstance(val, int):
-                        continue
-                    if name == "internal.metrics.shuffle.write.bytesWritten":
-                        write += val
-                    elif name in (
-                        "internal.metrics.shuffle.read.localBytesRead",
-                        "internal.metrics.shuffle.read.remoteBytesRead",
-                    ):
-                        read += val
-                    elif name == "internal.metrics.memoryBytesSpilled":
-                        spill_mem += val
-                    elif name == "internal.metrics.diskBytesSpilled":
-                        spill_disk += val
+                accs = {
+                    acc.get("Name"): acc.get("Value")
+                    for acc in info.get("Accumulables", [])
+                    if isinstance(acc.get("Value"), int)
+                }
+                if key not in per_stage or attempt >= per_stage[key][0]:
+                    per_stage[key] = (attempt, accs)
+    write = read = spill_mem = spill_disk = 0
+    for _, accs in per_stage.values():
+        for name, val in accs.items():
+            if name == "internal.metrics.shuffle.write.bytesWritten":
+                write += val
+            elif name in (
+                "internal.metrics.shuffle.read.localBytesRead",
+                "internal.metrics.shuffle.read.remoteBytesRead",
+            ):
+                read += val
+            elif name == "internal.metrics.memoryBytesSpilled":
+                spill_mem += val
+            elif name == "internal.metrics.diskBytesSpilled":
+                spill_disk += val
     mb = 1024.0 * 1024.0
     return {
         "shuffle_write_mb": round(write / mb, 2),

@@ -12,6 +12,16 @@ from thread_based_map_reduce_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    # Full-catalog end-to-end sweeps (giant-row, empty/null/single-row)
+    # dominate suite wall-clock; `-m "not sweep"` gives a quick dev run.
+    # The default (unfiltered) run still includes them — the round gate
+    # wants the whole suite green (ADVICE r6).
+    config.addinivalue_line(
+        "markers", "sweep: full-catalog end-to-end sweep (slow; excludable)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tbmr-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))

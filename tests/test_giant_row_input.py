@@ -93,6 +93,7 @@ def test_giant_row_flows_through_token_path(spark, giant_sf):
     assert expected > 20_000  # the giant row dominates the corpus total
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", sorted(queries().keys()))
 def test_runs_with_giant_row(spark, giant_sf, name):
     rows = CATALOG[name].fn(spark, giant_sf).collect()

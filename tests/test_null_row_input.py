@@ -41,6 +41,7 @@ def nullrow_sf(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", sorted(queries().keys()))
 def test_runs_with_null_row(spark, nullrow_sf, name):
     fn = CATALOG[name].fn

@@ -575,6 +575,15 @@ def test_unpartitioned_window_sweep_all_plans(spark, sf_dir):
 # query name -> max BroadcastNestedLoopJoin nodes its plan may contain; every
 # site is a crossJoin against a broadcast one-row aggregate or a tiny
 # stats/centroid/bin table (audited r5 judge grep + per-site gates above).
+#
+# RE-AUDIT CONTRACT (ADVICE r6): bumping a count here is an audit claim, not
+# a test fix. Before raising any number, .explain("formatted") the plan and
+# verify the NEW BroadcastNestedLoopJoin's build side is a broadcast one-row
+# aggregate or a bounded stats table (grep the plan for the broadcast
+# exchange feeding it), then record the query + build-side relation in the
+# bump commit message. A count that DROPS is fine (optimizer improved); a
+# plan that reshapes while keeping the count can hide an unaudited site —
+# if the query's join logic changed, re-audit even when the number fits.
 _AUDITED_BNLJ_SITES = {
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,

@@ -32,6 +32,7 @@ def onerow_sf(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", sorted(queries().keys()))
 def test_runs_on_single_row(spark, onerow_sf, name):
     rows = CATALOG[name].fn(spark, onerow_sf).collect()

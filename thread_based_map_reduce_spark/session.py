@@ -49,6 +49,19 @@ def get_spark(
     - Arrow on: every Python-side operator in this package is Arrow-batched.
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if extra_conf and SparkSession.getActiveSession() is not None:
+        # getOrCreate silently ignores builder conf on reuse — a caller
+        # relying on static conf (e.g. shuffle_metrics.py's event log)
+        # would otherwise measure nothing with no error (ADVICE r6).
+        import warnings
+
+        warnings.warn(
+            "get_spark(extra_conf=...) with an active session: static conf "
+            f"{sorted(extra_conf)} will NOT be applied by getOrCreate; stop "
+            "the active session first if you need it.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -14,6 +14,8 @@ aggregated partials per trigger.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -36,6 +38,10 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 
 _STAGE_DIRS: dict[str, str] = {}
+
+# Serializes run_stream_to_memory's shuffle-width set/restore on the shared
+# session (ADVICE r6: concurrent streams would race the conf mutation).
+_RUN_STREAM_LOCK = threading.Lock()
 
 
 def _staging_dir(sf_dir: str) -> str:
@@ -248,21 +254,27 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> D
     batches. A production deployment sizes spark.sql.shuffle.partitions
     to its state volume instead."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+    # The set→start→restore below mutates SHARED session conf; two
+    # concurrent streams on one session would race (one could capture the
+    # other's width or restore a clobbered prev). The lock serializes the
+    # whole run — acceptable because this is the local smoke runner, not a
+    # production launch path (ADVICE r6).
+    with _RUN_STREAM_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            q.processAllAvailable()
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
