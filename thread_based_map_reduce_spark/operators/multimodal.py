@@ -8,12 +8,14 @@ validation, numpy stats, and independent SQL oracles recomputing the
 same bytes. The PNG path needs nothing beyond the stdlib: chunk CRC32s,
 zlib inflate, and all five scanline filters are exercised end to end.
 
-The generic JPEG decode path (``decode_payload`` below) remains the one
-documented environmental stand-in: the container has no PIL/libvips, so
-it tiles bytes deterministically and the ``HAVE_PIL`` branch raises
-until a real codec is wired in. Everything Spark-side of it is still real
-and tested: binary column synthesis, schema, Arrow batch shape through
-``mapInPandas``, partitioning.
+JPEG is real as of round 7: ``multimodal_jpeg.py`` implements the full
+baseline-sequential JFIF pipeline in both directions (FDCT/quant/zigzag/
+Huffman encode, marker-walk/DHT/entropy/IDCT/upsample decode) with no
+third-party codec. ``decode_payload`` below predates it and remains the
+*generic-bytes* stand-in used by ``multimodal_decode_stats``, whose
+oracle replays its deterministic tiling — its ``HAVE_PIL`` branch is
+kept only so that an image with PIL present fails loudly rather than
+silently diverging from that oracle.
 """
 
 from __future__ import annotations

@@ -96,6 +96,7 @@ def _load_all() -> None:
         similarity,
         text,
         multimodal,
+        multimodal_jpeg,
         curation,
         layout,
         diagnostics,
