@@ -585,6 +585,10 @@ def test_unpartitioned_window_sweep_all_plans(spark, sf_dir):
 # plan that reshapes while keeping the count can hide an unaudited site —
 # if the query's join logic changed, re-audit even when the number fits.
 _AUDITED_BNLJ_SITES = {
+    # r7 audit: bm25's one site is the crossJoin against the broadcast
+    # one-row (n, avgdl) corpus-stats aggregate (IdentityBroadcastMode
+    # build side verified in the formatted plan, node (51) in the r7 audit)
+    "bm25_retrieval_topk": 1,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

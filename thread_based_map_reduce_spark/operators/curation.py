@@ -816,3 +816,59 @@ def q_l_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(exposed).cast("double") / F.sum("gsize"), 6
         ).alias("exposed_share"),
     )
+
+
+# -- exact per-key reservoir sampling (round-7, VERDICT r6 #7) ---------------
+
+RESERVOIR_K = 20  # exact quota per key
+
+
+@register(
+    "reservoir_sample_per_key",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {portable_hash64_sql("'res:' || doc_id")}, doc_id
+                   ) AS smp_rank,
+                   count(*) OVER (PARTITION BY lang) AS n_docs
+            FROM documents
+        )
+        SELECT lang, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM ranked
+        WHERE smp_rank <= {RESERVOIR_K}
+    """,
+    doc=f"EXACT per-key reservoir sample: for each language keep precisely "
+    f"min({RESERVOIR_K}, n) documents — the ones with the {RESERVOIR_K} "
+    "smallest values of a salted 60-bit portable hash (doc_id tiebreak). "
+    "Hash-rank top-k per key is distribution-identical to a k-reservoir "
+    "but deterministic, replayable, and mergeable (per-partition top-k "
+    "heaps combine; Spark's WindowGroupLimit pushes the rank<=k filter "
+    "into a partial top-k before the exchange, so the shuffle carries "
+    "at most k rows per key per map partition — never the full corpus). "
+    "This is the revised quota/mix primitive: mix_quota_sample's "
+    "hash-fraction variant stays as the zero-shuffle approximation with "
+    "binomial quota error; this path pays one narrow shuffle for an "
+    "exact quota. Emits the sampled rows themselves (lang, doc_id, "
+    "rank, key population) so the selection — not just its size — is "
+    "value-gated against the oracle.",
+    tags=("curation", "sampling"),
+)
+def q_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    # key populations via a tiny grouped aggregate broadcast back — NOT a
+    # second (unbounded count) window function, which would force every
+    # row through the Window node and defeat WindowGroupLimit's partial
+    # top-k pushdown (verified in the plan: WindowGroupLimit present)
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    sampled = (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("smp_rank"))
+        .where(F.col("smp_rank") <= RESERVOIR_K)
+    )
+    return sampled.join(F.broadcast(counts), "lang").select(
+        "lang", "doc_id", "smp_rank", "n_docs"
+    )

@@ -384,3 +384,143 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# -- deterministic mergeable quantile sketch (round-7, VERDICT r6 #6) --------
+
+KLL_K = 1024  # target sample size; rank error ~ 1/sqrt(K) ~ 0.03
+
+
+@register(
+    "kll_quantile_sketch",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   {portable_hash64_sql("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} AS h
+            FROM lineitem
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM keyed),
+        lvl AS (
+            SELECT n_total,
+                   CASE WHEN n_total <= {KLL_K} THEN 0
+                        ELSE CAST(ceil(log2(n_total / {KLL_K}.0)) AS INT)
+                   END AS level
+            FROM n
+        ),
+        kept AS (
+            SELECT v, n_total, level
+            FROM keyed, lvl
+            WHERE h % CAST(pow(2.0, level) AS BIGINT) = 0
+        ),
+        sk AS (
+            SELECT n_total, level, CAST(count(*) AS BIGINT) AS m_kept,
+                   list_sort(list(v)) AS vs
+            FROM kept GROUP BY n_total, level
+        ),
+        ests AS (
+            SELECT n_total, level, m_kept,
+                   vs[greatest(1, CAST(ceil(0.50 * m_kept) AS INT))] AS est_p50,
+                   vs[greatest(1, CAST(ceil(0.90 * m_kept) AS INT))] AS est_p90,
+                   vs[greatest(1, CAST(ceil(0.99 * m_kept) AS INT))] AS est_p99
+            FROM sk
+        )
+        SELECT e.n_total, CAST(e.level AS BIGINT) AS level, e.m_kept,
+               e.est_p50, e.est_p90, e.est_p99,
+               round(abs(sum(CASE WHEN k.v <= e.est_p50 THEN 1 ELSE 0 END)::DOUBLE
+                         / e.n_total - 0.50), 6) AS rank_err_p50,
+               round(abs(sum(CASE WHEN k.v <= e.est_p90 THEN 1 ELSE 0 END)::DOUBLE
+                         / e.n_total - 0.90), 6) AS rank_err_p90,
+               round(abs(sum(CASE WHEN k.v <= e.est_p99 THEN 1 ELSE 0 END)::DOUBLE
+                         / e.n_total - 0.99), 6) AS rank_err_p99,
+               (abs(sum(CASE WHEN k.v <= e.est_p50 THEN 1 ELSE 0 END)::DOUBLE
+                    / e.n_total - 0.50) <= 0.05) AS p50_ok,
+               (abs(sum(CASE WHEN k.v <= e.est_p90 THEN 1 ELSE 0 END)::DOUBLE
+                    / e.n_total - 0.90) <= 0.05) AS p90_ok,
+               (abs(sum(CASE WHEN k.v <= e.est_p99 THEN 1 ELSE 0 END)::DOUBLE
+                    / e.n_total - 0.99) <= 0.05) AS p99_ok
+        FROM keyed k, ests e
+        GROUP BY e.n_total, e.level, e.m_kept, e.est_p50, e.est_p90, e.est_p99
+    """,
+    doc="Deterministic mergeable quantile sketch in the KLL spirit, fully "
+    "value-gated (unlike percentile_approx, whose engine-native sketch "
+    "internals are contract-gated in approx_aggregates): level-L "
+    "subsampling keeps rows whose 60-bit portable key-hash is divisible "
+    "by 2^L, with L chosen so the kept sample is ~K=1024 rows regardless "
+    "of n — each kept row represents weight 2^L, and because the level-"
+    "(L+1) sample is a SUBSET of the level-L sample (2^(L+1) | h implies "
+    "2^L | h), sketches built at different levels merge by re-filtering "
+    "the finer one to the coarser level: the classic coordinated-sampling "
+    "merge. Quantile estimates read the ceil(q*m)-th order statistic of "
+    "the bounded sorted sample (a one-row array aggregate, never a "
+    "vocabulary-wide window); a second pass computes each estimate's TRUE "
+    "rank from exact integer counts, emitting rank errors and the "
+    "~1/sqrt(K) accuracy-contract booleans. Both passes are replayed "
+    "bit-for-bit by DuckDB (the hash is portable, the level formula "
+    "closed-form, the order statistic deterministic). Scale shape: one "
+    "narrow filter+aggregate per pass, sample bounded at K rows — no "
+    "Expand, no buffer blowup (the approx_aggregates lesson), no global "
+    "sort.",
+    tags=("agg", "approx", "sampling", "sketch"),
+)
+def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        portable_hash64(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+    n = keyed.agg(F.count("*").cast("bigint").alias("n_total"))
+    lvl = n.select(
+        "n_total",
+        F.when(F.col("n_total") <= KLL_K, F.lit(0))
+        .otherwise(F.ceil(F.log2(F.col("n_total") / float(KLL_K))))
+        .cast("int")
+        .alias("level"),
+    )
+    kept = keyed.crossJoin(F.broadcast(lvl)).where(
+        F.pmod(F.col("h"), F.pow(F.lit(2.0), F.col("level")).cast("bigint")) == 0
+    )
+    sk = kept.groupBy("n_total", "level").agg(
+        F.count("*").cast("bigint").alias("m_kept"),
+        F.array_sort(F.collect_list("v")).alias("vs"),
+    )
+
+    def order_stat(q: float):
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("m_kept"))).cast("int")
+        return F.element_at(F.col("vs"), idx)
+
+    ests = sk.select(
+        "n_total", "level", "m_kept",
+        order_stat(0.50).alias("est_p50"),
+        order_stat(0.90).alias("est_p90"),
+        order_stat(0.99).alias("est_p99"),
+    )
+    joined = keyed.select("v").crossJoin(F.broadcast(ests))
+
+    def rank_err(est_col: str, q: float):
+        return F.abs(
+            F.sum((F.col("v") <= F.col(est_col)).cast("int")).cast("double")
+            / F.col("n_total")
+            - F.lit(q)
+        )
+
+    return joined.groupBy(
+        "n_total", "level", "m_kept", "est_p50", "est_p90", "est_p99"
+    ).agg(
+        F.round(rank_err("est_p50", 0.50), 6).alias("rank_err_p50"),
+        F.round(rank_err("est_p90", 0.90), 6).alias("rank_err_p90"),
+        F.round(rank_err("est_p99", 0.99), 6).alias("rank_err_p99"),
+        (rank_err("est_p50", 0.50) <= 0.05).alias("p50_ok"),
+        (rank_err("est_p90", 0.90) <= 0.05).alias("p90_ok"),
+        (rank_err("est_p99", 0.99) <= 0.05).alias("p99_ok"),
+    ).select(
+        "n_total", F.col("level").cast("bigint").alias("level"), "m_kept",
+        "est_p50", "est_p90", "est_p99",
+        "rank_err_p50", "rank_err_p90", "rank_err_p99",
+        "p50_ok", "p90_ok", "p99_ok",
+    )
