@@ -309,3 +309,44 @@ def q_streaming_stream_join_runtime(spark: SparkSession, sf_dir: str) -> DataFra
         "tbmr_streaming_stream_join_runtime",
         "append",
     )
+
+
+def _distinct_sig_oracle() -> str:
+    from .dedup import _HASHED_SQL, _SHINGLES_SQL, _minhash_sig_sql
+
+    cols = ", ".join(f"mh{i}" for i in range(8))
+    return f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()}
+        SELECT DISTINCT {cols} FROM sig
+    """
+
+
+@register(
+    "streaming_minhash_dedup_runtime",
+    # batch twin: DISTINCT over the per-doc MinHash signatures the batch
+    # LSH family computes (docs with no shingles contribute no signature)
+    oracle=_distinct_sig_oracle(),
+    doc="Streaming MinHash dedup executed end-to-end (VERDICT r6 #8, the "
+    "9th runtime entry): per-document signatures computed statelessly as "
+    "scalar array expressions inside the stream (shingle -> portable hash "
+    "-> 8 permutation mins - no aggregation state), then "
+    "dropDuplicatesWithinWatermark on the signature tuple keeps "
+    "first-seen signatures in the state store and emits each exactly "
+    "once (append mode). Event time is synthesized and the watermark "
+    "outlasts the run, so the emitted set is exactly the batch twin's "
+    "DISTINCT(signature) - the watermark contract still bounds state "
+    "under production arrival times. Only signature columns are emitted "
+    "(which doc of a duplicate pair arrives first is scheduler-"
+    "dependent).",
+    tags=("streaming", "runtime", "dedup", "minhash"),
+)
+def q_streaming_minhash_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import minhash_dedup_stream
+
+    return run_stream_to_memory(
+        minhash_dedup_stream(spark, sf_dir),
+        "tbmr_streaming_minhash_dedup_runtime",
+        "append",
+    )
