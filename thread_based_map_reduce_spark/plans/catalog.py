@@ -262,6 +262,9 @@ _PINNED_FIRST = (
     "streaming_static_join_runtime",
     "streaming_stream_join_runtime",
     "streaming_tumbling_runtime",
+    # upsert was unchanged in r6 but r7's shared-runner edits (staging-dir
+    # generalization, run_stream_to_memory lock) touch its lane too
+    "streaming_upsert_runtime",
     "text_repetition_ratio",
     "semantic_dedup_stats",
     "pca_power_iteration",
