@@ -529,8 +529,14 @@ def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = build_signature_store(spark, sf_dir)
-    corpus_bands = spark.read.parquet(f"{store}/corpus_bands")
-    corpus_tsets = spark.read.parquet(f"{store}/corpus_tsets")
+    # declared store schemas (a production store has a catalog entry; an
+    # empty corpus writes no parquet footers to infer from)
+    corpus_bands = spark.read.schema(
+        "doc_id bigint, x bigint, y bigint, band int"
+    ).parquet(f"{store}/corpus_bands")
+    corpus_tsets = spark.read.schema("doc_id bigint, ts array<bigint>").parquet(
+        f"{store}/corpus_tsets"
+    )
     # the arriving batch: signatures + shingle sets computed fresh, one pass
     newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     toks = newdocs.select("doc_id", tokens("text").alias("toks"))

@@ -884,6 +884,15 @@ def q_embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding", "lsh", "similarity"),
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_lsh_pairs(spark, sf_dir, 0.4)
+
+
+def embedding_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs from band-bucket collisions, cosine-verified
+    at ``threshold`` — the dedup_embedding_lsh body, shared with the DBSCAN
+    entry (which needs the same neighbor graph at a looser ε)."""
     from ..functions.vectors import l2_norm
     from ..operators.dedup import _hint_small
 
@@ -938,7 +947,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b", "nrm_a", "nrm_b",
             dot_product("emb_a", "emb_b").alias("_dot"),
         )
-        .where(cos >= 0.4)
+        .where(cos >= F.lit(threshold))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
 
@@ -2311,5 +2320,161 @@ def q_cluster_quality_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             F.round(F.col("s") / 1e6, 6).alias("scatter_rms"),
             "db_component",
+        )
+    )
+
+
+# -- DBSCAN over LSH buckets (round-7; SURVEY §8 backlog #5, the last one) ---
+
+DBSCAN_COS_EPS = 0.3  # ε as a cosine-similarity floor on the LSH pair graph
+DBSCAN_MIN_PTS = 4  # neighbors (excluding self) required for a core point
+
+
+def _dbscan_oracle_sql() -> str:
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+        WITH RECURSIVE {_bands_sql()},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND b.vec_id > a.vec_id
+        ),
+        verified AS (
+            SELECT vec_a, vec_b FROM (
+                SELECT c.vec_a, c.vec_b, {cos} AS cos
+                FROM cand c
+                JOIN embeddings ea ON ea.vec_id = c.vec_a
+                JOIN embeddings eb ON eb.vec_id = c.vec_b
+            ) WHERE cos >= {DBSCAN_COS_EPS}
+        ),
+        sym AS (
+            SELECT vec_a AS a, vec_b AS b FROM verified
+            UNION SELECT vec_b, vec_a FROM verified
+        ),
+        deg AS (
+            SELECT e.vec_id, coalesce(d.cnt, 0) AS degree
+            FROM embeddings e
+            LEFT JOIN (SELECT a, CAST(count(*) AS BIGINT) AS cnt
+                       FROM sym GROUP BY a) d ON d.a = e.vec_id
+        ),
+        cores AS (SELECT vec_id FROM deg WHERE degree >= {DBSCAN_MIN_PTS}),
+        core_sym AS (
+            SELECT s.a, s.b FROM sym s
+            JOIN cores c1 ON s.a = c1.vec_id
+            JOIN cores c2 ON s.b = c2.vec_id
+            UNION SELECT vec_id, vec_id FROM cores
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM core_sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN core_sym s ON w.root = s.a
+        ),
+        core_label AS (
+            SELECT node AS vec_id, min(root) AS cluster FROM walk GROUP BY node
+        ),
+        border_label AS (
+            SELECT s.a AS vec_id, min(cl.cluster) AS cluster
+            FROM sym s
+            JOIN core_label cl ON cl.vec_id = s.b
+            WHERE s.a NOT IN (SELECT vec_id FROM cores)
+            GROUP BY s.a
+        )
+        SELECT d.vec_id, d.degree,
+               CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                    WHEN bl.vec_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(coalesce(cl.cluster, bl.cluster) AS BIGINT) AS cluster
+        FROM deg d
+        LEFT JOIN core_label cl ON cl.vec_id = d.vec_id
+        LEFT JOIN border_label bl ON bl.vec_id = d.vec_id
+    """
+
+
+@register(
+    "dbscan_lsh_clusters",
+    oracle=_dbscan_oracle_sql(),
+    doc="DBSCAN-style density clustering over the LSH candidate graph "
+    f"(SURVEY §8 #5, completing the drafted backlog): ε-neighbors are the "
+    f"band-bucket collision pairs cosine-verified at {DBSCAN_COS_EPS} (the "
+    "embedding_lsh_pairs primitive at a looser ε than the 0.4 dedup "
+    f"threshold), cores have >= {DBSCAN_MIN_PTS} neighbors, clusters are "
+    "connected components over core-core edges via the dedup_clusters "
+    "min-label loop (cluster id = min core vec_id), borders attach to the "
+    "MIN core-neighbor label (plain DBSCAN leaves border assignment "
+    "order-dependent; min makes it deterministic for the oracle), the "
+    "rest is noise. Semantics are defined over the LSH candidate graph "
+    "on purpose — at 100 TB the ε-neighborhood query IS the bucketed "
+    "candidate join (never all-pairs), so the operator inherits the "
+    "banded path's measured scaling; the iterative core-CC rounds touch "
+    "only core-core edges, a shrinking subgraph. Emits every vector's "
+    "(degree, role, cluster) so the full assignment — not just counts — "
+    "sits under the hash gate.",
+    tags=("similarity", "embedding", "lsh", "dedup", "iterative"),
+)
+def q_dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_lsh_pairs(spark, sf_dir, DBSCAN_COS_EPS).select(
+        "vec_a", "vec_b"
+    )
+    sym = reliable_checkpoint(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).union(
+            pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+        )
+    )
+    emb_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    deg = emb_ids.join(
+        sym.groupBy("a").agg(F.count("*").cast("bigint").alias("degree")),
+        emb_ids["vec_id"] == F.col("a"),
+        "left",
+    ).select("vec_id", F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+    cores = deg.where(F.col("degree") >= DBSCAN_MIN_PTS).select("vec_id")
+    core_sym = reliable_checkpoint(
+        sym.join(cores.select(F.col("vec_id").alias("a")), "a")
+        .join(cores.select(F.col("vec_id").alias("b")), "b")
+        .select("a", "b")
+    )
+    # min-label propagation over cores only (the dedup_clusters loop:
+    # exact decimal label-sum as the convergence check, checkpoint per
+    # round so the plan stays O(1) in rounds)
+    labels = reliable_checkpoint(
+        cores.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    )
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
+    while True:
+        nbr = core_sym.join(labels, core_sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = reliable_checkpoint(
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        new_sum = new_labels.agg(label_sum).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    core_label = labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster"))
+    border_label = (
+        sym.join(
+            core_label.select(F.col("vec_id").alias("b"), "cluster"), "b"
+        )
+        .join(cores.select(F.col("vec_id").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("vec_id"), "cluster")
+    )
+    cl = core_label.withColumn("is_core", F.lit(True)).unionByName(
+        border_label.withColumn("is_core", F.lit(False))
+    )
+    return (
+        deg.join(cl, "vec_id", "left")
+        .select(
+            "vec_id",
+            "degree",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.col("cluster").cast("bigint").alias("cluster"),
         )
     )

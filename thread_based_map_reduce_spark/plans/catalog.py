@@ -280,6 +280,7 @@ _PINNED_FIRST = (
     "kll_quantile_sketch",
     "reservoir_sample_per_key",
     "streaming_minhash_dedup_runtime",
+    "dbscan_lsh_clusters",
     # --- regression re-proves of the scale champions (fixtures re-cut
     # whenever the 100x curve grows; keep their driver rows fresh) ---
     "dedup_minhash_lsh_pairs",
