@@ -137,6 +137,9 @@ _PYTHON_LANE = {
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
     "multimodal_y4m_motion",
+    # r7: the baseline-JPEG codec is two Arrow-batched mapInPandas kernels
+    # (Huffman entropy coding is not expressible as SQL expressions)
+    "multimodal_jpeg_decode",
 }
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
@@ -589,6 +592,11 @@ _AUDITED_BNLJ_SITES = {
     # one-row (n, avgdl) corpus-stats aggregate (IdentityBroadcastMode
     # build side verified in the formatted plan, node (51) in the r7 audit)
     "bm25_retrieval_topk": 1,
+    # r7 audit: kll's two sites are crossJoins against broadcast one-row
+    # aggregates — (n_total, level) at node (13) and the six-column
+    # sketch/estimate row at node (20); both BroadcastExchange inputs
+    # verified one-row in the formatted plan
+    "kll_quantile_sketch": 2,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

@@ -471,12 +471,15 @@ def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
     layout), and a periodic compaction rewrites each band partition to
     target file sizes. See SCALE.md "Incremental dedup signature store".
     """
+    import atexit
+    import shutil
     import tempfile
 
     store = _SIG_STORE_DIRS.get(sf_dir)
     if store is None:
         store = tempfile.mkdtemp(prefix="tbmr-dedup-sigstore-")
         _SIG_STORE_DIRS[sf_dir] = store
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     h60 = toks.select(

@@ -247,6 +247,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # anyway, so the window order is fully deterministic. Remaining slots
 # fall through to the verified tail as regression re-proves.
 _PINNED_FIRST = (
+    # --- new round-7 catalog entries (unverified — must lead the window:
+    # the catalog-order invariant keeps never-verified names ahead of
+    # every verified one, and the pin ranks ahead of both) ---
+    "multimodal_jpeg_decode",
+    "dedup_incremental_e2e",
+    "bm25_retrieval_topk",
+    "kll_quantile_sketch",
+    "reservoir_sample_per_key",
+    "streaming_minhash_dedup_runtime",
+    "dbscan_lsh_clusters",
     # --- changed-after-green re-proves (r6 rewrites, driver rows stale) ---
     "dup_span_fraction",
     "mr_charcount",
@@ -273,14 +283,6 @@ _PINNED_FIRST = (
     "curation_pipeline_v2",
     "dedup_embedding_lsh",
     "token_pmi_pairs",
-    # --- new round-7 catalog entries ---
-    "multimodal_jpeg_decode",
-    "dedup_incremental_e2e",
-    "bm25_retrieval_topk",
-    "kll_quantile_sketch",
-    "reservoir_sample_per_key",
-    "streaming_minhash_dedup_runtime",
-    "dbscan_lsh_clusters",
     # --- regression re-proves of the scale champions (fixtures re-cut
     # whenever the 100x curve grows; keep their driver rows fresh) ---
     "dedup_minhash_lsh_pairs",
