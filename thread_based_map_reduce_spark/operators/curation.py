@@ -872,3 +872,77 @@ def q_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.join(F.broadcast(counts), "lang").select(
         "lang", "doc_id", "smp_rank", "n_docs"
     )
+
+
+@register(
+    "mix_quota_exact_manifest",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang, doc_id, text,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {portable_hash64_sql("'res:' || doc_id")}, doc_id
+                   ) AS smp_rank
+            FROM documents
+        ),
+        sampled AS (
+            SELECT lang, doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks
+            FROM ranked WHERE smp_rank <= {RESERVOIR_K}
+        ),
+        corpus AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS corpus_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            t -> t <> ''))) AS BIGINT)
+                       AS corpus_tokens
+            FROM documents GROUP BY lang
+        )
+        SELECT c.lang, c.corpus_docs, c.corpus_tokens,
+               CAST(count(s.doc_id) AS BIGINT) AS sampled_docs,
+               CAST(coalesce(sum(s.n_toks), 0) AS BIGINT) AS sampled_tokens,
+               round(coalesce(sum(s.n_toks), 0)::DOUBLE
+                     / nullif(c.corpus_tokens, 0), 6) AS token_share
+        FROM corpus c
+        LEFT JOIN sampled s ON s.lang = c.lang
+        GROUP BY c.lang, c.corpus_docs, c.corpus_tokens
+    """,
+    doc="The training-mix MANIFEST built on the exact per-key reservoir "
+    "(the 'revised quota/mix path' of VERDICT r6 #7): for each language, "
+    f"the exact-quota sample (min({RESERVOIR_K}, n) docs via "
+    "reservoir_sample_per_key's salted-hash rank) is summarized as "
+    "sampled docs/tokens against the corpus totals, with the realized "
+    "token share — the table a data-mix pipeline hands to the trainer. "
+    "Composition stays one pass over documents for corpus stats plus the "
+    "WindowGroupLimit-bounded sample pass; the quota is EXACT per key, "
+    "unlike mix_quota_sample's binomial hash-fraction.",
+    tags=("curation", "sampling", "pipeline"),
+)
+def q_mix_quota_exact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    sampled = (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("smp_rank"), "text")
+        .where(F.col("smp_rank") <= RESERVOIR_K)
+        .select("lang", "doc_id", n_toks.alias("n_toks"))
+    )
+    corpus = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("corpus_docs"),
+        F.sum(n_toks).cast("bigint").alias("corpus_tokens"),
+    )
+    return (
+        corpus.join(sampled, "lang", "left")
+        .groupBy("lang", "corpus_docs", "corpus_tokens")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("sampled_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("sampled_tokens"),
+            F.round(
+                F.coalesce(F.sum("n_toks"), F.lit(0)).cast("double")
+                / F.nullif(F.col("corpus_tokens"), F.lit(0)),
+                6,
+            ).alias("token_share"),
+        )
+    )

@@ -257,6 +257,7 @@ _PINNED_FIRST = (
     "reservoir_sample_per_key",
     "streaming_minhash_dedup_runtime",
     "dbscan_lsh_clusters",
+    "mix_quota_exact_manifest",
     # --- changed-after-green re-proves (r6 rewrites, driver rows stale) ---
     "dup_span_fraction",
     "mr_charcount",
