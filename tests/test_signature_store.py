@@ -53,3 +53,28 @@ def test_e2e_equals_single_plan_incremental(spark, sf_dir):
         for r in CATALOG["dedup_incremental_pairs"].fn(spark, sf_dir).collect()
     }
     assert e2e == one
+
+
+def test_append_then_compact_reduces_files_and_preserves_rows(spark, sf_dir):
+    from thread_based_map_reduce_spark.operators.dedup import (
+        append_batch_to_store,
+        compact_signature_store,
+    )
+
+    store = build_signature_store(spark, sf_dir)
+    base_rows = spark.read.schema(
+        "doc_id bigint, x bigint, y bigint, band int"
+    ).parquet(f"{store}/corpus_bands").count()
+    append_batch_to_store(spark, sf_dir, store)
+    appended_rows = spark.read.schema(
+        "doc_id bigint, x bigint, y bigint, band int"
+    ).parquet(f"{store}/corpus_bands").count()
+    assert appended_rows > base_rows  # the batch really appended
+    stats = compact_signature_store(spark, store)
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] == N_BANDS  # one file per band partition
+    after = spark.read.schema(
+        "doc_id bigint, x bigint, y bigint, band int"
+    ).parquet(f"{store}/corpus_bands")
+    assert after.count() == appended_rows  # layout rewrite, not a data change
+    assert after.select("doc_id", "x", "y", "band").distinct().count() == appended_rows

@@ -2441,3 +2441,132 @@ def q_dup_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         "is_edge", F.col("common_neighbors").desc(), "doc_a", "doc_b"
     ).limit(LINKPRED_TOPK)
+
+
+def append_batch_to_store(spark: SparkSession, sf_dir: str, store: str) -> None:
+    """Day-2 of the ingest cycle: after the arriving batch has been checked
+    (dedup_incremental_e2e), its bands and shingle sets APPEND to the same
+    store layout — nothing existing is rewritten."""
+    newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = newdocs.select("doc_id", tokens("text").alias("toks"))
+    h60 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h60"))
+    combined = reliable_checkpoint(
+        h60.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+                .cast("bigint")
+                .alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.collect_set("h60").alias("ts"),
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = combined.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    write_sink(bands, f"{store}/corpus_bands", mode="append", partition_by=["band"])
+    write_sink(combined.select("doc_id", "ts"), f"{store}/corpus_tsets", mode="append")
+
+
+def compact_signature_store(spark: SparkSession, store: str) -> dict[str, int]:
+    """Layout rewrite, not a data change: appends accumulate one file per
+    batch x shuffle width per band partition; compaction reads each band
+    partition, coalesces to one file per band, and rewrites ONLY that
+    partition (dynamic partition overwrite — untouched bands keep their
+    files). Returns before/after data-file counts for the caller's audit;
+    embarrassingly parallel per band, never touches corpus_tsets content."""
+    import glob as _glob
+
+    path = f"{store}/corpus_bands"
+
+    def _count_files() -> int:
+        return len(
+            [
+                f
+                for f in _glob.glob(f"{path}/band=*/*")
+                if not f.endswith((".crc", "_SUCCESS"))
+            ]
+        )
+
+    before = _count_files()
+    bands = spark.read.schema("doc_id bigint, x bigint, y bigint, band int").parquet(
+        path
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one output file per band partition at this scale; a production
+        # compactor coalesces to target-size file counts instead of 1
+        (
+            bands.repartition("band")
+            .sortWithinPartitions("x", "y")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"files_before": before, "files_after": _count_files()}
+
+
+@register(
+    "sigstore_append_compact",
+    oracle=f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()}
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT (x, y)) AS BIGINT) AS n_buckets
+        FROM (
+            SELECT s.doc_id, b.band,
+                   CASE b.band
+                       WHEN 0 THEN s.mh0 WHEN 1 THEN s.mh2
+                       WHEN 2 THEN s.mh4 ELSE s.mh6 END AS x,
+                   CASE b.band
+                       WHEN 0 THEN s.mh1 WHEN 1 THEN s.mh3
+                       WHEN 2 THEN s.mh5 ELSE s.mh7 END AS y
+            FROM {_minhash_sig_sql().strip().removeprefix('sig AS ')} s
+            CROSS JOIN (SELECT unnest(range(4)) AS band) b
+        )
+        GROUP BY band
+    """,
+    doc="The FULL ingest-cycle maintenance path the signature store needs "
+    "at 100 TB, executed end-to-end: build the corpus store (day 1), "
+    "APPEND the arriving batch's bands/tsets in place (day 2 — nothing "
+    "rewritten), then COMPACT each band partition with dynamic partition "
+    "overwrite (a layout rewrite: files coalesce per band, data must not "
+    "change). The query returns per-band (rows, distinct docs, distinct "
+    "buckets) read from the compacted store, and the oracle recomputes "
+    "them from the documents table alone — so the gate proves the whole "
+    "append+compact cycle is value-preserving: post-compaction content = "
+    "exactly one band row per (doc with >=1 shingle, band). File-count "
+    "reduction is asserted in tests/test_signature_store.py (it is a "
+    "physical property, not SQL-checkable).",
+    tags=("dedup", "minhash", "incremental", "pipeline"),
+)
+def q_sigstore_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = build_signature_store(spark, sf_dir)  # day-1 corpus (overwrite)
+    append_batch_to_store(spark, sf_dir, store)  # day-2 batch (append)
+    compact_signature_store(spark, store)  # layout rewrite
+    bands = spark.read.schema("doc_id bigint, x bigint, y bigint, band int").parquet(
+        f"{store}/corpus_bands"
+    )
+    return bands.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("x", "y").cast("bigint").alias("n_buckets"),
+    ).select(F.col("band").cast("bigint").alias("band"), "n_rows", "n_docs", "n_buckets")

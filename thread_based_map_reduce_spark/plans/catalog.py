@@ -258,6 +258,7 @@ _PINNED_FIRST = (
     "streaming_minhash_dedup_runtime",
     "dbscan_lsh_clusters",
     "mix_quota_exact_manifest",
+    "sigstore_append_compact",
     # --- changed-after-green re-proves (r6 rewrites, driver rows stale) ---
     "dup_span_fraction",
     "mr_charcount",
