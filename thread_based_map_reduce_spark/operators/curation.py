@@ -869,9 +869,11 @@ def q_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("smp_rank"))
         .where(F.col("smp_rank") <= RESERVOIR_K)
     )
-    return sampled.join(F.broadcast(counts), "lang").select(
-        "lang", "doc_id", "smp_rank", "n_docs"
-    )
+    # null-safe join: the oracle's count window emits a NULL-lang partition,
+    # so a NULL-lang group must survive the counts join too (ADVICE r7)
+    return sampled.join(
+        F.broadcast(counts), sampled["lang"].eqNullSafe(counts["lang"])
+    ).select(sampled["lang"], "doc_id", "smp_rank", "n_docs")
 
 
 @register(

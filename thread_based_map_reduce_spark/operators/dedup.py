@@ -26,6 +26,7 @@ DuckDB oracles reproduce signatures bit-for-bit.
 from __future__ import annotations
 
 import logging
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -453,6 +454,13 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # call in overwrite mode — the persistence round trip IS the point).
 _SIG_STORE_DIRS: dict[str, str] = {}
 
+# Serializes the store's build/append/compact cycle (ADVICE r7): three
+# catalog entries mutate the shared per-sf_dir directory, and compaction
+# set/restores session-wide partitionOverwriteMode — same shared-session
+# race class run_stream_to_memory's _RUN_STREAM_LOCK guards. Reentrant so
+# sigstore_append_compact can hold it across the whole three-step cycle.
+_SIG_STORE_LOCK = threading.RLock()
+
 
 def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the corpus signature store the minhash docstring promises.
@@ -475,11 +483,18 @@ def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    store = _SIG_STORE_DIRS.get(sf_dir)
-    if store is None:
-        store = tempfile.mkdtemp(prefix="tbmr-dedup-sigstore-")
-        _SIG_STORE_DIRS[sf_dir] = store
-        atexit.register(shutil.rmtree, store, ignore_errors=True)
+    with _SIG_STORE_LOCK:
+        store = _SIG_STORE_DIRS.get(sf_dir)
+        if store is None:
+            store = tempfile.mkdtemp(prefix="tbmr-dedup-sigstore-")
+            _SIG_STORE_DIRS[sf_dir] = store
+            atexit.register(shutil.rmtree, store, ignore_errors=True)
+        return _build_signature_store_locked(spark, sf_dir, store)
+
+
+def _build_signature_store_locked(
+    spark: SparkSession, sf_dir: str, store: str
+) -> str:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     h60 = toks.select(
@@ -2447,6 +2462,11 @@ def append_batch_to_store(spark: SparkSession, sf_dir: str, store: str) -> None:
     """Day-2 of the ingest cycle: after the arriving batch has been checked
     (dedup_incremental_e2e), its bands and shingle sets APPEND to the same
     store layout — nothing existing is rewritten."""
+    with _SIG_STORE_LOCK:
+        _append_batch_locked(spark, sf_dir, store)
+
+
+def _append_batch_locked(spark: SparkSession, sf_dir: str, store: str) -> None:
     newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     toks = newdocs.select("doc_id", tokens("text").alias("toks"))
     h60 = toks.select(
@@ -2487,7 +2507,13 @@ def compact_signature_store(spark: SparkSession, store: str) -> dict[str, int]:
     partition, coalesces to one file per band, and rewrites ONLY that
     partition (dynamic partition overwrite — untouched bands keep their
     files). Returns before/after data-file counts for the caller's audit;
-    embarrassingly parallel per band, never touches corpus_tsets content."""
+    embarrassingly parallel per band, never touches corpus_tsets content.
+
+    The file-count audit walks the store with local ``glob``, which is
+    correct only for a local-filesystem store path (this repo's staging
+    dirs); a production compactor over an object store / HDFS must count
+    via the Hadoop FileSystem API instead — the rewrite itself is
+    store-agnostic, only the audit is POSIX-bound."""
     import glob as _glob
 
     path = f"{store}/corpus_bands"
@@ -2501,25 +2527,26 @@ def compact_signature_store(spark: SparkSession, store: str) -> dict[str, int]:
             ]
         )
 
-    before = _count_files()
-    bands = spark.read.schema("doc_id bigint, x bigint, y bigint, band int").parquet(
-        path
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # one output file per band partition at this scale; a production
-        # compactor coalesces to target-size file counts instead of 1
-        (
-            bands.repartition("band")
-            .sortWithinPartitions("x", "y")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"files_before": before, "files_after": _count_files()}
+    with _SIG_STORE_LOCK:
+        before = _count_files()
+        bands = spark.read.schema(
+            "doc_id bigint, x bigint, y bigint, band int"
+        ).parquet(path)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # one output file per band partition at this scale; a production
+            # compactor coalesces to target-size file counts instead of 1
+            (
+                bands.repartition("band")
+                .sortWithinPartitions("x", "y")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return {"files_before": before, "files_after": _count_files()}
 
 
 @register(
@@ -2559,9 +2586,10 @@ def compact_signature_store(spark: SparkSession, store: str) -> dict[str, int]:
     tags=("dedup", "minhash", "incremental", "pipeline"),
 )
 def q_sigstore_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = build_signature_store(spark, sf_dir)  # day-1 corpus (overwrite)
-    append_batch_to_store(spark, sf_dir, store)  # day-2 batch (append)
-    compact_signature_store(spark, store)  # layout rewrite
+    with _SIG_STORE_LOCK:  # the cycle is atomic vs concurrent store users
+        store = build_signature_store(spark, sf_dir)  # day-1 (overwrite)
+        append_batch_to_store(spark, sf_dir, store)  # day-2 batch (append)
+        compact_signature_store(spark, store)  # layout rewrite
     bands = spark.read.schema("doc_id bigint, x bigint, y bigint, band int").parquet(
         f"{store}/corpus_bands"
     )

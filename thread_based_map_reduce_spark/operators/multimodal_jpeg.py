@@ -71,8 +71,12 @@ from ..sources.registry import load_table
 # ---------------------------------------------------------------------------
 
 # Annex K "typical" Huffman tables: (bits[1..16], values). Using the
-# published tables (rather than inventing our own) means the decoder can
-# also read third-party baseline files that ship without custom tables.
+# published tables (rather than inventing our own) means self-generated
+# streams and table-free third-party baseline files share one table set.
+# Remaining real-world gap (documented, not hidden): DRI/restart markers
+# are rejected (ADVICE r7), so restart-interval baseline files — common
+# from hardware encoders — need the DRI lane before "reads any baseline
+# JPEG" is a true claim. Fill-byte padding before markers IS tolerated.
 _DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_LUMA_VALS = list(range(12))
 _DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
@@ -420,6 +424,10 @@ def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2): the marker code is the first non-0xFF byte of the run
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         tag = payload[pos + 1] if pos + 1 < len(payload) else None
         if tag is None:
             raise ValueError("truncated marker")
