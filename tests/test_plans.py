@@ -597,6 +597,12 @@ _AUDITED_BNLJ_SITES = {
     # sketch/estimate row at node (20); both BroadcastExchange inputs
     # verified one-row in the formatted plan
     "kll_quantile_sketch": 2,
+    # r8 audit: the composed recall eval inherits exactly its twins' sites —
+    # the brute-force truth's crossJoin against the broadcast 10-row query
+    # set (ann_bruteforce_topk's site) and ivf_search's two centroid
+    # crossJoins (broadcast 10-row centroid table); verified in the
+    # formatted plan (3 BNLJ, all BuildRight on bounded broadcasts)
+    "ann_method_recall_eval": 3,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

@@ -462,6 +462,113 @@ _SIG_STORE_DIRS: dict[str, str] = {}
 _SIG_STORE_LOCK = threading.RLock()
 
 
+def _signature_combined(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N_PERMS-1}, ts): ONE grouped pass computing the
+    minhash signature AND the distinct shingle-hash set (the
+    _lsh_verified_pairs discipline) — shared by the store build, the
+    append path, the e2e batch side, and the multi-day equivalence test,
+    so every consumer agrees on the signature definition by construction."""
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    h60 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h60"))
+    return reliable_checkpoint(
+        h60.groupBy("doc_id").agg(
+            *[
+                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+                .cast("bigint")
+                .alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+            F.collect_set("h60").alias("ts"),
+        )
+    )
+
+
+def _bands_of_combined(combined: DataFrame) -> DataFrame:
+    """(doc_id, band, x, y): the banding explode of a _signature_combined
+    table — each band keys on two adjacent minhash values."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"mh{2 * b}").alias("x"),
+                F.col(f"mh{2 * b + 1}").alias("y"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return combined.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+
+
+def write_store_tables(
+    spark: SparkSession, docs: DataFrame, store: str, *, mode: str = "overwrite"
+) -> None:
+    """Write (or append) one docs batch's bands + shingle sets into the
+    store layout: corpus_bands hive-partitioned by band, corpus_tsets flat."""
+    combined = _signature_combined(docs)
+    write_sink(
+        _bands_of_combined(combined),
+        f"{store}/corpus_bands",
+        mode=mode,
+        partition_by=["band"],
+    )
+    write_sink(combined.select("doc_id", "ts"), f"{store}/corpus_tsets", mode=mode)
+
+
+def read_store_tables(spark: SparkSession, store: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus_bands, corpus_tsets) with declared schemas (a production
+    store has a catalog entry; an empty corpus writes no footers to infer
+    from)."""
+    bands = spark.read.schema("doc_id bigint, x bigint, y bigint, band int").parquet(
+        f"{store}/corpus_bands"
+    )
+    tsets = spark.read.schema("doc_id bigint, ts array<bigint>").parquet(
+        f"{store}/corpus_tsets"
+    )
+    return bands, tsets
+
+
+def store_incremental_pairs(
+    corpus_bands: DataFrame, corpus_tsets: DataFrame, new_combined: DataFrame
+) -> DataFrame:
+    """(doc_corpus, doc_new, jaccard): the arriving batch checked against a
+    corpus given as (bands, tsets) relations — EITHER read back from the
+    persisted store (dedup_incremental_e2e) or derived in-plan from the
+    unioned corpus (the multi-day equivalence test's from-scratch side) —
+    so both paths share one join definition. Batch side is broadcast: with
+    the store partitioned by band, its bands prune the corpus scan."""
+    new_bands = _bands_of_combined(new_combined).select(
+        F.col("doc_id").alias("doc_new"), "band", "x", "y"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(new_bands), ["band", "x", "y"])
+        .select(F.col("doc_id").alias("doc_corpus"), "doc_new")
+        .distinct()
+    )
+    ta = corpus_tsets.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("ts").alias("ts_a")
+    )
+    tb = new_combined.select(F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_b"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        cand.join(ta, "doc_corpus")
+        .join(F.broadcast(tb), "doc_new")
+        .select(
+            "doc_corpus",
+            "doc_new",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("double").alias("_inter"),
+            F.size("ts_a").alias("_na"),
+            F.size("ts_b").alias("_nb"),
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_corpus", "doc_new", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def build_signature_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the corpus signature store the minhash docstring promises.
 
@@ -496,39 +603,7 @@ def _build_signature_store_locked(
     spark: SparkSession, sf_dir: str, store: str
 ) -> str:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    h60 = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
-    ).select("doc_id", portable_hash64("s").alias("h60"))
-    # one grouped pass computes signature AND shingle set (the
-    # _lsh_verified_pairs discipline), then both store tables project from it
-    combined = reliable_checkpoint(
-        h60.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
-                .cast("bigint")
-                .alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-            F.collect_set("h60").alias("ts"),
-        )
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"mh{2 * b}").alias("x"),
-                F.col(f"mh{2 * b + 1}").alias("y"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = combined.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.x", "b.y"
-    )
-    write_sink(bands, f"{store}/corpus_bands", partition_by=["band"])
-    write_sink(combined.select("doc_id", "ts"), f"{store}/corpus_tsets")
+    write_store_tables(spark, docs, store, mode="overwrite")
     return store
 
 
@@ -547,71 +622,11 @@ def _build_signature_store_locked(
 )
 def q_dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = build_signature_store(spark, sf_dir)
-    # declared store schemas (a production store has a catalog entry; an
-    # empty corpus writes no parquet footers to infer from)
-    corpus_bands = spark.read.schema(
-        "doc_id bigint, x bigint, y bigint, band int"
-    ).parquet(f"{store}/corpus_bands")
-    corpus_tsets = spark.read.schema("doc_id bigint, ts array<bigint>").parquet(
-        f"{store}/corpus_tsets"
-    )
+    corpus_bands, corpus_tsets = read_store_tables(spark, store)
     # the arriving batch: signatures + shingle sets computed fresh, one pass
     newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    toks = newdocs.select("doc_id", tokens("text").alias("toks"))
-    h60 = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
-    ).select("doc_id", portable_hash64("s").alias("h60"))
-    new_combined = reliable_checkpoint(
-        h60.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
-                .cast("bigint")
-                .alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-            F.collect_set("h60").alias("ts"),
-        )
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"mh{2 * b}").alias("x"),
-                F.col(f"mh{2 * b + 1}").alias("y"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    new_bands = new_combined.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select(F.col("doc_id").alias("doc_new"), "b.band", "b.x", "b.y")
-    # batch is the small side: broadcast it against the stored band table —
-    # with the store partitioned by band, a small batch's bands prune the scan
-    cand = (
-        corpus_bands.join(F.broadcast(new_bands), ["band", "x", "y"])
-        .select(F.col("doc_id").alias("doc_corpus"), "doc_new")
-        .distinct()
-    )
-    ta = corpus_tsets.select(
-        F.col("doc_id").alias("doc_corpus"), F.col("ts").alias("ts_a")
-    )
-    tb = new_combined.select(
-        F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_b")
-    )
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
-    return (
-        cand.join(ta, "doc_corpus")
-        .join(F.broadcast(tb), "doc_new")
-        .select(
-            "doc_corpus",
-            "doc_new",
-            F.size(F.array_intersect("ts_a", "ts_b")).cast("double").alias("_inter"),
-            F.size("ts_a").alias("_na"),
-            F.size("ts_b").alias("_nb"),
-        )
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_corpus", "doc_new", F.round(jac, 6).alias("jaccard"))
+    return store_incremental_pairs(
+        corpus_bands, corpus_tsets, _signature_combined(newdocs)
     )
 
 
@@ -2468,37 +2483,7 @@ def append_batch_to_store(spark: SparkSession, sf_dir: str, store: str) -> None:
 
 def _append_batch_locked(spark: SparkSession, sf_dir: str, store: str) -> None:
     newdocs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    toks = newdocs.select("doc_id", tokens("text").alias("toks"))
-    h60 = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
-    ).select("doc_id", portable_hash64("s").alias("h60"))
-    combined = reliable_checkpoint(
-        h60.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
-                .cast("bigint")
-                .alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-            F.collect_set("h60").alias("ts"),
-        )
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col(f"mh{2 * b}").alias("x"),
-                F.col(f"mh{2 * b + 1}").alias("y"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = combined.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.x", "b.y"
-    )
-    write_sink(bands, f"{store}/corpus_bands", mode="append", partition_by=["band"])
-    write_sink(combined.select("doc_id", "ts"), f"{store}/corpus_tsets", mode="append")
+    write_store_tables(spark, newdocs, store, mode="append")
 
 
 def compact_signature_store(spark: SparkSession, store: str) -> dict[str, int]:

@@ -105,39 +105,72 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shorter bands (4 bits) × more tables (4) for measured recall@3 ≈ 0.5
 # (multi-probe ≈ 0.9) vs 0.033 for round-1's single fixed 8-bit bucket.
 # At 100 TB: raise N_PLANES so bits-per-band tracks log2 N, keep >= 2
-# bands, and gate any retune on ann_recall_eval.
+# bands, and gate any retune on ann_recall_eval. That rule is now CODE —
+# sized_lsh_params(n_vecs) below — and MEASURED on the 10×/100× Heaps
+# fixtures (scripts/lsh_sizing_point.py; BASELINE.md "LSH sizing"): the
+# candidate-fraction collapse turns the embedding-LSH family's 10× point
+# at-or-below linear under production sizing.
 N_PLANES = 16  # r seeded random hyperplanes (VERDICT r1: parameter, >= 16)
 N_LSH_BANDS = 4  # band tables; each band = N_PLANES // N_LSH_BANDS sign bits
 _PLANES_PER_BAND = N_PLANES // N_LSH_BANDS
 _LSH_SEED = 20260813
 
 
-def _make_planes() -> list[list[float]]:
+def _make_planes(n_planes: int = N_PLANES) -> list[list[float]]:
     import numpy as np
 
+    # always drawn from the same seed, so plane i is IDENTICAL whatever
+    # n_planes is (standard_normal fills row-major) — a sized variant
+    # extends the default plane set, never replaces it
     rng = np.random.default_rng(_LSH_SEED)
     return [
         [round(float(x), 6) for x in row]
-        for row in rng.standard_normal((N_PLANES, DIMS))
+        for row in rng.standard_normal((n_planes, DIMS))
     ]
 
 
 _PLANES = _make_planes()
 
 
-def _band_buckets_spark(col: str) -> list[F.Column]:
+def sized_lsh_params(
+    n_vecs: int, *, target_bucket: int = 125, n_bands: int = N_LSH_BANDS
+) -> tuple[int, int]:
+    """The production sizing rule as code (VERDICT r7 #1, was prose at the
+    constants above): bits-per-band = max(4, ceil(log2(N / target_bucket)))
+    so expected bucket occupancy stays ~target_bucket as the corpus grows
+    and the unrelated-pair candidate fraction (bands × 2^-bits) collapses
+    ∝ 1/N. target_bucket=125 anchors to the testdata default (2,000
+    vectors / 2^4 = 125). Returns (n_planes, n_bands)."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(1, n_vecs) / target_bucket)))
+    return bits * n_bands, n_bands
+
+
+def _band_buckets_spark(
+    col: str,
+    *,
+    planes: list[list[float]] | None = None,
+    n_bands: int = N_LSH_BANDS,
+) -> list[F.Column]:
     """One bigint bucket per band: packed sign bits of the band's planes.
-    16 sequential-fold dot products per row, all JVM-side; sign agreement
-    with the oracle needs |dot| >> summation-order ulps (~1e-13), which
-    random unit-scale planes give with overwhelming probability."""
+    16 sequential-fold dot products per row (default sizing), all
+    JVM-side; sign agreement with the oracle needs |dot| >>
+    summation-order ulps (~1e-13), which random unit-scale planes give
+    with overwhelming probability. ``planes``/``n_bands`` default to the
+    module constants the catalog oracles embed; sized callers (the
+    scale-measurement path) pass _make_planes(sized_lsh_params(N)[0])."""
     from ..functions.vectors import dot_product
 
+    if planes is None:
+        planes = _PLANES
+    planes_per_band = len(planes) // n_bands
     v = F.col(col).cast("array<double>")
     buckets = []
-    for b in range(N_LSH_BANDS):
+    for b in range(n_bands):
         acc = F.lit(0)
-        for j in range(_PLANES_PER_BAND):
-            plane = _PLANES[b * _PLANES_PER_BAND + j]
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
             bit = dot_product(v, F.array(*[F.lit(x) for x in plane])) > 0
             acc = acc + F.when(bit, F.lit(1 << j)).otherwise(F.lit(0))
         buckets.append(acc.cast("bigint"))
@@ -215,7 +248,13 @@ _LSH_TOPK_SQL_TAIL = f"""
     """
 
 
-def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
+def lsh_candidates(
+    emb: DataFrame,
+    *,
+    multiprobe: bool = False,
+    n_planes: int | None = None,
+    n_bands: int = N_LSH_BANDS,
+) -> DataFrame:
     """Distinct (qid, vec_id) candidate pairs from band-bucket collisions.
 
     The corpus never cross-joins: each vector lands in N_LSH_BANDS (band,
@@ -223,14 +262,19 @@ def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
     bucket collisions. Multi-probe additionally probes every hamming-1
     bucket of the query's signature in each band: the exact bucket plus
     one flip per band bit, i.e. 1 + bits-per-band probes per band.
+    ``n_planes``/``n_bands`` size bits-per-band (sized_lsh_params); the
+    catalog entries keep the oracle-pinned defaults.
     """
-    bucket_cols = _band_buckets_spark("embedding")
+    planes = _make_planes(n_planes) if n_planes is not None else _PLANES
+    bits_per_band = len(planes) // n_bands
+    probe_deltas = [0] + [1 << j for j in range(bits_per_band)]
+    bucket_cols = _band_buckets_spark("embedding", planes=planes, n_bands=n_bands)
     bands = emb.select(
         "vec_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
-                for b in range(N_LSH_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -241,7 +285,7 @@ def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
             "vec_id",
             "band",
             F.explode(
-                F.array(*[F.lit(d) for d in _PROBE_DELTAS])
+                F.array(*[F.lit(d) for d in probe_deltas])
             ).alias("delta"),
             F.col("bucket").alias("base"),
         ).select(
@@ -266,9 +310,18 @@ def lsh_candidates(emb: DataFrame, *, multiprobe: bool = False) -> DataFrame:
     )
 
 
-def _lsh_topk(spark: SparkSession, sf_dir: str, *, multiprobe: bool) -> DataFrame:
+def _lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    multiprobe: bool,
+    n_planes: int | None = None,
+    n_bands: int = N_LSH_BANDS,
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = lsh_candidates(emb, multiprobe=multiprobe)
+    cand = lsh_candidates(
+        emb, multiprobe=multiprobe, n_planes=n_planes, n_bands=n_bands
+    )
     qv = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -887,24 +940,27 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs(spark, sf_dir, 0.4)
 
 
-def embedding_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float
+def embedding_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int | None = None,
+    n_bands: int = N_LSH_BANDS,
 ) -> DataFrame:
-    """(vec_a, vec_b, cos) pairs from band-bucket collisions, cosine-verified
-    at ``threshold`` — the dedup_embedding_lsh body, shared with the DBSCAN
-    entry (which needs the same neighbor graph at a looser ε)."""
-    from ..functions.vectors import l2_norm
-    from ..operators.dedup import _hint_small
-
+    """Distinct (vec_a, vec_b) candidate pairs (a < b) from band-bucket
+    collisions — the blocking stage alone, BEFORE cosine verification.
+    Split out (r8) so the scale measurement can count candidate volume
+    directly; ``n_planes`` sizes bits-per-band (sized_lsh_params), default
+    the catalog constants."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vecs = table_row_count(spark, sf_dir, "embeddings")  # memoized count-star
-    bucket_cols = _band_buckets_spark("embedding")
+    planes = _make_planes(n_planes) if n_planes is not None else None
+    bucket_cols = _band_buckets_spark("embedding", planes=planes, n_bands=n_bands)
     bands = emb.select(
         "vec_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), bucket_cols[b].alias("bucket"))
-                for b in range(N_LSH_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -914,7 +970,7 @@ def embedding_lsh_pairs(
     # N_PLANES hyperplane dot products per vector (interleaved A/B at
     # sf0.1: 2.94 s -> 2.43 s median together with the _dot staging).
     bands = reliable_checkpoint(bands)
-    cand = (
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -925,6 +981,29 @@ def embedding_lsh_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
         .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def embedding_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    *,
+    n_planes: int | None = None,
+    n_bands: int = N_LSH_BANDS,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs from band-bucket collisions, cosine-verified
+    at ``threshold`` — the dedup_embedding_lsh body, shared with the DBSCAN
+    entry (which needs the same neighbor graph at a looser ε). The sizing
+    knobs default to the catalog constants (oracle determinism); the scale
+    path passes sized_lsh_params(N) to collapse the candidate fraction."""
+    from ..functions.vectors import l2_norm
+    from ..operators.dedup import _hint_small
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = table_row_count(spark, sf_dir, "embeddings")  # memoized count-star
+    cand = embedding_lsh_candidates(
+        spark, sf_dir, n_planes=n_planes, n_bands=n_bands
     )
     withnorm = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
     ea = withnorm.select(
@@ -1553,6 +1632,176 @@ def q_pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         reranked.withColumn("rnk", F.row_number().over(w_ex).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("qid", "vec_id", "rnk", "exact_units", "adc_units")
+    )
+
+
+_RECALL_TRUTH_SIZE = N_QUERIES * 3
+
+
+@register(
+    "ann_method_recall_eval",
+    oracle=f"""
+        WITH {_lsh_candidates_sql(multiprobe=False)},
+        qv AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        bf AS (
+            SELECT qid, vec_id FROM (
+                SELECT qv.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY qv.qid
+                           ORDER BY {_COS_SQL.format(a='qv.qe', b='e.embedding')} DESC, e.vec_id
+                       ) AS rnk
+                FROM qv JOIN embeddings e ON e.vec_id <> qv.qid
+            ) WHERE rnk <= 3
+        ),
+        lsh_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT c.qid, c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY c.qid
+                           ORDER BY {_COS_SQL.format(a='qv.qe', b='e.embedding')} DESC, c.vec_id
+                       ) AS rnk
+                FROM cand c JOIN qv USING (qid)
+                JOIN embeddings e ON e.vec_id = c.vec_id
+            ) WHERE rnk <= 3
+        ),
+        ivf_dims AS (
+            SELECT label, i, round(avg(embedding[i]), 6) AS c
+            FROM embeddings, generate_series(1, {DIMS}) AS g(i)
+            GROUP BY label, i
+        ),
+        ivf_centroids AS (
+            SELECT label AS cell, list(c ORDER BY i) AS ce
+            FROM ivf_dims GROUP BY label
+        ),
+        ivf_assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN ivf_centroids c
+            ) WHERE rc = 1
+        ),
+        ivf_q AS (
+            SELECT vec_id AS qid, embedding AS qe, cell
+            FROM ivf_assigned WHERE vec_id < {N_QUERIES}
+        ),
+        ivf_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT iq.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY iq.qid
+                           ORDER BY {_COS_SQL.format(a='iq.qe', b='e.embedding')} DESC, e.vec_id
+                       ) AS rnk
+                FROM ivf_q iq
+                JOIN ivf_assigned e ON e.cell = iq.cell AND e.vec_id <> iq.qid
+            ) WHERE rnk <= 3
+        ),
+        {_PQ_BASE_SQL},
+        {_PQ_ADC_SQL},
+        pq_short AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY adc_units, vec_id
+                       ) AS ar
+                FROM scored
+            ) WHERE ar <= {PQ_RERANK_SHORTLIST}
+        ),
+        pq_units AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> floor(x * 1e6)::BIGINT) AS ue
+            FROM embeddings
+        ),
+        pq_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT sl.qid, sl.vec_id,
+                       row_number() OVER (
+                           PARTITION BY sl.qid
+                           ORDER BY list_sum(list_transform(list_zip(que.ue, ce.ue),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))), sl.vec_id
+                       ) AS rnk
+                FROM pq_short sl
+                JOIN pq_units que ON que.vec_id = sl.qid
+                JOIN pq_units ce ON ce.vec_id = sl.vec_id
+            ) WHERE rnk <= 3
+        ),
+        methods AS (
+            SELECT 'lsh_bucketed' AS method, qid, vec_id FROM lsh_top
+            UNION ALL SELECT 'ivf_nprobe1', qid, vec_id FROM ivf_top
+            UNION ALL SELECT 'pq_adc_rerank', qid, vec_id FROM pq_top
+        )
+        SELECT m.method,
+               CAST(count(b.vec_id) AS BIGINT) AS hits,
+               CAST({_RECALL_TRUTH_SIZE} AS BIGINT) AS truth_size,
+               round(count(b.vec_id) / {_RECALL_TRUTH_SIZE}.0, 6) AS recall_at_3
+        FROM methods m
+        LEFT JOIN bf b ON b.qid = m.qid AND b.vec_id = m.vec_id
+        GROUP BY m.method
+    """,
+    doc="THE ANN tuning surface (VERDICT r7 #3): recall@3 of every serving "
+    "path — sign-LSH bucketed search, IVF nprobe=1, and the PQ "
+    "ADC+rerank pipeline — against the exact brute-force top-3 ground "
+    "truth, one row per method. This is the number a 100 TB deployment "
+    "retunes buckets/probes/shortlists by, and the gate sized_lsh_params "
+    "retunes against: run it (sampled query set) after any corpus growth "
+    "or sizing change, compare methods at equal candidate budgets. Each "
+    "method reuses its catalog twin's exact construction, so the measured "
+    "recall IS the production path's recall, not a simplified replica's; "
+    "the scale points live in BASELINE.md (ANN recall/latency row, "
+    "measured on the 10× Heaps fixture via scripts/ann_recall_point.py).",
+    tags=("similarity", "ann", "eval", "lsh", "ivf", "quantization"),
+)
+def q_ann_method_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_similarity("qe", "embedding").alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_vid"))
+    )
+    methods = (
+        _lsh_topk(spark, sf_dir, multiprobe=False)
+        .select(F.lit("lsh_bucketed").alias("method"), "qid", "vec_id")
+        .unionByName(
+            q_ivf_search(spark, sf_dir).select(
+                F.lit("ivf_nprobe1").alias("method"), "qid", "vec_id"
+            )
+        )
+        .unionByName(
+            q_pq_adc_rerank_topk(spark, sf_dir).select(
+                F.lit("pq_adc_rerank").alias("method"), "qid", "vec_id"
+            )
+        )
+    )
+    return (
+        methods.join(
+            F.broadcast(truth),
+            (F.col("qid") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_vid")),
+            "left",
+        )
+        .groupBy("method")
+        .agg(F.count("t_vid").cast("bigint").alias("hits"))
+        .select(
+            "method",
+            "hits",
+            F.lit(_RECALL_TRUTH_SIZE).cast("bigint").alias("truth_size"),
+            F.round(
+                F.col("hits") / F.lit(float(_RECALL_TRUTH_SIZE)), 6
+            ).alias("recall_at_3"),
+        )
     )
 
 
@@ -2420,9 +2669,26 @@ def _dbscan_oracle_sql() -> str:
     tags=("similarity", "embedding", "lsh", "dedup", "iterative"),
 )
 def q_dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = embedding_lsh_pairs(spark, sf_dir, DBSCAN_COS_EPS).select(
-        "vec_a", "vec_b"
-    )
+    return dbscan_lsh_clusters_impl(spark, sf_dir)
+
+
+def dbscan_lsh_clusters_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int | None = None,
+    n_bands: int = N_LSH_BANDS,
+) -> DataFrame:
+    """dbscan_lsh_clusters with the LSH sizing threaded through: the
+    catalog entry uses the oracle-pinned defaults; the scale measurement
+    (scripts/lsh_sizing_point.py) passes sized_lsh_params(N) so the
+    ε-neighborhood join runs at production bucket occupancy. NOTE: sized
+    buckets change which candidate pairs exist, so sized output is a
+    RECALL-reduced variant of the default clustering — comparable in
+    runtime shape, not hash-identical."""
+    pairs = embedding_lsh_pairs(
+        spark, sf_dir, DBSCAN_COS_EPS, n_planes=n_planes, n_bands=n_bands
+    ).select("vec_a", "vec_b")
     sym = reliable_checkpoint(
         pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).union(
             pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
@@ -2484,4 +2750,217 @@ def q_dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("role"),
             F.col("cluster").cast("bigint").alias("cluster"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# OPTICS-style reachability atop the DBSCAN neighbor graph (VERDICT r7 #5).
+#
+# True OPTICS (Ankerst et al., SIGMOD'99) expands a priority queue one
+# point at a time — inherently sequential, the wrong shape for a cluster.
+# What a 100 TB pipeline actually consumes from OPTICS is the REACHABILITY
+# PLOT: per-point core-distance and reachability values, ordered so that
+# density valleys are visible. Both are relational:
+#   core_dist(p) = MinPts-th smallest neighbor distance (NULL if degree
+#                  < MinPts) — one window rank over the neighbor list;
+#   reach(p)     = min over core neighbors o of max(core_dist(o), d(o,p))
+#                  — the minimum reachability distance any core offers p
+#                  (what the sequential sweep would eventually settle on
+#                  for the plot's valleys); one join + one min-agg.
+# The ordering is emitted PER CLUSTER (the DBSCAN core-CC label), ranked
+# by (reach NULLS LAST, vec_id): within a density cluster this is the
+# deterministic analog of the OPTICS ordering's "process nearest
+# reachable first", and partitioning the rank by cluster keeps the window
+# distributed — no global single-partition sort, which is what makes this
+# scale-safe where a faithful seed-queue replay would not be. Distances
+# are round(1 - round(cos, 6), 6) so both engines agree bit-for-bit.
+
+
+def _optics_oracle_sql() -> str:
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+        WITH RECURSIVE {_bands_sql()},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND b.vec_id > a.vec_id
+        ),
+        verified AS (
+            SELECT vec_a, vec_b, round(1 - round(cos, 6), 6) AS d FROM (
+                SELECT c.vec_a, c.vec_b, {cos} AS cos
+                FROM cand c
+                JOIN embeddings ea ON ea.vec_id = c.vec_a
+                JOIN embeddings eb ON eb.vec_id = c.vec_b
+            ) WHERE cos >= {DBSCAN_COS_EPS}
+        ),
+        sym AS (
+            SELECT vec_a AS a, vec_b AS b, d FROM verified
+            UNION ALL SELECT vec_b, vec_a, d FROM verified
+        ),
+        deg AS (
+            SELECT e.vec_id, coalesce(g.cnt, 0) AS degree
+            FROM embeddings e
+            LEFT JOIN (SELECT a, CAST(count(*) AS BIGINT) AS cnt
+                       FROM sym GROUP BY a) g ON g.a = e.vec_id
+        ),
+        nbr_ranked AS (
+            SELECT a, b, d,
+                   row_number() OVER (PARTITION BY a ORDER BY d, b) AS rn
+            FROM sym
+        ),
+        core_dist AS (
+            SELECT a AS vec_id, d AS core_dist FROM nbr_ranked
+            WHERE rn = {DBSCAN_MIN_PTS}
+        ),
+        reach AS (
+            SELECT s.a AS vec_id, min(greatest(cd.core_dist, s.d)) AS reach
+            FROM sym s JOIN core_dist cd ON cd.vec_id = s.b
+            GROUP BY s.a
+        ),
+        core_sym AS (
+            SELECT s.a, s.b FROM sym s
+            JOIN core_dist c1 ON s.a = c1.vec_id
+            JOIN core_dist c2 ON s.b = c2.vec_id
+            UNION SELECT vec_id, vec_id FROM core_dist
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM core_sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN core_sym s ON w.root = s.a
+        ),
+        core_label AS (
+            SELECT node AS vec_id, min(root) AS cluster FROM walk GROUP BY node
+        ),
+        border_label AS (
+            SELECT s.a AS vec_id, min(cl.cluster) AS cluster
+            FROM sym s
+            JOIN core_label cl ON cl.vec_id = s.b
+            WHERE s.a NOT IN (SELECT vec_id FROM core_dist)
+            GROUP BY s.a
+        ),
+        assigned AS (
+            SELECT d.vec_id, d.degree,
+                   cd.core_dist, r.reach,
+                   CAST(coalesce(cl.cluster, bl.cluster) AS BIGINT) AS cluster
+            FROM deg d
+            LEFT JOIN core_dist cd ON cd.vec_id = d.vec_id
+            LEFT JOIN reach r ON r.vec_id = d.vec_id
+            LEFT JOIN core_label cl ON cl.vec_id = d.vec_id
+            LEFT JOIN border_label bl ON bl.vec_id = d.vec_id
+        )
+        SELECT vec_id, degree, core_dist, reach, cluster,
+               CASE WHEN cluster IS NOT NULL THEN
+                   CAST(row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY (reach IS NULL), reach, vec_id
+                   ) AS BIGINT)
+               END AS cluster_ord
+        FROM assigned
+    """
+
+
+@register(
+    "optics_reachability",
+    oracle=_optics_oracle_sql(),
+    doc="OPTICS-style reachability plot over the DBSCAN LSH neighbor "
+    f"graph (SURVEY §8 fresh candidate, VERDICT r7 #5): per-vector "
+    f"core-distance (the {DBSCAN_MIN_PTS}-th-smallest neighbor distance, "
+    "one window rank), reachability (min over core neighbors of "
+    "max(core_dist, d) — the valley depth the sequential OPTICS sweep "
+    "settles on), the DBSCAN core-CC cluster label, and a deterministic "
+    "per-cluster reachability ordering (rank by reach NULLS LAST, vec_id "
+    "tiebreak). HONEST divergence from textbook OPTICS, by design: the "
+    "seed-queue expansion is inherently sequential, so this emits the "
+    "order-free reachability VALUES and ranks within each density "
+    "cluster — the plot a pipeline reads — rather than replaying the "
+    "queue; the per-cluster window keeps the ordering distributed (no "
+    "global single-partition sort). Shares the dbscan_lsh_clusters "
+    "candidate graph and min-label CC, so the bucketed-never-all-pairs "
+    "scale contract (and sized_lsh_params at production N) carries over.",
+    tags=("similarity", "embedding", "lsh", "iterative", "eval"),
+)
+def q_optics_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_lsh_pairs(spark, sf_dir, DBSCAN_COS_EPS).select(
+        "vec_a", "vec_b", F.round(1 - F.col("cos"), 6).alias("d")
+    )
+    sym = reliable_checkpoint(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "d").union(
+            pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"), "d")
+        )
+    )
+    emb_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    deg = emb_ids.join(
+        sym.groupBy("a").agg(F.count("*").cast("bigint").alias("degree")),
+        emb_ids["vec_id"] == F.col("a"),
+        "left",
+    ).select("vec_id", F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+    w_n = W.partitionBy("a").orderBy("d", "b")
+    core_dist = (
+        sym.withColumn("rn", F.row_number().over(w_n))
+        .where(F.col("rn") == DBSCAN_MIN_PTS)
+        .select(F.col("a").alias("vec_id"), F.col("d").alias("core_dist"))
+    )
+    core_dist = reliable_checkpoint(core_dist)
+    reach = (
+        sym.join(
+            core_dist.select(F.col("vec_id").alias("b"), "core_dist"), "b"
+        )
+        .groupBy("a")
+        .agg(F.min(F.greatest("core_dist", "d")).alias("reach"))
+        .select(F.col("a").alias("vec_id"), "reach")
+    )
+    cores = core_dist.select("vec_id")
+    core_sym = reliable_checkpoint(
+        sym.join(cores.select(F.col("vec_id").alias("a")), "a")
+        .join(cores.select(F.col("vec_id").alias("b")), "b")
+        .select("a", "b")
+    )
+    # min-label propagation over cores (the dedup_clusters loop)
+    labels = reliable_checkpoint(
+        cores.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    )
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
+    while True:
+        nbr = core_sym.join(labels, core_sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = reliable_checkpoint(
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        new_sum = new_labels.agg(label_sum).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    core_label = labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster")
+    )
+    border_label = (
+        sym.join(core_label.select(F.col("vec_id").alias("b"), "cluster"), "b")
+        .join(cores.select(F.col("vec_id").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("vec_id"), "cluster")
+    )
+    cl = core_label.unionByName(border_label)
+    assigned = (
+        deg.join(core_dist, "vec_id", "left")
+        .join(reach, "vec_id", "left")
+        .join(cl, "vec_id", "left")
+        .select(
+            "vec_id", "degree", "core_dist", "reach",
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+    )
+    w_ord = W.partitionBy("cluster").orderBy(
+        F.col("reach").isNull().cast("int"), "reach", "vec_id"
+    )
+    return assigned.select(
+        "vec_id", "degree", "core_dist", "reach", "cluster",
+        F.when(
+            F.col("cluster").isNotNull(),
+            F.row_number().over(w_ord).cast("bigint"),
+        ).alias("cluster_ord"),
     )
