@@ -107,6 +107,48 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator):
     )
 
 
+def gen_lineitem(out: str, n_docs: int) -> int:
+    """Minimal lineitem for the sketch-family scale points (r8): only the
+    three columns kll_quantile_sketch reads — (l_orderkey, l_linenumber,
+    l_extendedprice) — with prices RESAMPLED from the real sf0.1 marginal
+    so the quantile targets match the driver fixture's distribution.
+    Row count keeps sf0.1's 120 lineitem rows per document. Chunked write
+    (the 100× point is 60M rows). Own seed, so the table can be added to
+    an existing fixture without disturbing the doc/embedding streams."""
+    rng = np.random.default_rng(4242)
+    base = pq.read_table(
+        "/root/testdata/sf0.1/lineitem.parquet", columns=["l_extendedprice"]
+    )["l_extendedprice"].to_numpy()
+    n_rows = n_docs * 120
+    schema = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linenumber", pa.int32()),
+            pa.field("l_extendedprice", pa.float64()),
+        ]
+    )
+    chunk = 2_000_000
+    with pq.ParquetWriter(os.path.join(out, "lineitem.parquet"), schema) as w:
+        for start in range(0, n_rows, chunk):
+            n = min(chunk, n_rows - start)
+            idx = np.arange(start, start + n, dtype=np.int64)
+            w.write_table(
+                pa.table(
+                    {
+                        "l_orderkey": pa.array(idx // 7 + 1, type=pa.int64()),
+                        "l_linenumber": pa.array(
+                            (idx % 7 + 1).astype(np.int32), type=pa.int32()
+                        ),
+                        "l_extendedprice": pa.array(
+                            rng.choice(base, size=n), type=pa.float64()
+                        ),
+                    },
+                    schema=schema,
+                )
+            )
+    return n_rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_docs", nargs="?", type=int, default=50_000)
@@ -114,6 +156,8 @@ def main() -> None:
                     help="Heaps-law vocabulary (∝ sqrt(n)) instead of constant 31 words")
     ap.add_argument("--out", default=None,
                     help="output dir (default .scale10/, or .scale10h/ with --vocab-growth)")
+    ap.add_argument("--with-lineitem", action="store_true",
+                    help="also write the 3-column lineitem (sketch-family points)")
     args = ap.parse_args()
     out = args.out or os.path.join(
         ROOT, ".scale10h" if args.vocab_growth else ".scale10"
@@ -125,9 +169,11 @@ def main() -> None:
     rng = np.random.default_rng(42)
     pq.write_table(gen_documents(args.n_docs, rng, vocab), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(args.n_docs * 2 // 5, rng), os.path.join(out, "embeddings.parquet"))
+    n_li = gen_lineitem(out, args.n_docs) if args.with_lineitem else 0
     print(
         f"wrote {out}: {args.n_docs} documents, {args.n_docs * 2 // 5} embeddings, "
         f"vocab={len(vocab)} ({'heaps' if args.vocab_growth else 'constant'})"
+        + (f", {n_li} lineitem rows" if n_li else "")
     )
 
 

@@ -724,3 +724,210 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cb_mean", 6).alias("cb_mean"),
         F.round("cr_mean", 6).alias("cr_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AC-path entry (VERDICT r7 #4): payloads with WITHIN-MCU structure whose
+# quantized coefficients are closed-form replayable, putting the Huffman
+# run-length / ZRL / negative-magnitude lanes under the driver hash gate
+# (the flat-MCU entry above can only reach the DC lane).
+#
+# Construction: s(x) = sign of cos((2x+1)·4π/16) = [+1,-1,-1,+1,+1,-1,-1,+1]
+# is the u=4 DCT basis up to the constant 1/√2 — so the INTEGER pixel
+# pattern  base + BY·s(x) + CY·s(x)·s(y)  has exactly three nonzero float
+# FDCT coefficients per luma block: DC = 8·(base−128), (0,4) = 8·BY,
+# (4,4) = 8·CY (all other products vanish by orthogonality; float residue
+# ~1e-12 quantizes to 0 at step 16). With base−128, BY, CY all EVEN, each
+# quantized value 8·v/16 = v/2 is an exact integer — no rounding boundary —
+# and dequantization reproduces the coefficient exactly, so the decoded
+# luma plane equals the source pixels bit-for-bit and the oracle is pure
+# closed form. The entropy stream this reaches per luma block: DC diff,
+# run-13 AC code with positive OR negative magnitude bits ((0,4) sits at
+# zigzag 14), a ZRL (the 24-zero gap to (4,4) at zigzag 39), a run-8 code,
+# and EOB — the full baseline AC lane.
+# ---------------------------------------------------------------------------
+
+_AC_SIGN = [1, -1, -1, 1, 1, -1, -1, 1]  # sign of the u=4 cosine basis
+
+
+def with_jpeg_ac_source(docs: DataFrame) -> DataFrame:
+    """JVM-side derivation of the structured-luma image description:
+    per-document horizontal/checker amplitudes BY, CY (even, ±14) and
+    per-MCU even-offset luma bases + constant chroma, all from md5(text)."""
+    md5 = F.md5("text")
+    byte = lambda k: F.conv(F.substring(md5, 2 * k + 1, 2), 16, 10).cast("int")  # noqa: E731
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "text",
+        (byte(0) % 2 + 1).alias("wm"),
+        (byte(1) % 2 + 1).alias("hm"),
+        (2 * (byte(2) % 15 - 7)).alias("amp_h"),
+        (2 * (byte(3) % 15 - 7)).alias("amp_hv"),
+    )
+    base = base.withColumn("n_mcus", (F.col("wm") * F.col("hm")).cast("int"))
+    mcu_byte = (
+        "transform(sequence(0, n_mcus - 1), i -> "
+        "cast(conv(substring(md5(text), 2 * ({0} + 3 * i) + 1, 2), 16, 10) as int))"
+    )
+    return (
+        base.withColumn(
+            "bases",
+            F.expr(
+                "transform(" + mcu_byte.format(4) + ", v -> 96 + 2 * (v % 33))"
+            ),
+        )
+        .withColumn("cb_vals", F.expr(mcu_byte.format(5)))
+        .withColumn("cr_vals", F.expr(mcu_byte.format(6)))
+        .select(
+            "doc_id", "wm", "hm", "n_mcus", "amp_h", "amp_hv",
+            "bases", "cb_vals", "cr_vals",
+        )
+    )
+
+
+def encode_jpeg_ac_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched encode of the structured-luma planes → baseline JFIF."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s16 = np.tile(np.array(_AC_SIGN, dtype=np.int64), 2)  # 16-wide
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                wm, hm = int(row.wm), int(row.hm)
+                by_, cy_ = int(row.amp_h), int(row.amp_hv)
+                bases = np.array(row.bases, dtype=np.int64).reshape(hm, wm)
+                mcu_pattern = by_ * s16[None, :] + cy_ * (
+                    s16[:, None] * s16[None, :]
+                )
+                y = (
+                    np.kron(bases, np.ones((16, 16), dtype=np.int64))
+                    + np.tile(mcu_pattern, (hm, wm))
+                ).astype(np.uint8)
+                cbv = np.array(row.cb_vals, dtype=np.uint8).reshape(hm, wm)
+                crv = np.array(row.cr_vals, dtype=np.uint8).reshape(hm, wm)
+                cb = np.kron(cbv, np.ones((8, 8), dtype=np.uint8))
+                cr = np.kron(crv, np.ones((8, 8), dtype=np.uint8))
+                out.append((row.doc_id, encode_baseline_jpeg(y, cb, cr)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.mapInPandas(kernel, schema="doc_id long, payload binary")
+
+
+def decode_jpeg_ac_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode → stats that FINGERPRINT the AC lane: the
+    horizontal contrast 2·Σ(Y·s(x))/n recovers the (0,4) coefficient's
+    amplitude and the checker contrast Σ(Y·s(x)s(y))/n recovers (4,4) —
+    a wrong run/ZRL/magnitude decode shifts them immediately."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_sign = np.array(_AC_SIGN, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                d = decode_baseline_jpeg(bytes(row.payload))
+                y, cb, cr = d["planes"][1], d["planes"][2], d["planes"][3]
+                h, w = y.shape
+                sx = np.tile(base_sign, w // 8)
+                sy = np.tile(base_sign, h // 8)
+                yi = y.astype(np.int64)
+                n = h * w
+                ss_h = int((yi * sx[None, :]).sum())
+                ss_hv = int((yi * (sy[:, None] * sx[None, :])).sum())
+                out.append(
+                    (
+                        row.doc_id, w, h, d["n_mcus"],
+                        float(y.mean()), int(y.min()), int(y.max()),
+                        2.0 * ss_h / n, 1.0 * ss_hv / n,
+                        float(cb.mean()), float(cr.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_mcus", "y_mean",
+                    "y_min", "y_max", "y_h_contrast", "y_hv_contrast",
+                    "cb_mean", "cr_mean",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, width long, height long, n_mcus long, "
+        "y_mean double, y_min long, y_max long, y_h_contrast double, "
+        "y_hv_contrast double, cb_mean double, cr_mean double",
+    )
+
+
+@register(
+    "multimodal_jpeg_ac_decode",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id,
+                   ('0x' || substr(m, 1, 2))::INT % 2 + 1 AS wm,
+                   ('0x' || substr(m, 3, 2))::INT % 2 + 1 AS hm,
+                   2 * (('0x' || substr(m, 5, 2))::INT % 15 - 7) AS amp_h,
+                   2 * (('0x' || substr(m, 7, 2))::INT % 15 - 7) AS amp_hv,
+                   m
+            FROM (SELECT doc_id, md5(text) AS m FROM documents
+                  WHERE text IS NOT NULL)
+        ), vals AS (
+            SELECT doc_id, wm, hm, amp_h, amp_hv,
+                   [96 + 2 * (('0x' || substr(m, 2 * (4 + 3 * i) + 1, 2))::INT % 33)
+                    for i in range(0, wm * hm)] AS bases,
+                   [('0x' || substr(m, 2 * (5 + 3 * i) + 1, 2))::INT
+                    for i in range(0, wm * hm)] AS cb_vals,
+                   [('0x' || substr(m, 2 * (6 + 3 * i) + 1, 2))::INT
+                    for i in range(0, wm * hm)] AS cr_vals
+            FROM src
+        ), dec AS (
+            -- luma round-trips LOSSLESSLY (all-even construction, see the
+            -- module comment); chroma is the DC closed form at step 16
+            SELECT doc_id, wm, hm, amp_h, amp_hv, bases,
+                   [least(255, greatest(0,
+                        2 * floor((v - 128.0) / 2 + 0.5) + 128))
+                    for v in cb_vals] AS cb_dec,
+                   [least(255, greatest(0,
+                        2 * floor((v - 128.0) / 2 + 0.5) + 128))
+                    for v in cr_vals] AS cr_dec
+            FROM vals
+        )
+        SELECT doc_id,
+               CAST(16 * wm AS BIGINT) AS width,
+               CAST(16 * hm AS BIGINT) AS height,
+               CAST(wm * hm AS BIGINT) AS n_mcus,
+               round(list_avg(bases), 6) AS y_mean,
+               CAST(list_min(bases) - abs(amp_h) - abs(amp_hv) AS BIGINT) AS y_min,
+               CAST(list_max(bases) + abs(amp_h) + abs(amp_hv) AS BIGINT) AS y_max,
+               round(2.0 * amp_h, 6) AS y_h_contrast,
+               round(1.0 * amp_hv, 6) AS y_hv_contrast,
+               round(list_avg(cb_dec), 6) AS cb_mean,
+               round(list_avg(cr_dec), 6) AS cr_mean
+        FROM dec
+    """,
+    doc="JPEG round trip with WITHIN-MCU structure — the AC entropy lane "
+    "under the driver hash gate (VERDICT r7 #4; multimodal_jpeg_decode's "
+    "flat payloads reach only the DC path): per-document horizontal and "
+    "checkerboard amplitudes ride the u=4 DCT basis sign pattern, giving "
+    "every luma block exactly three nonzero quantized coefficients (DC, "
+    "zigzag-14, zigzag-39) that encode through run-13/ZRL/run-8 AC codes "
+    "with positive and negative magnitude bits and EOB, and — because all "
+    "amplitudes are even — dequantize exactly, so the decoded contrast "
+    "stats (which recover the AC amplitudes from the pixel plane) are "
+    "closed-form in DuckDB. A wrong Huffman code, run length, ZRL, or "
+    "magnitude sign anywhere in the lane shifts y_h_contrast or "
+    "y_hv_contrast and fails the hash.",
+    tags=("multimodal",),
+)
+def q_multimodal_jpeg_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_jpeg_ac_stats(
+        encode_jpeg_ac_payloads(with_jpeg_ac_source(docs))
+    )
+    return decoded.select(
+        "doc_id", "width", "height", "n_mcus",
+        F.round("y_mean", 6).alias("y_mean"), "y_min", "y_max",
+        F.round("y_h_contrast", 6).alias("y_h_contrast"),
+        F.round("y_hv_contrast", 6).alias("y_hv_contrast"),
+        F.round("cb_mean", 6).alias("cb_mean"),
+        F.round("cr_mean", 6).alias("cr_mean"),
+    )

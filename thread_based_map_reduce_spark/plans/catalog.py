@@ -116,8 +116,8 @@ def _load_all() -> None:
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # regenerated after CORRECTNESS_r06.json (291 hash-green names across
-    # r1-r6 — the full catalog; zero mismatches ever) via
+    # regenerated after CORRECTNESS_r07.json (300 hash-green names across
+    # r1-r7 — the full catalog; zero mismatches ever) via
     # scripts/update_verified.py.
     "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
@@ -125,20 +125,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "argmax_aggregates", "array_hof", "array_setops", "asof_join_signup",
     "association_rules_lift", "basket_part_pairs", "benford_digit_stats",
     "best_day_per_month", "bigram_nll_quality", "bitwise_ops",
-    "bloom_filter_join_stats", "bpe_pair_merge_topk", "case_banding",
-    "cdc_chunk_stats", "cdc_merge_apply", "centroid_per_label",
-    "char_trigram_profile", "charcount", "chi2_lang_source_independence",
-    "churn_label_stats", "cluster_quality_db_index",
-    "cogroup_user_activity", "cohort_retention_matrix", "collect_sorted",
-    "compaction_plan_stats", "conditional_aggregates",
-    "consistent_hash_rebalance", "corpus_curation_stats",
-    "correlated_min_subquery", "countmin_topk_estimate",
-    "cross_join_bounded", "cube_counts", "cumulative_revenue_share",
-    "curation_pipeline_v2", "customer_ltv_deciles",
-    "date_interval_arithmetic", "decision_stump_train",
-    "decontam_eval_overlap", "dedup_canonical_map", "dedup_clusters",
-    "dedup_clusters_twostar", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_graph_triangles",
+    "bloom_filter_join_stats", "bm25_retrieval_topk", "bpe_pair_merge_topk",
+    "case_banding", "cdc_chunk_stats", "cdc_merge_apply",
+    "centroid_per_label", "char_trigram_profile", "charcount",
+    "chi2_lang_source_independence", "churn_label_stats",
+    "cluster_quality_db_index", "cogroup_user_activity",
+    "cohort_retention_matrix", "collect_sorted", "compaction_plan_stats",
+    "conditional_aggregates", "consistent_hash_rebalance",
+    "corpus_curation_stats", "correlated_min_subquery",
+    "countmin_topk_estimate", "cross_join_bounded", "cube_counts",
+    "cumulative_revenue_share", "curation_pipeline_v2",
+    "customer_ltv_deciles", "date_interval_arithmetic",
+    "dbscan_lsh_clusters", "decision_stump_train", "decontam_eval_overlap",
+    "dedup_canonical_map", "dedup_clusters", "dedup_clusters_twostar",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_graph_triangles", "dedup_incremental_e2e",
     "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
     "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
     "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
@@ -166,16 +167,17 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "join_right_outer", "join_salted_skew", "join_semi",
     "join_star_revenue", "json_extract", "json_map_explode",
     "json_struct_parse", "k_anonymity_stats", "key_skew_report",
-    "km_survival_signup_purchase", "kmv_distinct_estimate",
-    "l_diversity_stats", "langid_confusion_matrix", "langid_heuristic",
-    "lateral_topk_per_nation", "latest_event_per_user", "limit_offset_page",
-    "longest_streak_per_user", "lsh_band_tuning_curve",
+    "kll_quantile_sketch", "km_survival_signup_purchase",
+    "kmv_distinct_estimate", "l_diversity_stats", "langid_confusion_matrix",
+    "langid_heuristic", "lateral_topk_per_nation", "latest_event_per_user",
+    "limit_offset_page", "longest_streak_per_user", "lsh_band_tuning_curve",
     "mad_outliers_by_type", "mannwhitney_price_urgent", "map_column",
     "markov_next_event_accuracy", "median_by_status",
-    "minhash_estimate_eval", "mix_quota_sample", "mode_priority_per_status",
-    "mr_charcount", "mr_lang_source_expand", "mr_wordcount_filtered",
-    "multimodal_decode_stats", "multimodal_flip_augment",
-    "multimodal_frame_sample", "multimodal_meta", "multimodal_pgm_decode",
+    "minhash_estimate_eval", "mix_quota_exact_manifest", "mix_quota_sample",
+    "mode_priority_per_status", "mr_charcount", "mr_lang_source_expand",
+    "mr_wordcount_filtered", "multimodal_decode_stats",
+    "multimodal_flip_augment", "multimodal_frame_sample",
+    "multimodal_jpeg_decode", "multimodal_meta", "multimodal_pgm_decode",
     "multimodal_png_decode", "multimodal_resize_thumbs",
     "multimodal_wav_decode", "multimodal_wav_features",
     "multimodal_y4m_decode", "multimodal_y4m_motion",
@@ -191,16 +193,17 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "pq_recall_eval", "pq_train_stats", "price_histogram",
     "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
     "range_join_clicks", "range_partition_balance", "ratio_to_report",
-    "recursive_month_spine", "regex_functions", "retention_weekly",
-    "returns_rate_by_month", "revenue_gini_by_nation", "rfm_segments",
-    "rolling_reach_7d", "rollup_qty", "sample_hash_deterministic",
-    "sample_per_group", "scalar_date", "scalar_math", "scalar_string",
-    "scd_intervals", "seasonal_hod_profile", "segmented_trend_breakpoint",
-    "semantic_dedup_stats", "session_window_agg", "sessionize",
-    "set_except", "set_intersect", "set_union_distinct",
-    "setop_all_variants", "shard_assignment_stats", "skyline_pareto_parts",
-    "source_lang_kl", "source_lang_quality_matrix", "stats_agg",
-    "stratified_token_quantiles", "streaming_dedup_runtime",
+    "recursive_month_spine", "regex_functions", "reservoir_sample_per_key",
+    "retention_weekly", "returns_rate_by_month", "revenue_gini_by_nation",
+    "rfm_segments", "rolling_reach_7d", "rollup_qty",
+    "sample_hash_deterministic", "sample_per_group", "scalar_date",
+    "scalar_math", "scalar_string", "scd_intervals", "seasonal_hod_profile",
+    "segmented_trend_breakpoint", "semantic_dedup_stats",
+    "session_window_agg", "sessionize", "set_except", "set_intersect",
+    "set_union_distinct", "setop_all_variants", "shard_assignment_stats",
+    "sigstore_append_compact", "skyline_pareto_parts", "source_lang_kl",
+    "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
+    "streaming_dedup_runtime", "streaming_minhash_dedup_runtime",
     "streaming_session_runtime", "streaming_sliding_runtime",
     "streaming_stateful_runtime", "streaming_static_join_runtime",
     "streaming_stream_join_runtime", "streaming_tumbling_runtime",
@@ -232,63 +235,65 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Round-7 driver window, in priority order (VERDICT r6 next-round #1):
-# the catalog went fully driver-verified in r6 (291/291 cumulative), so
-# this window is pure verification-debt paydown plus this round's new
-# entries. First the 22 queries whose code changed in round 6 AFTER their
-# last driver-green row (all local-oracle-green at HEAD since, but their
-# driver rows predate the change): the dup_span_fraction checkpoint move,
-# the four grouped-Python width-pinned queries, the PPJoin index
-# restructure, the band-tuning fusion, the 7 streaming-runtime entries
-# under the width-8 local runner (upsert was unchanged), and the late-r6
-# checkpoint/filter retrofits. Then the round-7 additions (JPEG decode,
-# incremental-dedup e2e, BM25, KLL sketch, per-key reservoir, streaming
-# minhash dedup) — pinned explicitly even though unverified entries lead
-# anyway, so the window order is fully deterministic. Remaining slots
-# fall through to the verified tail as regression re-proves.
+# Round-8 driver window, in priority order (VERDICT r7 #2): the catalog
+# is fully driver-verified (300/300 cumulative, zero stale rows), so the
+# window is: this round's new entries, then the changed-after-green
+# re-proves (code whose source lines changed in r8 after their last green
+# row — the null-safe reservoir join, the signature-store refactor behind
+# dedup_incremental_e2e/sigstore_append_compact, the JPEG fill-byte skip,
+# and the LSH plane/band parameterization shared by the embedding-LSH
+# family), then the oldest-green rotation: every remaining row with an
+# r1-vintage driver row (6+ rounds old). Unpinned later-r8 additions
+# still lead the verified tail automatically (rank band 1 < 4).
 _PINNED_FIRST = (
-    # --- new round-7 catalog entries (unverified — must lead the window:
-    # the catalog-order invariant keeps never-verified names ahead of
-    # every verified one, and the pin ranks ahead of both) ---
-    "multimodal_jpeg_decode",
-    "dedup_incremental_e2e",
-    "bm25_retrieval_topk",
-    "kll_quantile_sketch",
+    # --- new round-8 catalog entries ---
+    "ann_method_recall_eval",
+    "optics_reachability",
+    "multimodal_jpeg_ac_decode",
+    # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
     "reservoir_sample_per_key",
-    "streaming_minhash_dedup_runtime",
-    "dbscan_lsh_clusters",
-    "mix_quota_exact_manifest",
+    "dedup_incremental_e2e",
     "sigstore_append_compact",
-    # --- changed-after-green re-proves (r6 rewrites, driver rows stale) ---
-    "dup_span_fraction",
-    "mr_charcount",
-    "mr_wordcount_filtered",
-    "mr_lang_source_expand",
-    "cogroup_user_activity",
-    "dedup_prefix_filter_pairs",
-    "lsh_band_tuning_curve",
-    "streaming_dedup_runtime",
-    "streaming_session_runtime",
-    "streaming_sliding_runtime",
-    "streaming_stateful_runtime",
-    "streaming_static_join_runtime",
-    "streaming_stream_join_runtime",
-    "streaming_tumbling_runtime",
-    # upsert was unchanged in r6 but r7's shared-runner edits (staging-dir
-    # generalization, run_stream_to_memory lock) touch its lane too
-    "streaming_upsert_runtime",
-    "text_repetition_ratio",
-    "semantic_dedup_stats",
-    "pca_power_iteration",
-    "embedding_covariance",
-    "corpus_curation_stats",
-    "curation_pipeline_v2",
+    "multimodal_jpeg_decode",
+    "dbscan_lsh_clusters",
     "dedup_embedding_lsh",
-    "token_pmi_pairs",
-    # --- regression re-proves of the scale champions (fixtures re-cut
-    # whenever the 100x curve grows; keep their driver rows fresh) ---
-    "dedup_minhash_lsh_pairs",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_recall_eval",
+    # --- oldest-green rotation: the full r1-vintage cohort ---
+    "array_hof",
+    "asof_join_signup",
+    "case_banding",
+    "collect_sorted",
+    "cube_counts",
+    "distinct_pairs",
+    "events_tumbling_hour",
+    "exists_correlated",
+    "grouping_sets",
+    "having_filter",
+    "json_extract",
+    "map_column",
+    "not_in_subquery",
+    "percentiles",
+    "pivot_status",
+    "posexplode_tokens",
+    "range_join_clicks",
+    "rollup_qty",
+    "sample_per_group",
+    "scalar_date",
+    "scalar_math",
+    "scalar_string",
+    "sessionize",
+    "stats_agg",
+    "subquery_scalar",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_idle_customers",
+    "tpch_q3_toporders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue",
+    "union_all_tagged",
+    "window_range_frame",
+    "window_rank_family",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
