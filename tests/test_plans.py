@@ -140,6 +140,8 @@ _PYTHON_LANE = {
     # r7: the baseline-JPEG codec is two Arrow-batched mapInPandas kernels
     # (Huffman entropy coding is not expressible as SQL expressions)
     "multimodal_jpeg_decode",
+    # r8: the AC-lane twin rides the same mapInPandas codec
+    "multimodal_jpeg_ac_decode",
 }
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
@@ -603,6 +605,16 @@ _AUDITED_BNLJ_SITES = {
     # crossJoins (broadcast 10-row centroid table); verified in the
     # formatted plan (3 BNLJ, all BuildRight on bounded broadcasts)
     "ann_method_recall_eval": 3,
+    # r8 growth audit (formatted plans verified: every site BuildRight over
+    # a BroadcastExchange of an ungrouped = one-row HashAggregate):
+    # theta's three are th_a x th_b (two one-row k-th-minimum aggregates),
+    # merged x theta, and counts x exact; dsir/temperature cross the
+    # broadcast one-row totals aggregate; leakage crosses the one-row
+    # leak-count audit aggregate.
+    "theta_sketch_setops": 3,
+    "dsir_importance_select": 1,
+    "temperature_mix_allocation": 1,
+    "leakage_safe_split": 1,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

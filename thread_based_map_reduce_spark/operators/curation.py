@@ -948,3 +948,200 @@ def q_mix_quota_exact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# -- DSIR-style importance selection (round-8 growth) --------------------------
+
+# Hashed n-gram feature space (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): bigrams hashed into DSIR_BUCKETS
+# buckets; per-bucket unigram models for the target domain and the raw
+# corpus with add-one smoothing; a document's importance weight is the sum
+# of per-bucket log-likelihood ratios over its bigram occurrences.
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"  # the "target domain" sample: English documents
+DSIR_TOP_K = 50
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+        WITH {_toks_sql()},
+        bi AS (
+            SELECT doc_id, lang,
+                   unnest([array_to_string(w[i:i+1], ' ')
+                           for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS gram
+            FROM toks
+        ),
+        feat AS (
+            SELECT doc_id, lang,
+                   {portable_hash64_sql('gram')} % {DSIR_BUCKETS} AS b
+            FROM bi
+        ),
+        raw AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+        tgt AS (
+            SELECT b, count(*) AS c FROM feat
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+        ),
+        tot AS (
+            SELECT (SELECT count(*) FROM feat) AS rt,
+                   (SELECT count(*) FROM feat WHERE lang = '{DSIR_TARGET_LANG}') AS tt
+        ),
+        lr AS (
+            SELECT raw.b,
+                   round(ln((coalesce(t.c, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+                         - ln((raw.c + 1.0) / (tot.rt + {DSIR_BUCKETS})), 6) AS lr
+            FROM raw LEFT JOIN tgt t ON raw.b = t.b, tot
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   max(f.lang) AS lang,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(lr.lr), 4) AS weight
+            FROM feat f JOIN lr ON f.b = lr.b
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, lang, n_bigrams, weight
+        FROM scored
+        ORDER BY weight DESC, doc_id
+        LIMIT {DSIR_TOP_K}
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023): documents scored by "
+    f"hashed-bigram importance weights — {DSIR_BUCKETS}-bucket unigram "
+    "models of the target domain (lang = "
+    f"'{DSIR_TARGET_LANG}') vs the raw corpus, add-one smoothing, per-"
+    "bucket log-likelihood ratios rounded to 6 dp (the BM25 float "
+    f"discipline), summed per document; top-{DSIR_TOP_K} selected with a "
+    "doc_id tiebreak. 100 TB shape: both bucket models collapse to "
+    f"<= {DSIR_BUCKETS} rows (map-side combine on a narrow int key) and "
+    "broadcast back over ONE exploded corpus pass; the per-doc sum is a "
+    "single doc_id shuffle and the selection is TakeOrderedAndProject "
+    "(never a global sort materialization). In production the selected "
+    "budget is a fraction/quota rather than a fixed K — the threshold "
+    "variant filters on weight >= t with no ordering stage at all.",
+    tags=("text", "curation", "sampling"),
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", tokens("text").alias("_toks"))
+    feat = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(ngrams_of_tokens(F.col("_toks"), 2)).alias("gram"),
+    ).select(
+        "doc_id", "lang", (portable_hash64("gram") % DSIR_BUCKETS).alias("b")
+    )
+    # one exploded-feature pass feeds the raw model, the target model and
+    # the per-doc scoring join
+    feat = reliable_checkpoint(feat)
+    raw = feat.groupBy("b").agg(F.count("*").alias("c"))
+    tgt = (
+        feat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot = feat.agg(
+        F.count("*").alias("rt"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("c") + 1.0) / (F.col("rt") + DSIR_BUCKETS)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("lr"), 4).alias("weight"),
+        )
+    )
+    return scored.orderBy(F.desc("weight"), "doc_id").limit(DSIR_TOP_K).select(
+        "doc_id", "lang", "n_bigrams", "weight"
+    )
+
+
+# -- temperature-based mixture allocation (round-8 growth) ---------------------
+
+# Multilingual-training temperature sampling (public from the mBERT /
+# XLM-R recipes): sampling probability proportional to n_l^alpha flattens
+# the natural size distribution; alpha=0.3 is the XLM-R setting.
+MIX_TEMPERATURE_ALPHA = 0.3
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+        WITH {_toks_sql()},
+        per_lang AS (
+            SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY lang
+        ),
+        tot AS (
+            SELECT sum(n_tokens) AS total,
+                   sum(pow(n_tokens, {MIX_TEMPERATURE_ALPHA})) AS ztemp
+            FROM per_lang
+        )
+        SELECT p.lang,
+               p.n_tokens,
+               round(p.n_tokens / t.total, 6) AS natural_share,
+               round(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp, 6)
+                   AS temp_prob,
+               round((pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp)
+                     / (p.n_tokens / t.total), 4) AS upsample_weight,
+               CAST(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp
+                          * {MIX_TOKEN_BUDGET}) AS BIGINT) AS quota_tokens,
+               round(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp
+                           * {MIX_TOKEN_BUDGET}) / p.n_tokens, 4)
+                   AS effective_epochs
+        FROM per_lang p, tot t
+    """,
+    doc="Temperature-based training-mix allocation (the XLM-R alpha="
+    f"{MIX_TEMPERATURE_ALPHA} recipe): per-language sampling probability "
+    "proportional to n_tokens^alpha, flattening the natural size "
+    "distribution so low-resource languages are upsampled without "
+    "memorizing them; emits the natural share, temperature probability, "
+    "upsample weight (temp/natural), the token quota under a "
+    f"{MIX_TOKEN_BUDGET:,}-token budget, and the effective epochs "
+    "(quota/n_l — the number every mixture design checks against its "
+    "repetition tolerance). Complements domain_mix_weights (uniform "
+    "target, capped weights) and mix_quota_exact_manifest (exact "
+    "reservoir): this is the continuous-alpha family. One corpus pass "
+    "into a 5-row aggregate; the normalizing sums touch n_langs rows.",
+    tags=("curation", "agg", "sampling"),
+)
+def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.size(tokens("text")).alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE_ALPHA))).alias("ztemp"),
+    )
+    temp_p = F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE_ALPHA)) / F.col("ztemp")
+    nat = F.col("n_tokens") / F.col("total")
+    quota = F.floor(temp_p * MIX_TOKEN_BUDGET)
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(temp_p, 6).alias("temp_prob"),
+        F.round(temp_p / nat, 4).alias("upsample_weight"),
+        quota.cast("bigint").alias("quota_tokens"),
+        F.round(quota / F.col("n_tokens"), 4).alias("effective_epochs"),
+    )

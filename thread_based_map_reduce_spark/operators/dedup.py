@@ -2583,3 +2583,171 @@ def q_sigstore_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.countDistinct("x", "y").cast("bigint").alias("n_buckets"),
     ).select(F.col("band").cast("bigint").alias("band"), "n_rows", "n_docs", "n_buckets")
+
+
+# -- leakage-safe train/val/test split (round-8 growth) -----------------------
+
+# Same 98/1/1 bucket thresholds as train_val_test_split_stats; the salt
+# prefix decorrelates the split hash from every other doc_id hash use.
+_SPLIT_SALT = "split:"
+
+
+def _split_case_sql(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN {bucket_expr} < 98 THEN 'train' "
+        f"WHEN {bucket_expr} = 98 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_col(key: F.Column) -> F.Column:
+    bkt = portable_hash64(F.concat(F.lit(_SPLIT_SALT), key.cast("string"))) % 100
+    return (
+        F.when(bkt < 98, F.lit("train"))
+        .when(bkt == 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs
+            UNION SELECT doc_a, doc_a FROM vpairs
+            UNION SELECT doc_b, doc_b FROM vpairs
+        ),
+        walk(node, root) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT w.node, s.b FROM walk w JOIN sym s ON w.root = s.a
+        ),
+        labels AS (
+            SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node
+        ),
+        assigned AS (
+            SELECT d.doc_id,
+                   coalesce(l.cluster, d.doc_id) AS cluster,
+                   l.doc_id IS NOT NULL AS neardup,
+                   d.n_chars,
+                   {_split_case_sql(portable_hash64_sql(
+                       "'" + _SPLIT_SALT + "' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)") + " % 100")}
+                       AS split,
+                   {_split_case_sql(portable_hash64_sql(
+                       "'" + _SPLIT_SALT + "' || CAST(d.doc_id AS VARCHAR)") + " % 100")}
+                       AS doc_split
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        leaks AS (
+            SELECT
+                CAST(count(CASE WHEN a.split <> b.split THEN 1 END) AS BIGINT)
+                    AS leaky_pairs_cluster_split,
+                CAST(count(CASE WHEN a.doc_split <> b.doc_split THEN 1 END) AS BIGINT)
+                    AS leaky_pairs_doc_split
+            FROM vpairs v
+            JOIN assigned a ON a.doc_id = v.doc_a
+            JOIN assigned b ON b.doc_id = v.doc_b
+        )
+        SELECT s.split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT s.cluster) AS BIGINT) AS n_clusters,
+               CAST(count(CASE WHEN s.neardup THEN 1 END) AS BIGINT) AS n_neardup_docs,
+               CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+               l.leaky_pairs_cluster_split,
+               l.leaky_pairs_doc_split
+        FROM assigned s, leaks l
+        GROUP BY s.split, l.leaky_pairs_cluster_split, l.leaky_pairs_doc_split
+    """,
+    doc="Leakage-safe train/val/test split: assign each NEAR-DUP CLUSTER "
+    "(two-star connected components over the verified LSH pair graph; "
+    "singletons = their own doc_id) to a split by a salted hash of the "
+    "cluster id, so near-duplicate documents can never straddle the "
+    "train/eval boundary — the leak a doc_id-hash split (train_val_test_"
+    "split_stats) permits. Emits per-split doc/cluster/near-dup/char "
+    "totals plus the audit pair counts: leaky_pairs_cluster_split is 0 by "
+    "construction (the split is a function of the cluster), while "
+    "leaky_pairs_doc_split counts the verified near-dup pairs the naive "
+    "doc-hash split WOULD have scattered across splits — the measured "
+    "contamination this operator exists to remove. 100 TB shape: the "
+    "pair graph and two-star CC are the dedup_clusters_twostar path "
+    "(O(log n) narrow bigint shuffles); the split itself is one hash "
+    "expression, the audit one narrow join of the (sparse) pair table "
+    "against the assignment, and the output collapses to 3 rows.",
+    tags=("dedup", "curation", "lsh", "iterative"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = reliable_checkpoint(
+        _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components_twostar(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = (
+        docs.join(
+            labels.select(F.col("node").alias("doc_id"), "cluster"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+            F.col("cluster").isNotNull().alias("neardup"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "cluster",
+            "neardup",
+            _split_col(F.col("cluster")).alias("split"),
+            _split_col(F.col("doc_id")).alias("doc_split"),
+        )
+    )
+    # Audit join: the pair table is sparse (near-dups only) relative to the
+    # corpus, and the per-doc assignment is needed on both endpoints — two
+    # narrow doc_id-keyed joins, no broadcast assumption (both sides scale).
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("doc_split").alias("dsplit_a"),
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("doc_split").alias("dsplit_b"),
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.when(F.col("split_a") != F.col("split_b"), 1))
+            .cast("bigint")
+            .alias("leaky_pairs_cluster_split"),
+            F.count(F.when(F.col("dsplit_a") != F.col("dsplit_b"), 1))
+            .cast("bigint")
+            .alias("leaky_pairs_doc_split"),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+            F.count(F.when(F.col("neardup"), 1)).cast("bigint").alias("n_neardup_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_neardup_docs",
+            "n_chars",
+            "leaky_pairs_cluster_split",
+            "leaky_pairs_doc_split",
+        )
+    )

@@ -524,3 +524,170 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_err_p50", "rank_err_p90", "rank_err_p99",
         "p50_ok", "p90_ok", "p99_ok",
     )
+
+
+# -- theta-sketch set operations (round-8 growth) -------------------------------
+
+# Theta/KMV sketch set algebra (Dasgupta, Lang, Rhodes, Thaler: "A Framework
+# for Estimating Stream Expression Cardinalities", and the Apache DataSketches
+# theta sketch): keep the K smallest key hashes per set; theta = the shared
+# K-th-minimum threshold; any set expression is estimated by counting
+# retained hashes below theta and scaling by the sampled hash-space
+# fraction. Like kmv_distinct_estimate (and unlike engine-native HLL) the
+# sketch is built on the portable 60-bit hash, so it is DETERMINISTIC and
+# bit-identical in Spark and DuckDB — the estimates themselves sit under
+# the value-hash gate.
+THETA_K = 256
+_H_SPACE = float(2**60)
+
+
+@register(
+    "theta_sketch_setops",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT l_orderkey,
+                   max(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) AS in_b
+            FROM lineitem
+            GROUP BY l_orderkey
+        ),
+        marked AS (
+            SELECT {portable_hash64_sql('CAST(l_orderkey AS VARCHAR)')} AS h,
+                   in_a, in_b
+            FROM keyed WHERE in_a = 1 OR in_b = 1
+        ),
+        sk_a AS (SELECT h FROM marked WHERE in_a = 1 ORDER BY h LIMIT {THETA_K}),
+        sk_b AS (SELECT h FROM marked WHERE in_b = 1 ORDER BY h LIMIT {THETA_K}),
+        th AS (
+            SELECT least(
+                (SELECT CASE WHEN count(*) < {THETA_K} THEN {2**60}
+                        ELSE max(h) END FROM sk_a),
+                (SELECT CASE WHEN count(*) < {THETA_K} THEN {2**60}
+                        ELSE max(h) END FROM sk_b)) AS theta
+        ),
+        merged AS (
+            SELECT h, count(*) AS cnt
+            FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
+            GROUP BY h
+        ),
+        counts AS (
+            SELECT CAST(count(CASE WHEN h < theta THEN 1 END) AS BIGINT)
+                       AS n_union_retained,
+                   CAST(count(CASE WHEN cnt = 2 AND h < theta THEN 1 END) AS BIGINT)
+                       AS n_inter_retained,
+                   max(theta) AS theta
+            FROM merged, th
+        ),
+        exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS true_union,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS true_inter
+            FROM keyed WHERE in_a = 1 OR in_b = 1
+        )
+        SELECT {THETA_K} AS k,
+               c.theta,
+               c.n_union_retained,
+               c.n_inter_retained,
+               CAST(floor(c.n_union_retained * {_H_SPACE} / c.theta) AS BIGINT)
+                   AS est_union,
+               CAST(floor(c.n_inter_retained * {_H_SPACE} / c.theta) AS BIGINT)
+                   AS est_inter,
+               e.true_union,
+               e.true_inter,
+               round(abs(c.n_union_retained * {_H_SPACE} / c.theta - e.true_union)
+                     / e.true_union, 6) AS union_rel_err,
+               round(abs(c.n_inter_retained * {_H_SPACE} / c.theta - e.true_inter)
+                     / e.true_inter, 6) AS inter_rel_err,
+               round(c.n_inter_retained::DOUBLE / c.n_union_retained, 6)
+                   AS jaccard_est,
+               round(e.true_inter::DOUBLE / e.true_union, 6) AS jaccard_true
+        FROM counts c, exact e
+    """,
+    doc="Theta-sketch set algebra (Apache DataSketches semantics) over the "
+    "portable 60-bit hash: set A = orders containing a quantity>45 line, "
+    "set B = orders containing a discount>0.09 line; each keeps its "
+    f"K={THETA_K} minimum key hashes, theta = the smaller K-th minimum, "
+    "and union/intersection cardinalities are estimated as "
+    "(retained hashes below theta) x hash_space/theta — the composable "
+    "distinct-count algebra KMV alone lacks (kmv_distinct_estimate is the "
+    "single-set special case). Exact counts and relative errors (~1/"
+    "sqrt(K)) ride alongside, plus the sketch-Jaccard vs true Jaccard. "
+    "Deterministic in both engines, so the ESTIMATES sit under the hash "
+    "gate. 100 TB shape: one narrow per-key aggregate (map-side combine "
+    "on l_orderkey), two TakeOrdered(K) sketch builds over it, then all "
+    "remaining algebra on <=2K broadcast-size rows; production unions "
+    "per-partition K-heaps instead of a global TakeOrdered, exactly the "
+    "partial-aggregate path approx_aggregates demonstrates.",
+    tags=("agg", "approx", "sampling", "setops"),
+)
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_quantity") > 45).cast("int")).alias("in_a"),
+            F.max((F.col("l_discount") > 0.09).cast("int")).alias("in_b"),
+        )
+        .where((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
+    marked = keyed.select(
+        portable_hash64(F.col("l_orderkey").cast("string")).alias("h"),
+        "in_a",
+        "in_b",
+    )
+    sk_a = marked.where(F.col("in_a") == 1).select("h").orderBy("h").limit(THETA_K)
+    sk_b = marked.where(F.col("in_b") == 1).select("h").orderBy("h").limit(THETA_K)
+
+    def _kth(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.when(F.count("*") < THETA_K, F.lit(2**60))
+            .otherwise(F.max("h"))
+            .alias(name)
+        )
+
+    th = (
+        _kth(sk_a, "th_a")
+        .crossJoin(F.broadcast(_kth(sk_b, "th_b")))
+        .select(F.least("th_a", "th_b").alias("theta"))
+    )
+    merged = sk_a.unionAll(sk_b).groupBy("h").agg(F.count("*").alias("cnt"))
+    counts = (
+        merged.crossJoin(F.broadcast(th))
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), 1))
+            .cast("bigint")
+            .alias("n_union_retained"),
+            F.count(F.when((F.col("cnt") == 2) & (F.col("h") < F.col("theta")), 1))
+            .cast("bigint")
+            .alias("n_inter_retained"),
+            F.max("theta").alias("theta"),
+        )
+    )
+    exact = keyed.agg(
+        F.count("*").cast("bigint").alias("true_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("true_inter"),
+    )
+    est_u = F.col("n_union_retained") * _H_SPACE / F.col("theta")
+    est_i = F.col("n_inter_retained") * _H_SPACE / F.col("theta")
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(THETA_K).cast("int").alias("k"),
+            "theta",
+            "n_union_retained",
+            "n_inter_retained",
+            F.floor(est_u).cast("bigint").alias("est_union"),
+            F.floor(est_i).cast("bigint").alias("est_inter"),
+            "true_union",
+            "true_inter",
+            F.round(F.abs(est_u - F.col("true_union")) / F.col("true_union"), 6)
+                .alias("union_rel_err"),
+            F.round(F.abs(est_i - F.col("true_inter")) / F.col("true_inter"), 6)
+                .alias("inter_rel_err"),
+            F.round(
+                F.col("n_inter_retained").cast("double") / F.col("n_union_retained"), 6
+            ).alias("jaccard_est"),
+            F.round(
+                F.col("true_inter").cast("double") / F.col("true_union"), 6
+            ).alias("jaccard_true"),
+        )
+    )

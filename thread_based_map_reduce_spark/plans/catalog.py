@@ -250,6 +250,10 @@ _PINNED_FIRST = (
     "ann_method_recall_eval",
     "optics_reachability",
     "multimodal_jpeg_ac_decode",
+    "leakage_safe_split",
+    "dsir_importance_select",
+    "temperature_mix_allocation",
+    "theta_sketch_setops",
     # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
     "reservoir_sample_per_key",
     "dedup_incremental_e2e",
