@@ -615,6 +615,10 @@ _AUDITED_BNLJ_SITES = {
     "dsir_importance_select": 1,
     "temperature_mix_allocation": 1,
     "leakage_safe_split": 1,
+    # bpe: per merge round, the one-row argmax broadcast feeding the merge
+    # replace AND the one-row (argmax x stats) output row — 2 x 3 rounds,
+    # every build side an ungrouped (or LIMIT 1) one-row aggregate
+    "bpe_train_merges": 6,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

@@ -107,3 +107,73 @@ class TestTemperatureMixAllocation:
         nat = [r["natural_share"] for r in rows]
         tmp = [r["temp_prob"] for r in rows]
         assert max(tmp) / min(tmp) < max(nat) / min(nat)
+
+
+class TestBpeTrainMerges:
+    def test_merge_semantics(self, spark):
+        from thread_based_map_reduce_spark.operators.text import (
+            BPE_ROUNDS,
+            q_bpe_train_merges,
+        )
+
+        rows = sorted(
+            q_bpe_train_merges(spark, SF_DIR_10).collect(),
+            key=lambda r: r["round"],
+        )
+        assert [r["round"] for r in rows] == list(range(1, BPE_ROUNDS + 1))
+        for r in rows:
+            assert r["merged"] == r["merge_left"] + r["merge_right"]
+            assert r["pair_count"] > 0
+        # every merge strictly shrinks the weighted token count (each
+        # applied merge replaces two symbols with one) ...
+        toks = [r["n_tokens_after"] for r in rows]
+        assert all(a > b for a, b in zip(toks, toks[1:]))
+        # ... and the merge count actually applied is bounded by the
+        # counted adjacencies (overlaps can only reduce it)
+        for a, b, row in zip(toks, toks[1:], rows[1:]):
+            assert a - b <= row["pair_count"]
+        # vocab grows by at most 1 per round (the new symbol; constituents
+        # may or may not survive)
+        vocabs = [r["vocab_after"] for r in rows]
+        assert all(b <= a + 1 for a, b in zip(vocabs, vocabs[1:]))
+
+
+class TestSimhashHammingPairs:
+    def test_complete_vs_bruteforce(self, spark):
+        # the pigeonhole claim: blocking loses NOTHING — the pair set must
+        # equal the brute-force all-pairs hamming filter (computed here in
+        # DuckDB over the same weighted fingerprints)
+        import duckdb
+
+        from thread_based_map_reduce_spark.operators.dedup import (
+            SIMHASH64_HAM_K,
+            q_dedup_simhash_hamming_pairs,
+        )
+        from thread_based_map_reduce_spark.plans.catalog import CATALOG
+
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in q_dedup_simhash_hamming_pairs(spark, SF_DIR).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        oracle = CATALOG["dedup_simhash_hamming_pairs"].oracle
+        # brute-force variant: swap the blocked candidate set for ALL pairs
+        brute = oracle.replace(
+            """blocks AS (""", """unused_blocks AS ("""
+        ).replace(
+            """cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM blocks x
+            JOIN blocks y ON x.b = y.b AND x.v = y.v AND y.doc_id > x.doc_id
+        )""",
+            """cand AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM sims x JOIN sims y ON y.doc_id > x.doc_id
+        )""",
+        )
+        want = {tuple(r) for r in con.execute(brute).fetchall()}
+        assert got == want and len(got) > 0
+        assert all(h <= SIMHASH64_HAM_K for _, _, h in got)

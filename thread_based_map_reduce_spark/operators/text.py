@@ -1791,3 +1791,194 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+# -- iterative BPE tokenizer training (round-8 growth) --------------------------
+
+# Byte-pair-encoding merge training (Sennrich, Haddow, Birch 2016,
+# "Neural Machine Translation of Rare Words with Subword Units"), the
+# step bpe_pair_merge_topk only takes the FIRST argmax of: run
+# BPE_ROUNDS full merge rounds over the weighted word-frequency table.
+#
+# Representation: each word is stored as marker-wrapped symbols
+# (chr(31) symbol chr(30) ...), so applying a merge is a plain
+# replace(s, O·a·C·O·b·C, O·ab·C) — replace-all's greedy left-to-right
+# non-overlapping scan IS the BPE merge rule (markers, unlike space
+# separators, are never shared between adjacent matches, so "a a a"
+# correctly merges once, and "a b a b" correctly merges twice), and the
+# semantics are engine-identical so every intermediate round sits under
+# the hash gate. Argmax ties break on the tab-joined pair string; tab
+# sorts below every printable char, so string order == (left, right)
+# tuple order.
+BPE_ROUNDS = 3
+_BPE_O = chr(31)  # symbol-open marker (ASCII unit separator)
+_BPE_C = chr(30)  # symbol-close marker (ASCII record separator)
+_BPE_T = chr(9)  # argmax tie-break separator (tab)
+
+
+def _bpe_oracle() -> str:
+    o, c, t = _BPE_O, _BPE_C, _BPE_T
+    # regexp_replace turns "ab" into O·a·C·O·b·C·O; trimming the trailing
+    # O leaves the marker-wrapped symbol string O·a·C·O·b·C.
+    parts = [
+        f"""
+        wr0 AS (
+            SELECT '{o}' || regexp_replace(tok, '(.)', '\\1{c}{o}', 'g') AS _x,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        ),
+        w0 AS (SELECT substr(_x, 1, length(_x) - 1) AS s, cnt FROM wr0)"""
+    ]
+    rounds_sql = []
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""
+        t{r} AS (
+            SELECT string_split(substr(s, 2, length(s) - 2), '{c}{o}') AS tk, cnt
+            FROM w{p}
+        ),
+        p{r} AS (
+            SELECT unnest([tk[i] || '{t}' || tk[i+1]
+                           for i in range(1, greatest(len(tk), 1))]) AS pair,
+                   cnt
+            FROM t{r}
+        ),
+        b{r} AS (
+            SELECT pair,
+                   string_split(pair, '{t}')[1] AS lft,
+                   string_split(pair, '{t}')[2] AS rgt,
+                   pc
+            FROM (
+                SELECT pair, sum(cnt) AS pc FROM p{r} GROUP BY pair
+                ORDER BY pc DESC, pair LIMIT 1
+            )
+        ),
+        w{r} AS (
+            SELECT replace(s, '{o}' || lft || '{c}{o}' || rgt || '{c}',
+                              '{o}' || lft || rgt || '{c}') AS s, cnt
+            FROM w{p}, b{r}
+        ),
+        s{r} AS (
+            SELECT (SELECT CAST(sum(cnt * len(string_split(
+                        substr(s, 2, length(s) - 2), '{c}{o}'))) AS BIGINT)
+                    FROM w{r}) AS n_tokens_after,
+                   (SELECT CAST(count(DISTINCT u.sym) AS BIGINT)
+                    FROM w{r}, LATERAL unnest(string_split(
+                        substr(s, 2, length(s) - 2), '{c}{o}')) AS u(sym))
+                       AS vocab_after
+        )""")
+        rounds_sql.append(
+            f"SELECT {r} AS round, b{r}.lft AS merge_left, b{r}.rgt AS merge_right, "
+            f"b{r}.lft || b{r}.rgt AS merged, CAST(b{r}.pc AS BIGINT) AS pair_count, "
+            f"s{r}.n_tokens_after, s{r}.vocab_after FROM b{r}, s{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(rounds_sql)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=f"Iterative BPE tokenizer training, {BPE_ROUNDS} full merge rounds "
+    "(Sennrich et al. 2016) over the weighted word-frequency table: each "
+    "round counts adjacent symbol pairs weighted by word frequency, takes "
+    "the argmax (tab-joined tie-break == (left,right) tuple order), and "
+    "applies the merge via marker-delimited replace-all — greedy "
+    "left-to-right non-overlapping, the exact BPE merge semantics "
+    "('a a a' merges once, 'a b a b' merges twice), identical in both "
+    "engines so every round's merge rule AND the post-merge corpus stats "
+    "(weighted token count, symbol vocabulary) sit under the hash gate. "
+    "100 TB shape: ONE corpus pass builds the word-frequency table; every "
+    "round then runs on the DISTINCT-WORD table (Heaps-law ~sqrt(corpus), "
+    "millions of rows at 100 TB — this aggregate-first shape is why BPE "
+    "trainers scale), with the argmax as a one-row broadcast crossJoin "
+    "and the merge as a map-side replace; rounds are checkpoint-truncated "
+    "so plan depth stays O(1) per round.",
+    tags=("text", "tokenize", "curation", "iterative"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c, t = _BPE_O, _BPE_C, _BPE_T
+    docs = load_table(spark, sf_dir, "documents")
+    pre = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(o), F.regexp_replace("tok", "(.)", f"$1{c}{o}")
+            ).alias("_x"),
+            "cnt",
+        )
+    )
+    words = reliable_checkpoint(
+        pre.select(
+            F.expr("substring(_x, 1, length(_x) - 1)").alias("s"), "cnt"
+        )
+    )
+    sep = c + o  # split separator between adjacent symbols (regex-safe: control chars)
+    out_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        toked = words.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), sep).alias("tk"),
+            "cnt",
+        )
+        pairs = toked.where(F.size("tk") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    f"i -> concat(element_at(tk, i), '{t}', element_at(tk, i + 1)))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "pair")
+            .limit(1)
+            .select(
+                F.split("pair", t).getItem(0).alias("lft"),
+                F.split("pair", t).getItem(1).alias("rgt"),
+                F.col("pc").cast("bigint").alias("pc"),
+            )
+        )
+        # one-row broadcast argmax; the merge is a map-side replace over
+        # the (vocab-sized) word table. best is read twice (merge + output
+        # row) — both reads are a tiny aggregate over the checkpointed
+        # pre-merge word table.
+        words = reliable_checkpoint(
+            words.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(o), F.col("lft"), F.lit(c + o), F.col("rgt"), F.lit(c)),
+                    F.concat(F.lit(o), F.col("lft"), F.col("rgt"), F.lit(c)),
+                ).alias("s"),
+                "cnt",
+            )
+        )
+        syms = words.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), sep).alias("tk"),
+            "cnt",
+        )
+        stats = syms.select(F.explode("tk").alias("sym"), "cnt").agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens_after"),
+            F.countDistinct("sym").cast("bigint").alias("vocab_after"),
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(stats)).select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("lft").alias("merge_left"),
+                F.col("rgt").alias("merge_right"),
+                F.concat("lft", "rgt").alias("merged"),
+                F.col("pc").alias("pair_count"),
+                "n_tokens_after",
+                "vocab_after",
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionAll(df)
+    return out

@@ -254,6 +254,8 @@ _PINNED_FIRST = (
     "dsir_importance_select",
     "temperature_mix_allocation",
     "theta_sketch_setops",
+    "bpe_train_merges",
+    "dedup_simhash_hamming_pairs",
     # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
     "reservoir_sample_per_key",
     "dedup_incremental_e2e",
@@ -297,7 +299,8 @@ _PINNED_FIRST = (
     "tpch_q6_revenue",
     "union_all_tagged",
     "window_range_frame",
-    "window_rank_family",
+    # (window_rank_family rotates in r9 — trimmed to keep the 6 new r8
+    # entries inside the 50-slot window)
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
