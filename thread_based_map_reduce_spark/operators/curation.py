@@ -1096,15 +1096,16 @@ MIX_TOKEN_BUDGET = 1_000_000
         )
         SELECT p.lang,
                p.n_tokens,
-               round(p.n_tokens / t.total, 6) AS natural_share,
-               round(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp, 6)
+               round(p.n_tokens / nullif(t.total, 0), 6) AS natural_share,
+               round(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / nullif(t.ztemp, 0), 6)
                    AS temp_prob,
-               round((pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp)
-                     / (p.n_tokens / t.total), 4) AS upsample_weight,
-               CAST(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp
+               round((pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / nullif(t.ztemp, 0))
+                     / nullif(p.n_tokens / nullif(t.total, 0), 0), 4)
+                   AS upsample_weight,
+               CAST(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / nullif(t.ztemp, 0)
                           * {MIX_TOKEN_BUDGET}) AS BIGINT) AS quota_tokens,
-               round(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / t.ztemp
-                           * {MIX_TOKEN_BUDGET}) / p.n_tokens, 4)
+               round(floor(pow(p.n_tokens, {MIX_TEMPERATURE_ALPHA}) / nullif(t.ztemp, 0)
+                           * {MIX_TOKEN_BUDGET}) / nullif(p.n_tokens, 0), 4)
                    AS effective_epochs
         FROM per_lang p, tot t
     """,
@@ -1133,15 +1134,22 @@ def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total"),
         F.sum(F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE_ALPHA))).alias("ztemp"),
     )
-    temp_p = F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE_ALPHA)) / F.col("ztemp")
-    nat = F.col("n_tokens") / F.col("total")
+    # nullif guards: a degenerate corpus (all-empty texts) makes a lang's
+    # n_tokens — and so every denominator here — zero, and ANSI division
+    # raises where SQL would null-propagate
+    temp_p = F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE_ALPHA)) / F.nullif(
+        F.col("ztemp"), F.lit(0)
+    )
+    nat = F.col("n_tokens") / F.nullif(F.col("total"), F.lit(0))
     quota = F.floor(temp_p * MIX_TOKEN_BUDGET)
     return per_lang.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
         F.round(nat, 6).alias("natural_share"),
         F.round(temp_p, 6).alias("temp_prob"),
-        F.round(temp_p / nat, 4).alias("upsample_weight"),
+        F.round(temp_p / F.nullif(nat, F.lit(0)), 4).alias("upsample_weight"),
         quota.cast("bigint").alias("quota_tokens"),
-        F.round(quota / F.col("n_tokens"), 4).alias("effective_epochs"),
+        F.round(quota / F.nullif(F.col("n_tokens"), F.lit(0)), 4).alias(
+            "effective_epochs"
+        ),
     )

@@ -2829,10 +2829,15 @@ _SH64_BLOCK_MASK = (1 << _SH64_BLOCK_BITS) - 1
     "loss, unlike probabilistic LSH banding) and the xor/popcount verify "
     "runs only inside buckets — never a corpus self-join. Pair expansion "
     "is local to each bucket's sorted id array (the minhash-LSH idiom). "
-    "100 TB shape: Google's crawl configuration is exactly this plan at "
-    "64 bits — one narrow tf aggregate, one fingerprint aggregate, a "
-    "(doc_id, block, value) shuffle whose 2^15-value buckets keep the "
-    "per-bucket quadratic tiny, and a candidate-only verify join.",
+    "100 TB shape — with the same sizing contract as the embedding-LSH "
+    "family: candidate volume is ~N²/2^block_bits (FIXED block width -> "
+    "quadratic candidate growth; measured: wire bytes 14 -> 430 -> "
+    "6,134 MB per decade at 15-bit blocks, BASELINE.md), so production "
+    "grows block bits with log2 N — Manku's permuted-table design "
+    "(multiple fingerprint rotations, each probed on a wider prefix) or "
+    "a wider (128-bit) fingerprint; the plan shape (tf aggregate, "
+    "fingerprint aggregate, bucket shuffle, candidate-only verify) is "
+    "unchanged by either.",
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -587,19 +587,22 @@ _H_SPACE = float(2**60)
                c.theta,
                c.n_union_retained,
                c.n_inter_retained,
-               CAST(floor(c.n_union_retained * {_H_SPACE} / c.theta) AS BIGINT)
-                   AS est_union,
-               CAST(floor(c.n_inter_retained * {_H_SPACE} / c.theta) AS BIGINT)
-                   AS est_inter,
+               CAST(floor(c.n_union_retained * {_H_SPACE} / nullif(c.theta, 0))
+                   AS BIGINT) AS est_union,
+               CAST(floor(c.n_inter_retained * {_H_SPACE} / nullif(c.theta, 0))
+                   AS BIGINT) AS est_inter,
                e.true_union,
                e.true_inter,
-               round(abs(c.n_union_retained * {_H_SPACE} / c.theta - e.true_union)
-                     / e.true_union, 6) AS union_rel_err,
-               round(abs(c.n_inter_retained * {_H_SPACE} / c.theta - e.true_inter)
-                     / e.true_inter, 6) AS inter_rel_err,
-               round(c.n_inter_retained::DOUBLE / c.n_union_retained, 6)
+               round(abs(c.n_union_retained * {_H_SPACE} / nullif(c.theta, 0)
+                         - e.true_union)
+                     / nullif(e.true_union, 0), 6) AS union_rel_err,
+               round(abs(c.n_inter_retained * {_H_SPACE} / nullif(c.theta, 0)
+                         - e.true_inter)
+                     / nullif(e.true_inter, 0), 6) AS inter_rel_err,
+               round(c.n_inter_retained::DOUBLE / nullif(c.n_union_retained, 0), 6)
                    AS jaccard_est,
-               round(e.true_inter::DOUBLE / e.true_union, 6) AS jaccard_true
+               round(e.true_inter::DOUBLE / nullif(e.true_union, 0), 6)
+                   AS jaccard_true
         FROM counts c, exact e
     """,
     doc="Theta-sketch set algebra (Apache DataSketches semantics) over the "
@@ -666,8 +669,10 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("true_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("true_inter"),
     )
-    est_u = F.col("n_union_retained") * _H_SPACE / F.col("theta")
-    est_i = F.col("n_inter_retained") * _H_SPACE / F.col("theta")
+    # every data-dependent denominator is nullif-guarded: on a degenerate
+    # (empty) input theta/true counts hit 0 and ANSI division would raise
+    est_u = F.col("n_union_retained") * _H_SPACE / F.nullif(F.col("theta"), F.lit(0))
+    est_i = F.col("n_inter_retained") * _H_SPACE / F.nullif(F.col("theta"), F.lit(0))
     return (
         counts.crossJoin(F.broadcast(exact))
         .select(
@@ -679,15 +684,25 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(est_i).cast("bigint").alias("est_inter"),
             "true_union",
             "true_inter",
-            F.round(F.abs(est_u - F.col("true_union")) / F.col("true_union"), 6)
-                .alias("union_rel_err"),
-            F.round(F.abs(est_i - F.col("true_inter")) / F.col("true_inter"), 6)
-                .alias("inter_rel_err"),
             F.round(
-                F.col("n_inter_retained").cast("double") / F.col("n_union_retained"), 6
+                F.abs(est_u - F.col("true_union"))
+                / F.nullif(F.col("true_union"), F.lit(0)),
+                6,
+            ).alias("union_rel_err"),
+            F.round(
+                F.abs(est_i - F.col("true_inter"))
+                / F.nullif(F.col("true_inter"), F.lit(0)),
+                6,
+            ).alias("inter_rel_err"),
+            F.round(
+                F.col("n_inter_retained").cast("double")
+                / F.nullif(F.col("n_union_retained"), F.lit(0)),
+                6,
             ).alias("jaccard_est"),
             F.round(
-                F.col("true_inter").cast("double") / F.col("true_union"), 6
+                F.col("true_inter").cast("double")
+                / F.nullif(F.col("true_union"), F.lit(0)),
+                6,
             ).alias("jaccard_true"),
         )
     )

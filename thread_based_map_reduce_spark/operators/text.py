@@ -1921,11 +1921,15 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sep = c + o  # split separator between adjacent symbols (regex-safe: control chars)
     out_rows = []
     for r in range(1, BPE_ROUNDS + 1):
-        toked = words.select(
+        # filter on the CHEAP raw-column predicate (a multi-symbol word
+        # contains the close+open separator) BEFORE projecting the split:
+        # filtering on size(tk) re-inlines split() into the pushed Filter
+        # condition (the r6 expression-blowup sweep catches exactly this)
+        toked = words.where(F.col("s").contains(sep)).select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"), sep).alias("tk"),
             "cnt",
         )
-        pairs = toked.where(F.size("tk") >= 2).select(
+        pairs = toked.select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(tk) - 1), "
@@ -1963,7 +1967,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.expr("substring(s, 2, length(s) - 2)"), sep).alias("tk"),
             "cnt",
         )
-        stats = syms.select(F.explode("tk").alias("sym"), "cnt").agg(
+        # explode_outer: plain explode synthesizes a pushed
+        # size(split(...))>0 AND isnotnull(split(...)) Filter that inlines
+        # the split twice per row (the r6 blowup sweep); every word has
+        # >= 1 symbol so the outer variant is semantically identical and
+        # generates no filter
+        stats = syms.select(F.explode_outer("tk").alias("sym"), "cnt").agg(
             F.sum("cnt").cast("bigint").alias("n_tokens_after"),
             F.countDistinct("sym").cast("bigint").alias("vocab_after"),
         )
