@@ -108,23 +108,31 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator):
 
 
 def gen_lineitem(out: str, n_docs: int) -> int:
-    """Minimal lineitem for the sketch-family scale points (r8): only the
-    three columns kll_quantile_sketch reads — (l_orderkey, l_linenumber,
-    l_extendedprice) — with prices RESAMPLED from the real sf0.1 marginal
-    so the quantile targets match the driver fixture's distribution.
-    Row count keeps sf0.1's 120 lineitem rows per document. Chunked write
-    (the 100× point is 60M rows). Own seed, so the table can be added to
-    an existing fixture without disturbing the doc/embedding streams."""
+    """Minimal lineitem for the sketch-family scale points (r8): the
+    columns the sketch entries read — (l_orderkey, l_linenumber,
+    l_extendedprice) for kll_quantile_sketch plus (l_quantity,
+    l_discount) for theta_sketch_setops — with every value column
+    RESAMPLED from the real sf0.1 marginals so quantile/selectivity
+    targets match the driver fixture's distribution. Row count keeps
+    sf0.1's 120 lineitem rows per document. Chunked write (the 100×
+    point is 60M rows). Own seed, so the table can be added to an
+    existing fixture without disturbing the doc/embedding streams."""
     rng = np.random.default_rng(4242)
-    base = pq.read_table(
-        "/root/testdata/sf0.1/lineitem.parquet", columns=["l_extendedprice"]
-    )["l_extendedprice"].to_numpy()
+    base_tbl = pq.read_table(
+        "/root/testdata/sf0.1/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity", "l_discount"],
+    )
+    base = base_tbl["l_extendedprice"].to_numpy()
+    base_qty = base_tbl["l_quantity"].to_numpy()
+    base_disc = base_tbl["l_discount"].to_numpy()
     n_rows = n_docs * 120
     schema = pa.schema(
         [
             pa.field("l_orderkey", pa.int64()),
             pa.field("l_linenumber", pa.int32()),
             pa.field("l_extendedprice", pa.float64()),
+            pa.field("l_quantity", pa.float64()),
+            pa.field("l_discount", pa.float64()),
         ]
     )
     chunk = 2_000_000
@@ -141,6 +149,12 @@ def gen_lineitem(out: str, n_docs: int) -> int:
                         ),
                         "l_extendedprice": pa.array(
                             rng.choice(base, size=n), type=pa.float64()
+                        ),
+                        "l_quantity": pa.array(
+                            rng.choice(base_qty, size=n), type=pa.float64()
+                        ),
+                        "l_discount": pa.array(
+                            rng.choice(base_disc, size=n), type=pa.float64()
                         ),
                     },
                     schema=schema,

@@ -61,8 +61,9 @@ class TestDsirImportanceSelect:
         # natural share (~44% of the corpus): the whole point of DSIR
         share = sum(1 for r in rows if r["lang"] == DSIR_TARGET_LANG) / len(rows)
         assert share >= 0.6
-        # descending weight with doc_id tiebreak
-        weights = [r["weight"] for r in rows]
+        # descending weight with doc_id tiebreak (integer micronats — the
+        # order-independent sum the oracle replays exactly)
+        weights = [r["weight_micronat"] for r in rows]
         assert weights == sorted(weights, reverse=True)
 
 

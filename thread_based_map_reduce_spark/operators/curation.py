@@ -988,30 +988,35 @@ DSIR_TOP_K = 50
         ),
         lr AS (
             SELECT raw.b,
-                   round(ln((coalesce(t.c, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
-                         - ln((raw.c + 1.0) / (tot.rt + {DSIR_BUCKETS})), 6) AS lr
+                   CAST(floor(1e6 * (ln((coalesce(t.c, 0) + 1.0)
+                                        / (tot.tt + {DSIR_BUCKETS}))
+                                     - ln((raw.c + 1.0)
+                                          / (tot.rt + {DSIR_BUCKETS}))))
+                        AS BIGINT) AS lr
             FROM raw LEFT JOIN tgt t ON raw.b = t.b, tot
         ),
         scored AS (
             SELECT f.doc_id,
                    max(f.lang) AS lang,
                    CAST(count(*) AS BIGINT) AS n_bigrams,
-                   round(sum(lr.lr), 4) AS weight
+                   CAST(sum(lr.lr) AS BIGINT) AS weight_micronat
             FROM feat f JOIN lr ON f.b = lr.b
             GROUP BY f.doc_id
         )
-        SELECT doc_id, lang, n_bigrams, weight
+        SELECT doc_id, lang, n_bigrams, weight_micronat
         FROM scored
-        ORDER BY weight DESC, doc_id
+        ORDER BY weight_micronat DESC, doc_id
         LIMIT {DSIR_TOP_K}
     """,
     doc="DSIR-style data selection (Xie et al. 2023): documents scored by "
     f"hashed-bigram importance weights — {DSIR_BUCKETS}-bucket unigram "
     "models of the target domain (lang = "
     f"'{DSIR_TARGET_LANG}') vs the raw corpus, add-one smoothing, per-"
-    "bucket log-likelihood ratios rounded to 6 dp (the BM25 float "
-    f"discipline), summed per document; top-{DSIR_TOP_K} selected with a "
-    "doc_id tiebreak. 100 TB shape: both bucket models collapse to "
+    "bucket log-likelihood ratios quantized to integer micronats "
+    "(floor(1e6*ln) -> BIGINT, the ml.py convention) so the per-doc "
+    "score is an order-independent integer sum — a rounded-double sum "
+    "hit a 4 dp midpoint at sf0.1; "
+    f"top-{DSIR_TOP_K} selected with a doc_id tiebreak. 100 TB shape: both bucket models collapse to "
     f"<= {DSIR_BUCKETS} rows (map-side combine on a narrow int key) and "
     "broadcast back over ONE exploded corpus pass; the per-doc sum is a "
     "single doc_id shuffle and the selection is TakeOrderedAndProject "
@@ -1043,19 +1048,29 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rt"),
         F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tt"),
     )
+    # micronat quantization (the operators/ml.py convention): per-bucket
+    # log-ratios become floor(1e6 * ln)-> BIGINT, so the per-doc score is
+    # an ORDER-INDEPENDENT integer sum — a rounded-double sum diverged
+    # from the oracle at a 4 dp midpoint on the sf0.1 corpus (doc 751,
+    # 1.04485: accumulation-order ulp). The _micronat suffix opts the
+    # column into the prepared ±1 libm tolerance path.
     lr = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                    / (F.col("tt") + DSIR_BUCKETS)
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + DSIR_BUCKETS)
+                    )
+                    - F.log((F.col("c") + 1.0) / (F.col("rt") + DSIR_BUCKETS))
                 )
-                - F.log((F.col("c") + 1.0) / (F.col("rt") + DSIR_BUCKETS)),
-                6,
-            ).alias("lr"),
+            )
+            .cast("bigint")
+            .alias("lr"),
         )
     )
     scored = (
@@ -1064,12 +1079,12 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("lang").alias("lang"),
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum("lr"), 4).alias("weight"),
+            F.sum("lr").cast("bigint").alias("weight_micronat"),
         )
     )
-    return scored.orderBy(F.desc("weight"), "doc_id").limit(DSIR_TOP_K).select(
-        "doc_id", "lang", "n_bigrams", "weight"
-    )
+    return scored.orderBy(F.desc("weight_micronat"), "doc_id").limit(
+        DSIR_TOP_K
+    ).select("doc_id", "lang", "n_bigrams", "weight_micronat")
 
 
 # -- temperature-based mixture allocation (round-8 growth) ---------------------
