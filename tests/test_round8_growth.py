@@ -178,3 +178,27 @@ class TestSimhashHammingPairs:
         want = {tuple(r) for r in con.execute(brute).fetchall()}
         assert got == want and len(got) > 0
         assert all(h <= SIMHASH64_HAM_K for _, _, h in got)
+
+    def test_sized_blocks_stay_complete(self, spark):
+        # the Manku multi-table sizing (more blocks -> wider table keys ->
+        # fewer candidates) must not change the RESULT: pigeonhole
+        # completeness holds at every block count the sizing rule can pick
+        from thread_based_map_reduce_spark.operators.dedup import (
+            simhash_hamming_pairs_impl,
+            sized_simhash_blocks,
+        )
+
+        base = {
+            tuple(r) for r in simhash_hamming_pairs_impl(spark, SF_DIR).collect()
+        }
+        for m in (5, 6):
+            got = {
+                tuple(r)
+                for r in simhash_hamming_pairs_impl(
+                    spark, SF_DIR, n_blocks=m
+                ).collect()
+            }
+            assert got == base
+        # the rule widens keys as the corpus grows
+        assert sized_simhash_blocks(5_000) == 5
+        assert sized_simhash_blocks(500_000) == 6

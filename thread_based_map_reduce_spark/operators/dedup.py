@@ -2774,6 +2774,120 @@ _SH64_BLOCK_BITS = SIMHASH64_BITS // _SH64_N_BLOCKS
 _SH64_BLOCK_MASK = (1 << _SH64_BLOCK_BITS) - 1
 
 
+def sized_simhash_blocks(n_docs: int, *, k: int = SIMHASH64_HAM_K) -> int:
+    """The production sizing rule as code (the sized_lsh_params pattern,
+    similarity.py:135): with m blocks, pigeonhole guarantees any pair
+    within hamming k agrees on SOME (m-k)-block subset, so bucketing on
+    every C(m, m-k) subset (Manku's multi-table design) is complete at a
+    table key width of (m-k) * (60 // m) bits — and candidate volume is
+    ~tables * N^2 / 2^width. Pick the smallest m in [k+1, 6] whose key
+    width covers log2(N) + 8 (avg bucket occupancy <= ~1/256); m=4 (one
+    15-bit block per table) is the testdata default, m=5 gives 24-bit
+    keys over 10 tables, m=6 gives 30-bit keys over 20 tables."""
+    import math
+
+    target = math.log2(max(2, n_docs)) + 8
+    for m in range(k + 1, 7):
+        if (m - k) * (SIMHASH64_BITS // m) >= target:
+            return m
+    return 6
+
+
+def _weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): tf-weighted 60-bit Charikar fingerprints,
+    checkpointed (the bucket stage and both verify sides read it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    h = tf.select("doc_id", "tf", portable_hash64("w").alias("h"))
+    bits = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s{j}")
+            for j in range(SIMHASH64_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH64_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return reliable_checkpoint(bits.select("doc_id", sim.alias("simhash")))
+
+
+def simhash_hamming_pairs_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_blocks: int = _SH64_N_BLOCKS,
+    k: int = SIMHASH64_HAM_K,
+) -> DataFrame:
+    """Complete hamming-<=k pair retrieval over weighted SimHash
+    fingerprints, parameterized by block count (sized_simhash_blocks).
+    Each of the C(m, m-k) block subsets becomes one bucket table; a
+    table's key packs its subset's block values into a single bigint.
+    m = k+1 degenerates to the classic one-block-per-table Manku layout
+    (the catalog entry's oracle-pinned default)."""
+    from itertools import combinations
+
+    bits = SIMHASH64_BITS // n_blocks
+    mask = (1 << bits) - 1
+    combos = list(combinations(range(n_blocks), n_blocks - k))
+    sims = _weighted_simhash(spark, sf_dir)
+
+    def _key(combo: tuple[int, ...]) -> F.Column:
+        key = F.lit(0).cast("bigint")
+        for pos, b in enumerate(combo):
+            blockval = F.shiftright(F.col("simhash"), b * bits).bitwiseAND(mask)
+            key = key + (blockval.cast("bigint") * F.lit(1 << (pos * bits)))
+        return key
+
+    table_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("b"), _key(combo).alias("v"))
+            for t, combo in enumerate(combos)
+        ]
+    )
+    blocks = sims.select("doc_id", F.explode(table_structs).alias("blk")).select(
+        "doc_id", "blk.b", "blk.v"
+    )
+    buckets = (
+        blocks.groupBy("b", "v")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    ham = F.expr("bit_count(_ha ^ _hb)")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(ham <= k)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+    )
+
+
+
 @register(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
@@ -2830,79 +2944,16 @@ _SH64_BLOCK_MASK = (1 << _SH64_BLOCK_BITS) - 1
     "runs only inside buckets — never a corpus self-join. Pair expansion "
     "is local to each bucket's sorted id array (the minhash-LSH idiom). "
     "100 TB shape — with the same sizing contract as the embedding-LSH "
-    "family: candidate volume is ~N²/2^block_bits (FIXED block width -> "
-    "quadratic candidate growth; measured: wire bytes 14 -> 430 -> "
-    "6,134 MB per decade at 15-bit blocks, BASELINE.md), so production "
-    "grows block bits with log2 N — Manku's permuted-table design "
-    "(multiple fingerprint rotations, each probed on a wider prefix) or "
-    "a wider (128-bit) fingerprint; the plan shape (tf aggregate, "
-    "fingerprint aggregate, bucket shuffle, candidate-only verify) is "
-    "unchanged by either.",
+    "family, and the rule is CODE + MEASURED (sized_simhash_blocks, "
+    "scripts/simhash_sizing_point.py): FIXED block width gives candidate "
+    "volume ~N²/2^block_bits (measured wire 14 -> 430 -> 6,134 MB per "
+    "decade at 15-bit blocks), while the Manku multi-table layout — m "
+    "blocks, C(m,m-k) tables, (m-k)*(60/m)-bit keys, completeness "
+    "preserved as a THEOREM (pytest asserts identical pair sets at every "
+    "block count) — collapses the 100x point to 92k candidates vs ~330M "
+    "(BASELINE.md). The plan shape (tf aggregate, fingerprint aggregate, "
+    "bucket shuffle, candidate-only verify) is unchanged at any sizing.",
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    h = tf.select("doc_id", "tf", portable_hash64("w").alias("h"))
-    bits = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, F.col("tf")
-                ).otherwise(-F.col("tf"))
-            ).alias(f"s{j}")
-            for j in range(SIMHASH64_BITS)
-        ]
-    )
-    sim = None
-    for j in range(SIMHASH64_BITS):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sim = term if sim is None else sim + term
-    sims = reliable_checkpoint(bits.select("doc_id", sim.alias("simhash")))
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftright(F.col("simhash"), b * _SH64_BLOCK_BITS)
-                .bitwiseAND(_SH64_BLOCK_MASK)
-                .alias("v"),
-            )
-            for b in range(_SH64_N_BLOCKS)
-        ]
-    )
-    blocks = sims.select("doc_id", F.explode(block_structs).alias("blk")).select(
-        "doc_id", "blk.b", "blk.v"
-    )
-    buckets = (
-        blocks.groupBy("b", "v")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), b -> "
-                    "struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
-    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
-    ham = F.expr("bit_count(_ha ^ _hb)")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(ham <= SIMHASH64_HAM_K)
-        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-    )
+    return simhash_hamming_pairs_impl(spark, sf_dir)
