@@ -465,6 +465,10 @@ _BOUNDED_GLOBAL_WINDOW_SITES = {
     "weighted_median_price_by_flag": 1,
     # post-limit rank windows (TakeOrderedAndProject above, <= K rows)
     "word_freq_topn": 1,
+    # r8 audit: the rank window runs over the ARES_K=100-row TakeOrdered
+    # result (curation.py q_weighted_sample_ares — boundedness comment at
+    # the site)
+    "weighted_sample_ares": 1,
     "char_trigram_profile": 1,
     "countmin_topk_estimate": 1,
     "vocab_growth_curve": 1,

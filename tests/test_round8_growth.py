@@ -202,3 +202,26 @@ class TestSimhashHammingPairs:
         # the rule widens keys as the corpus grows
         assert sized_simhash_blocks(5_000) == 5
         assert sized_simhash_blocks(500_000) == 6
+
+
+class TestWeightedSampleAres:
+    def test_overrepresents_heavy_docs(self, spark):
+        import duckdb
+
+        from thread_based_map_reduce_spark.operators.curation import (
+            ARES_K,
+            q_weighted_sample_ares,
+        )
+
+        rows = q_weighted_sample_ares(spark, SF_DIR).collect()
+        assert len(rows) == ARES_K
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, ARES_K + 1)
+        )
+        # the point of weighting: the selected docs' mean weight exceeds
+        # the corpus mean (u^(1/w) keys favour heavy documents)
+        corpus_avg = duckdb.sql(
+            f"SELECT avg(n_chars) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        sample_avg = sum(r["weight"] for r in rows) / len(rows)
+        assert sample_avg > corpus_avg

@@ -1168,3 +1168,85 @@ def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_epochs"
         ),
     )
+
+
+# -- weighted sampling without replacement (round-8 growth) --------------------
+
+# Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+# reservoir"): give item i the key u_i^(1/w_i) with u_i uniform(0,1];
+# the k largest keys are a weighted sample without replacement with
+# P(selected) increasing in w_i. Deterministic replay: u_i is the salted
+# portable hash mapped to (0,1], and the ORDERING key is
+# floor(1e6 * ln(u)/w) — ln is monotone so ranking by ln(u)/w descending
+# equals ranking by u^(1/w), and the integer micronat form keeps the
+# cross-engine comparison exact (ml.py convention; the _micronat suffix
+# opts into the prepared ±1 libm tolerance).
+ARES_K = 100
+_ARES_SALT = "ares:"
+_H_SPACE_60 = float(2**60)
+
+
+@register(
+    "weighted_sample_ares",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang,
+                   CAST(n_chars AS BIGINT) AS weight,
+                   CAST(floor(1e6 * ln(
+                       ({portable_hash64_sql("'" + _ARES_SALT + "' || CAST(doc_id AS VARCHAR)")} + 1)
+                       / {_H_SPACE_60})
+                       / greatest(n_chars, 1)) AS BIGINT) AS key_micronat
+            FROM documents
+        ),
+        topk AS (
+            SELECT * FROM keyed
+            ORDER BY key_micronat DESC, doc_id
+            LIMIT {ARES_K}
+        )
+        SELECT doc_id, lang, weight, key_micronat,
+               CAST(row_number() OVER (ORDER BY key_micronat DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM topk
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES): "
+    f"the {ARES_K} documents with the largest u^(1/w) keys, w = n_chars — "
+    "the quality-/length-weighted selection step between uniform sampling "
+    "(sample_hash_deterministic) and exact per-key quotas "
+    "(reservoir_sample_per_key); at 100 TB the weight is a quality score "
+    "and this IS the 'sample good documents preferentially' pass. "
+    "Deterministic replay: u from the salted portable hash, ranking key "
+    "quantized to integer micronats (ln monotone, so floor(1e6*ln(u)/w) "
+    "preserves the A-ES order up to documented 1e-6 granularity with a "
+    "doc_id tiebreak). One corpus pass; the cut is "
+    "TakeOrderedAndProject (per-partition k-heaps merged — the "
+    "distributed reservoir semantics A-ES was designed for); the rank "
+    "window touches k rows.",
+    tags=("curation", "sampling"),
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        portable_hash64(F.concat(F.lit(_ARES_SALT), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(_H_SPACE_60)
+    key = F.floor(
+        F.lit(1e6) * F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        key.alias("key_micronat"),
+    )
+    topk = keyed.orderBy(F.desc("key_micronat"), "doc_id").limit(ARES_K)
+    # BOUNDED global window: runs over the <= ARES_K rows the TakeOrdered
+    # cut already produced, never the corpus (audited in test_plans.py
+    # _BOUNDED_GLOBAL_WINDOW_SITES)
+    w = W.orderBy(F.desc("key_micronat"), "doc_id")
+    return topk.select(
+        "doc_id",
+        "lang",
+        "weight",
+        "key_micronat",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
