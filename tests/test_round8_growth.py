@@ -225,3 +225,18 @@ class TestWeightedSampleAres:
         ).fetchone()[0]
         sample_avg = sum(r["weight"] for r in rows) / len(rows)
         assert sample_avg > corpus_avg
+
+
+class TestBpeApplyEncode:
+    def test_compression_semantics(self, spark):
+        from thread_based_map_reduce_spark.operators.text import q_bpe_apply_encode
+
+        rows = q_bpe_apply_encode(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        for r in rows:
+            # BPE can only merge: symbol count per doc is bounded by the
+            # character count below and the word count above
+            assert r["n_words"] <= r["n_bpe_symbols"] <= r["n_char_symbols"]
+            assert 0 < r["compression"] <= 1.0
+        # the trained merges must actually compress SOMETHING corpus-wide
+        assert any(r["n_bpe_symbols"] < r["n_char_symbols"] for r in rows)

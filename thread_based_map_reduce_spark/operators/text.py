@@ -1816,14 +1816,19 @@ _BPE_C = chr(30)  # symbol-close marker (ASCII record separator)
 _BPE_T = chr(9)  # argmax tie-break separator (tab)
 
 
-def _bpe_oracle() -> str:
+def _bpe_parts() -> list[str]:
+    """The shared training CTE chain (wr0/w0, then t/p/b/w/s per round),
+    carrying the original word ``tok`` through every round so the apply
+    entry can key the encoded vocabulary by word. Used by both BPE
+    oracles."""
     o, c, t = _BPE_O, _BPE_C, _BPE_T
     # regexp_replace turns "ab" into O·a·C·O·b·C·O; trimming the trailing
     # O leaves the marker-wrapped symbol string O·a·C·O·b·C.
     parts = [
         f"""
         wr0 AS (
-            SELECT '{o}' || regexp_replace(tok, '(.)', '\\1{c}{o}', 'g') AS _x,
+            SELECT tok,
+                   '{o}' || regexp_replace(tok, '(.)', '\\1{c}{o}', 'g') AS _x,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM (
                 SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
@@ -1831,9 +1836,8 @@ def _bpe_oracle() -> str:
             )
             GROUP BY tok
         ),
-        w0 AS (SELECT substr(_x, 1, length(_x) - 1) AS s, cnt FROM wr0)"""
+        w0 AS (SELECT tok, substr(_x, 1, length(_x) - 1) AS s, cnt FROM wr0)"""
     ]
-    rounds_sql = []
     for r in range(1, BPE_ROUNDS + 1):
         p = r - 1
         parts.append(f"""
@@ -1858,8 +1862,8 @@ def _bpe_oracle() -> str:
             )
         ),
         w{r} AS (
-            SELECT replace(s, '{o}' || lft || '{c}{o}' || rgt || '{c}',
-                              '{o}' || lft || rgt || '{c}') AS s, cnt
+            SELECT tok, replace(s, '{o}' || lft || '{c}{o}' || rgt || '{c}',
+                                   '{o}' || lft || rgt || '{c}') AS s, cnt
             FROM w{p}, b{r}
         ),
         s{r} AS (
@@ -1871,35 +1875,25 @@ def _bpe_oracle() -> str:
                         substr(s, 2, length(s) - 2), '{c}{o}')) AS u(sym))
                        AS vocab_after
         )""")
-        rounds_sql.append(
-            f"SELECT {r} AS round, b{r}.lft AS merge_left, b{r}.rgt AS merge_right, "
-            f"b{r}.lft || b{r}.rgt AS merged, CAST(b{r}.pc AS BIGINT) AS pair_count, "
-            f"s{r}.n_tokens_after, s{r}.vocab_after FROM b{r}, s{r}"
-        )
+    return parts
+
+
+def _bpe_oracle() -> str:
+    parts = _bpe_parts()
+    rounds_sql = [
+        f"SELECT {r} AS round, b{r}.lft AS merge_left, b{r}.rgt AS merge_right, "
+        f"b{r}.lft || b{r}.rgt AS merged, CAST(b{r}.pc AS BIGINT) AS pair_count, "
+        f"s{r}.n_tokens_after, s{r}.vocab_after FROM b{r}, s{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
     return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(rounds_sql)
 
 
-@register(
-    "bpe_train_merges",
-    oracle=_bpe_oracle(),
-    doc=f"Iterative BPE tokenizer training, {BPE_ROUNDS} full merge rounds "
-    "(Sennrich et al. 2016) over the weighted word-frequency table: each "
-    "round counts adjacent symbol pairs weighted by word frequency, takes "
-    "the argmax (tab-joined tie-break == (left,right) tuple order), and "
-    "applies the merge via marker-delimited replace-all — greedy "
-    "left-to-right non-overlapping, the exact BPE merge semantics "
-    "('a a a' merges once, 'a b a b' merges twice), identical in both "
-    "engines so every round's merge rule AND the post-merge corpus stats "
-    "(weighted token count, symbol vocabulary) sit under the hash gate. "
-    "100 TB shape: ONE corpus pass builds the word-frequency table; every "
-    "round then runs on the DISTINCT-WORD table (Heaps-law ~sqrt(corpus), "
-    "millions of rows at 100 TB — this aggregate-first shape is why BPE "
-    "trainers scale), with the argmax as a one-row broadcast crossJoin "
-    "and the merge as a map-side replace; rounds are checkpoint-truncated "
-    "so plan depth stays O(1) per round.",
-    tags=("text", "tokenize", "curation", "iterative"),
-)
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE_ROUNDS training loop; returns (words, out_rows) where
+    ``words`` is the final (tok, s, cnt) encoded-vocabulary table and
+    ``out_rows`` the per-round merge-rule DataFrames. Shared by the
+    training entry and bpe_apply_encode."""
     o, c, t = _BPE_O, _BPE_C, _BPE_T
     docs = load_table(spark, sf_dir, "documents")
     pre = (
@@ -1907,6 +1901,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .select(
+            "tok",
             F.concat(
                 F.lit(o), F.regexp_replace("tok", "(.)", f"$1{c}{o}")
             ).alias("_x"),
@@ -1915,7 +1910,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = reliable_checkpoint(
         pre.select(
-            F.expr("substring(_x, 1, length(_x) - 1)").alias("s"), "cnt"
+            "tok", F.expr("substring(_x, 1, length(_x) - 1)").alias("s"), "cnt"
         )
     )
     sep = c + o  # split separator between adjacent symbols (regex-safe: control chars)
@@ -1955,6 +1950,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pre-merge word table.
         words = reliable_checkpoint(
             words.crossJoin(F.broadcast(best)).select(
+                "tok",
                 F.replace(
                     F.col("s"),
                     F.concat(F.lit(o), F.col("lft"), F.lit(c + o), F.col("rgt"), F.lit(c)),
@@ -1987,7 +1983,105 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vocab_after",
             )
         )
+    return words, out_rows
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=f"Iterative BPE tokenizer training, {BPE_ROUNDS} full merge rounds "
+    "(Sennrich et al. 2016) over the weighted word-frequency table: each "
+    "round counts adjacent symbol pairs weighted by word frequency, takes "
+    "the argmax (tab-joined tie-break == (left,right) tuple order), and "
+    "applies the merge via marker-delimited replace-all — greedy "
+    "left-to-right non-overlapping, the exact BPE merge semantics "
+    "('a a a' merges once, 'a b a b' merges twice), identical in both "
+    "engines so every round's merge rule AND the post-merge corpus stats "
+    "(weighted token count, symbol vocabulary) sit under the hash gate. "
+    "100 TB shape: ONE corpus pass builds the word-frequency table; every "
+    "round then runs on the DISTINCT-WORD table (Heaps-law ~sqrt(corpus), "
+    "millions of rows at 100 TB — this aggregate-first shape is why BPE "
+    "trainers scale), with the argmax as a one-row broadcast crossJoin "
+    "and the merge as a map-side replace; rounds are checkpoint-truncated "
+    "so plan depth stays O(1) per round.",
+    tags=("text", "tokenize", "curation", "iterative"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out_rows = _bpe_train(spark, sf_dir)
     out = out_rows[0]
     for df in out_rows[1:]:
         out = out.unionAll(df)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    o, c, t = _BPE_O, _BPE_C, _BPE_T
+    parts = _bpe_parts()
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+        word_syms AS (
+            SELECT tok,
+                   length(s) - length(replace(s, '{c}', '')) AS n_sym
+            FROM w{BPE_ROUNDS}
+        ),
+        dtoks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(d.tok)) AS BIGINT) AS n_char_symbols,
+               CAST(sum(ws.n_sym) AS BIGINT) AS n_bpe_symbols,
+               round(sum(ws.n_sym)::DOUBLE / nullif(sum(length(d.tok)), 0), 6)
+                   AS compression
+        FROM dtoks d JOIN word_syms ws ON d.tok = ws.tok
+        GROUP BY d.doc_id
+    """
+    )
+
+
+@register(
+    "bpe_apply_encode",
+    oracle=_bpe_apply_oracle(),
+    doc="The INFERENCE side of bpe_train_merges — apply the trained merge "
+    "rules to encode the corpus: the vocabulary is encoded ONCE at the "
+    "distinct-word level (each word's final symbol count read off the "
+    "post-merge marker string — counting close markers, no re-split), "
+    "then every document is encoded by a broadcast word->symbol-count "
+    "lookup over one exploded corpus pass; emits per-document word / "
+    "character-symbol / BPE-symbol counts and the compression ratio. "
+    "This encode-the-vocab-then-look-up shape is exactly how production "
+    "BPE tokenizers amortize encoding over a corpus (the merge loop "
+    "never touches the corpus, and neither does the apply — only the "
+    "Heaps-law word table does). One corpus tokenize pass, one broadcast "
+    "join, one doc_id shuffle.",
+    tags=("text", "tokenize", "curation", "iterative"),
+)
+def q_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _BPE_C
+    words, _ = _bpe_train(spark, sf_dir)
+    word_syms = words.select(
+        "tok",
+        (
+            F.length("s") - F.length(F.replace(F.col("s"), F.lit(c), F.lit("")))
+        ).alias("n_sym"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        dtoks.join(F.broadcast(word_syms), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_char_symbols"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_symbols"),
+            F.round(
+                F.sum("n_sym").cast("double")
+                / F.nullif(F.sum(F.length("tok")), F.lit(0)),
+                6,
+            ).alias("compression"),
+        )
+    )

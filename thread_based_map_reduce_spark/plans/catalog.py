@@ -257,6 +257,7 @@ _PINNED_FIRST = (
     "bpe_train_merges",
     "dedup_simhash_hamming_pairs",
     "weighted_sample_ares",
+    "bpe_apply_encode",
     # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
     "reservoir_sample_per_key",
     "dedup_incremental_e2e",
@@ -298,9 +299,9 @@ _PINNED_FIRST = (
     "tpch_q3_toporders",
     "tpch_q5_region_revenue",
     "tpch_q6_revenue",
-    "union_all_tagged",
-    # (window_range_frame / window_rank_family rotate in r9 — trimmed to
-    # keep the 7 new r8 entries inside the 50-slot window)
+    # (union_all_tagged / window_range_frame / window_rank_family rotate
+    # in r9 — trimmed to keep the 8 new r8 entries inside the 50-slot
+    # window)
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
