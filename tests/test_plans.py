@@ -623,6 +623,8 @@ _AUDITED_BNLJ_SITES = {
     # replace AND the one-row (argmax x stats) output row — 2 x 3 rounds,
     # every build side an ungrouped (or LIMIT 1) one-row aggregate
     "bpe_train_merges": 6,
+    # r8: the broadcast one-row training-token-total (ntr) crossJoin
+    "heldout_backoff_nll": 1,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

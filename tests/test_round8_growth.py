@@ -240,3 +240,29 @@ class TestBpeApplyEncode:
             assert 0 < r["compression"] <= 1.0
         # the trained merges must actually compress SOMETHING corpus-wide
         assert any(r["n_bpe_symbols"] < r["n_char_symbols"] for r in rows)
+
+
+class TestHeldoutBackoffNll:
+    def test_backoff_actually_fires(self, spark):
+        import duckdb
+
+        from thread_based_map_reduce_spark.operators.text import (
+            HELDOUT_MOD,
+            q_heldout_backoff_nll,
+        )
+
+        rows = q_heldout_backoff_nll(spark, SF_DIR).collect()
+        n_eval = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/documents.parquet' "
+            f"WHERE doc_id % {HELDOUT_MOD} = 0"
+        ).fetchone()[0]
+        assert 0 < len(rows) <= n_eval
+        # the raison d'etre: on held-out docs a substantial share of
+        # trigrams is unseen in training, so the backoff tiers engage
+        # (self-scored bigram NLL can never back off)
+        assert sum(r["backoff_trigrams"] for r in rows) > 0
+        for r in rows:
+            assert 0 <= r["backoff_trigrams"] <= r["n_trigrams"]
+            assert 0 <= r["oov_trigrams"] <= r["backoff_trigrams"]
+            # NLL is positive (every scored probability < 1)
+            assert r["nll_micronat"] > 0

@@ -2085,3 +2085,202 @@ def q_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+# -- held-out stupid-backoff NLL (round-8 growth) -------------------------------
+
+# Stupid backoff (Brants, Popat, Xu, Och, Dean 2007, "Large Language
+# Models in Machine Translation"), the full chain: score(w3|w1 w2) =
+# c(w1w2w3)/c(w1w2) when the trigram was seen in TRAINING, else
+# alpha * c(w2w3)/c(w2), else alpha^2 * c(w3)/N, else an alpha^3/N OOV
+# floor — the un-normalized web-scale LM scoring rule. Trained on the
+# doc_id % HELDOUT_MOD != 0 split and scored on the HELD-OUT docs: the
+# methodologically honest perplexity shape, and the one where the
+# backoff tiers measurably engage (~1/3 of held-out trigrams are unseen
+# on this corpus; bigram_nll_quality scores the corpus under its own
+# counts, where nothing is ever unseen and no backoff could fire).
+HELDOUT_MOD = 41  # the decontam split convention (curation.EVAL_MOD)
+BACKOFF_ALPHA = 0.4  # the published stupid-backoff constant
+_BK_T = chr(9)
+
+
+@register(
+    "heldout_backoff_nll",
+    oracle=f"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   unnest([w[i] || '{_BK_T}' || w[i+1] || '{_BK_T}' || w[i+2]
+                           for i in range(1, greatest(len(w) - 1, 1))]) AS k
+            FROM toked
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest([w[i] || '{_BK_T}' || w[i+1]
+                           for i in range(1, greatest(len(w), 1))]) AS k
+            FROM toked
+        ),
+        ctri AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM tri
+                 WHERE doc_id % {HELDOUT_MOD} <> 0 GROUP BY k),
+        cbig AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM big
+                 WHERE doc_id % {HELDOUT_MOD} <> 0 GROUP BY k),
+        tr_toks AS (
+            SELECT unnest(w) AS tok FROM toked WHERE doc_id % {HELDOUT_MOD} <> 0
+        ),
+        cuni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tr_toks GROUP BY tok),
+        ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr_toks),
+        ev AS (
+            SELECT doc_id, k,
+                   string_split(k, '{_BK_T}')[1] AS w1,
+                   string_split(k, '{_BK_T}')[2] AS w2,
+                   string_split(k, '{_BK_T}')[3] AS w3
+            FROM tri WHERE doc_id % {HELDOUT_MOD} = 0
+        ),
+        scored AS (
+            SELECT e.doc_id,
+                   CASE WHEN t.c IS NOT NULL THEN 0
+                        WHEN b23.c IS NOT NULL THEN 1
+                        WHEN u3.c IS NOT NULL THEN 2 ELSE 3 END AS tier,
+                   CAST(floor(1e6 * ln(
+                       CASE
+                           WHEN t.c IS NOT NULL
+                               THEN t.c::DOUBLE / b12.c
+                           WHEN b23.c IS NOT NULL
+                               THEN {BACKOFF_ALPHA} * b23.c::DOUBLE / u2.c
+                           WHEN u3.c IS NOT NULL
+                               THEN {BACKOFF_ALPHA ** 2} * u3.c::DOUBLE
+                                    / nullif(ntr.n, 0)
+                           ELSE {BACKOFF_ALPHA ** 3} / nullif(ntr.n, 0)
+                       END)) AS BIGINT) AS lp
+            FROM ev e
+            LEFT JOIN ctri t ON e.k = t.k
+            LEFT JOIN cbig b12 ON e.w1 || '{_BK_T}' || e.w2 = b12.k
+            LEFT JOIN cbig b23 ON e.w2 || '{_BK_T}' || e.w3 = b23.k
+            LEFT JOIN cuni u2 ON e.w2 = u2.tok
+            LEFT JOIN cuni u3 ON e.w3 = u3.tok
+            CROSS JOIN ntr
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(-sum(lp) AS BIGINT) AS nll_micronat,
+               CAST(count(CASE WHEN tier >= 1 THEN 1 END) AS BIGINT)
+                   AS backoff_trigrams,
+               CAST(count(CASE WHEN tier = 3 THEN 1 END) AS BIGINT)
+                   AS oov_trigrams,
+               round(count(CASE WHEN tier >= 1 THEN 1 END)
+                     / nullif(count(*), 0), 6) AS backoff_frac
+        FROM scored
+        GROUP BY doc_id
+    """,
+    doc="Held-out stupid-backoff NLL, the full Brants et al. 2007 chain: "
+    "the trigram LM trains on the doc_id % "
+    f"{HELDOUT_MOD} != 0 split and scores held-out documents with "
+    "score(w3|w1w2) = c(w1w2w3)/c(w1w2), backing off through "
+    f"{BACKOFF_ALPHA}*c(w2w3)/c(w2) and alpha^2*c(w3)/N to an alpha^3/N "
+    "OOV floor — the un-normalized web-scale LM scoring rule, on the "
+    "split where backoff measurably fires (~1/3 of held-out trigrams "
+    "are unseen here; bigram_nll_quality scores the corpus under its "
+    "own counts, where nothing is unseen). Per-doc NLL is an "
+    "integer-micronat sum (order-independent; the DSIR lesson), with "
+    "backoff/OOV tier counts and the backoff fraction alongside. "
+    "100 TB shape: one tokenize pass feeds the train-split "
+    "trigram/bigram/unigram counts and the eval stream (each "
+    "checkpointed once); the five count lookups are narrow-key joins "
+    "left to AQE (web-scale n-gram vocabularies are far past broadcast "
+    "thresholds — the bigram_nll_quality/token_pmi precedent); one "
+    "doc_id shuffle re-aggregates.",
+    tags=("text", "curation"),
+)
+def q_heldout_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _BK_T
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("w"))
+
+    def _ngram_stream(n: int) -> DataFrame:
+        # zip/slice construction needs no size filter (short docs yield
+        # empty arrays; explode drops them) — a size(w) guard would
+        # re-inline tokens(text) into the pushed Filter (the BPE blowup
+        # lesson), and sequence(1, size-n+1) would DESCEND on short docs
+        guard = f"greatest(size(w) - {n - 1}, 0)"
+        if n == 2:
+            expr = (
+                f"zip_with(slice(w, 1, {guard}), slice(w, 2, {guard}), "
+                f"(a, b) -> concat(a, '{t}', b))"
+            )
+        else:
+            expr = (
+                f"zip_with(zip_with(slice(w, 1, {guard}), slice(w, 2, {guard}), "
+                f"(a, b) -> concat(a, '{t}', b)), slice(w, 3, {guard}), "
+                f"(ab, cc) -> concat(ab, '{t}', cc))"
+            )
+        return toked.select("doc_id", F.explode(F.expr(expr)).alias("k"))
+
+    is_train = F.col("doc_id") % HELDOUT_MOD != 0
+    tri = reliable_checkpoint(_ngram_stream(3))
+    big = reliable_checkpoint(_ngram_stream(2))
+    ctri = tri.where(is_train).groupBy("k").agg(F.count("*").alias("ct"))
+    cbig = big.where(is_train).groupBy("k").agg(F.count("*").alias("cb"))
+    tr_toks = reliable_checkpoint(
+        toked.where(is_train).select(F.explode_outer("w").alias("tok"))
+    )
+    cuni = tr_toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    ntr = tr_toks.agg(F.count("tok").alias("n"))
+    ev = tri.where(~is_train).select(
+        "doc_id",
+        "k",
+        F.split("k", t).getItem(0).alias("w1"),
+        F.split("k", t).getItem(1).alias("w2"),
+        F.split("k", t).getItem(2).alias("w3"),
+    )
+    b12 = cbig.select(F.col("k").alias("k12"), F.col("cb").alias("cb12"))
+    b23 = cbig.select(F.col("k").alias("k23"), F.col("cb").alias("cb23"))
+    u2 = cuni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    u3 = cuni.select(F.col("tok").alias("w3"), F.col("cu").alias("cu3"))
+    n_guard = F.nullif(F.col("n"), F.lit(0))
+    p = (
+        F.when(F.col("ct").isNotNull(), F.col("ct").cast("double") / F.col("cb12"))
+        .when(
+            F.col("cb23").isNotNull(),
+            F.lit(BACKOFF_ALPHA) * F.col("cb23").cast("double") / F.col("cu2"),
+        )
+        .when(
+            F.col("cu3").isNotNull(),
+            F.lit(BACKOFF_ALPHA**2) * F.col("cu3").cast("double") / n_guard,
+        )
+        .otherwise(F.lit(BACKOFF_ALPHA**3) / n_guard)
+    )
+    tier = (
+        F.when(F.col("ct").isNotNull(), F.lit(0))
+        .when(F.col("cb23").isNotNull(), F.lit(1))
+        .when(F.col("cu3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    scored = (
+        ev.withColumn("k12", F.concat("w1", F.lit(t), "w2"))
+        .withColumn("k23", F.concat("w2", F.lit(t), "w3"))
+        .join(ctri.select(F.col("k"), "ct"), "k", "left")
+        .join(b12, "k12", "left")
+        .join(b23, "k23", "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "doc_id",
+            tier.alias("tier"),
+            F.floor(F.lit(1e6) * F.log(p)).cast("bigint").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        (-F.sum("lp")).cast("bigint").alias("nll_micronat"),
+        F.count(F.when(F.col("tier") >= 1, 1)).cast("bigint").alias("backoff_trigrams"),
+        F.count(F.when(F.col("tier") == 3, 1)).cast("bigint").alias("oov_trigrams"),
+        F.round(
+            F.count(F.when(F.col("tier") >= 1, 1))
+            / F.nullif(F.count("*"), F.lit(0)),
+            6,
+        ).alias("backoff_frac"),
+    )

@@ -258,6 +258,7 @@ _PINNED_FIRST = (
     "dedup_simhash_hamming_pairs",
     "weighted_sample_ares",
     "bpe_apply_encode",
+    "heldout_backoff_nll",
     # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
     "reservoir_sample_per_key",
     "dedup_incremental_e2e",
@@ -295,7 +296,6 @@ _PINNED_FIRST = (
     "stats_agg",
     "subquery_scalar",
     "tpch_q21_waiting_orders",
-    "tpch_q22_idle_customers",
     "tpch_q3_toporders",
     "tpch_q5_region_revenue",
     "tpch_q6_revenue",
