@@ -1,0 +1,149 @@
+"""Round-9 growth and fix tests.
+
+1. BPE dry-round guard (ADVICE r8 medium): a corpus whose words are all
+   single characters produces an EMPTY pair table in round 1 — before the
+   fix, the argmax crossJoin annihilated the vocabulary table and both BPE
+   entries returned zero rows; the DuckDB oracle had the identical
+   `FROM w{p}, b{r}` cross join so the parity gate was structurally blind
+   to it. The fix (LEFT JOIN ON TRUE + null-guard, mirrored in both
+   engines) must leave the vocabulary intact: train emits no merge rows,
+   apply reports compression = 1.0 for every document.
+
+2. Corpus-alphabet invariant (ADVICE r8 low): the BPE marker scheme
+   (chr(31)/chr(30) symbol delimiters, tab tie-break) and the tab-joined
+   n-gram keys in heldout_backoff_nll / DSIR assume corpus tokens never
+   contain these control characters. A token containing them corrupts the
+   symbol representation identically in Spark and DuckDB, so the oracle
+   gate cannot catch it — this fixture invariant fails LOUDLY instead if
+   a future testdata change breaks the assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from thread_based_map_reduce_spark.operators.text import (
+    q_bpe_apply_encode,
+    q_bpe_train_merges,
+)
+from thread_based_map_reduce_spark.plans.catalog import CATALOG
+from thread_based_map_reduce_spark.plans.oracle_check import (
+    compare_query,
+    duck_connection,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def singlechar_sf(tmp_path_factory):
+    """A dataset dir whose documents are ALL single-character words (the
+    ADVICE r8 repro: every BPE round is dry), other tables empty."""
+    d = tmp_path_factory.mktemp("singlechar_sf")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SF_SMOKE, f"{t}.parquet"))
+        if t == "documents":
+            docs = pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "text": pa.array(["a b a b", "b a a"], type=pa.string()),
+                    "lang": pa.array(["en", "en"], type=pa.string()),
+                    "source": pa.array(["web", "web"], type=pa.string()),
+                    "n_chars": pa.array([7, 5], type=pa.int64()),
+                }
+            ).cast(pa.schema([schema.field(i) for i in range(len(schema.names))]))
+            pq.write_table(docs, str(d / f"{t}.parquet"))
+        else:
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_bpe_dry_round_preserves_vocabulary(spark, singlechar_sf):
+    # Every round is dry (no adjacent symbol pair anywhere) -> zero merge
+    # rows, but the vocabulary table must SURVIVE: each word encodes to
+    # exactly its character symbols, compression exactly 1.0.
+    train = q_bpe_train_merges(spark, singlechar_sf).collect()
+    assert train == [], f"dry rounds must emit no merge rows, got {train}"
+    enc = {r["doc_id"]: r for r in q_bpe_apply_encode(spark, singlechar_sf).collect()}
+    assert set(enc) == {1, 2}, "apply lost documents (vocabulary annihilated?)"
+    for r in enc.values():
+        assert r["n_bpe_symbols"] == r["n_char_symbols"]
+        assert r["compression"] == 1.0
+
+
+def test_bpe_dry_round_oracle_parity(spark, singlechar_sf):
+    # The guard must stay engine-identical: both BPE oracles run the same
+    # LEFT JOIN ON TRUE + CASE null-guard, so the driver-style comparison
+    # holds on the dry-round fixture too (rows + schema + value hash).
+    con = duck_connection(singlechar_sf)
+    for name in ("bpe_train_merges", "bpe_apply_encode"):
+        q = CATALOG[name]
+        res = compare_query(spark, con, name, q.fn, q.oracle, singlechar_sf)
+        assert res.ok, f"{name}: {res.problems}"
+
+
+def test_bpe_mixed_dry_rounds(spark, tmp_path):
+    # One merge is possible ('ab' everywhere), then rounds 2..N are dry:
+    # the guard must let round 1 fire and rounds 2+ no-op without damage.
+    d = tmp_path / "mixed_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SF_SMOKE, f"{t}.parquet"))
+        if t == "documents":
+            docs = pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "text": pa.array(["ab ab c"], type=pa.string()),
+                    "lang": pa.array(["en"], type=pa.string()),
+                    "source": pa.array(["web"], type=pa.string()),
+                    "n_chars": pa.array([7], type=pa.int64()),
+                }
+            ).cast(pa.schema([schema.field(i) for i in range(len(schema.names))]))
+            pq.write_table(docs, str(d / f"{t}.parquet"))
+        else:
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    sf = str(d)
+    rows = q_bpe_train_merges(spark, sf).collect()
+    assert [r["round"] for r in rows] == [1]
+    assert rows[0]["merged"] == "ab"
+    enc = q_bpe_apply_encode(spark, sf).collect()
+    assert len(enc) == 1
+    # 'ab' -> 1 symbol (x2 words), 'c' -> 1 symbol: 3 bpe symbols / 5 chars
+    assert enc[0]["n_bpe_symbols"] == 3
+    assert enc[0]["n_char_symbols"] == 5
+    con = duck_connection(sf)
+    for name in ("bpe_train_merges", "bpe_apply_encode"):
+        q = CATALOG[name]
+        res = compare_query(spark, con, name, q.fn, q.oracle, sf)
+        assert res.ok, f"{name}: {res.problems}"
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_corpus_alphabet_invariant(sf):
+    # chr(9) tab (argmax tie-break + n-gram join keys), chr(30)/chr(31)
+    # (BPE symbol markers) must never appear in document text. Pure
+    # pyarrow scan — no Spark session needed, runs in milliseconds.
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+    col = t.column("text")
+    for ch, why in ((chr(9), "tab"), (chr(30), "RS marker"), (chr(31), "US marker")):
+        hits = pc.sum(
+            pc.cast(pc.match_substring(col, ch), pa.int64())
+        ).as_py() or 0
+        assert hits == 0, (
+            f"{sf}/documents.text contains {why} (chr({ord(ch)})) in {hits} "
+            "rows — the BPE marker scheme and tab-joined n-gram keys are "
+            "corrupted identically in Spark and DuckDB; fix the fixture or "
+            "re-key the affected operators"
+        )

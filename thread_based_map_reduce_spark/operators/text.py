@@ -1862,9 +1862,12 @@ def _bpe_parts() -> list[str]:
             )
         ),
         w{r} AS (
-            SELECT tok, replace(s, '{o}' || lft || '{c}{o}' || rgt || '{c}',
-                                   '{o}' || lft || rgt || '{c}') AS s, cnt
-            FROM w{p}, b{r}
+            SELECT tok,
+                   CASE WHEN lft IS NULL THEN s
+                        ELSE replace(s, '{o}' || lft || '{c}{o}' || rgt || '{c}',
+                                        '{o}' || lft || rgt || '{c}') END AS s,
+                   cnt
+            FROM w{p} LEFT JOIN b{r} ON TRUE
         ),
         s{r} AS (
             SELECT (SELECT CAST(sum(cnt * len(string_split(
@@ -1947,15 +1950,30 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         # one-row broadcast argmax; the merge is a map-side replace over
         # the (vocab-sized) word table. best is read twice (merge + output
         # row) — both reads are a tiny aggregate over the checkpointed
-        # pre-merge word table.
+        # pre-merge word table. DRY-ROUND GUARD: when no adjacent pair
+        # exists (every word already a single symbol — e.g. a corpus of
+        # one-character words), ``best`` is EMPTY; a plain crossJoin would
+        # annihilate the vocabulary table (and bpe_apply_encode would then
+        # report no encoding at all instead of compression=1.0), so the
+        # merge is a LEFT join on TRUE with a null-guard: an empty merge
+        # rule leaves every word's symbol string unchanged. The oracle
+        # mirrors this exactly (LEFT JOIN b{r} ON TRUE + CASE), so the
+        # semantics stay engine-identical; dry rounds emit NO output row
+        # in both engines (out_rows crossJoin / FROM b{r} are empty).
         words = reliable_checkpoint(
-            words.crossJoin(F.broadcast(best)).select(
+            words.join(F.broadcast(best), F.lit(True), "left").select(
                 "tok",
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(o), F.col("lft"), F.lit(c + o), F.col("rgt"), F.lit(c)),
-                    F.concat(F.lit(o), F.col("lft"), F.col("rgt"), F.lit(c)),
-                ).alias("s"),
+                F.when(F.col("lft").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(o), F.col("lft"), F.lit(c + o), F.col("rgt"), F.lit(c)
+                        ),
+                        F.concat(F.lit(o), F.col("lft"), F.col("rgt"), F.lit(c)),
+                    )
+                )
+                .alias("s"),
                 "cnt",
             )
         )
