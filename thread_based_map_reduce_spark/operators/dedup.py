@@ -2950,10 +2950,24 @@ def simhash_hamming_pairs_impl(
     "decade at 15-bit blocks), while the Manku multi-table layout — m "
     "blocks, C(m,m-k) tables, (m-k)*(60/m)-bit keys, completeness "
     "preserved as a THEOREM (pytest asserts identical pair sets at every "
-    "block count) — collapses the 100x point to 92k candidates vs ~330M "
-    "(BASELINE.md). The plan shape (tf aggregate, fingerprint aggregate, "
-    "bucket shuffle, candidate-only verify) is unchanged at any sizing.",
+    "block count) — collapses the 100x point to 92k candidates vs ~330M, "
+    "wire bucket-fanout-bound at 123/1,751 MB per decade (BASELINE.md). "
+    "Since round 9 the catalog entry DEFAULTS to the sized layout (one "
+    "metadata-only doc count feeds sized_simhash_blocks); the oracle "
+    "stays pinned at the m=4 classic layout, which the completeness "
+    "theorem makes pair-set-identical — the driver hash gate re-proves "
+    "the equality every round. The plan shape (tf aggregate, fingerprint "
+    "aggregate, bucket shuffle, candidate-only verify) is unchanged at "
+    "any sizing.",
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_hamming_pairs_impl(spark, sf_dir)
+    # Scale-safe default (VERDICT r8 #1): size the Manku multi-table
+    # layout to the corpus. The doc count is a metadata-only parquet
+    # action; the pair set is provably independent of n_blocks
+    # (pigeonhole completeness, tests/test_round8_growth.py), so the
+    # m=4-pinned oracle above remains exact at every sizing.
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return simhash_hamming_pairs_impl(
+        spark, sf_dir, n_blocks=sized_simhash_blocks(n_docs)
+    )

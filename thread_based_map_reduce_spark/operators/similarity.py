@@ -2916,27 +2916,25 @@ def q_optics_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cores.select(F.col("vec_id").alias("b")), "b")
         .select("a", "b")
     )
-    # min-label propagation over cores (the dedup_clusters loop)
-    labels = reliable_checkpoint(
-        cores.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    # Core-CC via alternating large-star/small-star contraction (Kiveris
+    # et al. SoCC'14) — O(log n) rounds regardless of component diameter,
+    # replacing the r8 min-label loop whose round count was
+    # O(component-diameter) with one .first() per round (VERDICT r8 #8).
+    # Same fixpoint (node -> component-min), so the recursive-CTE oracle
+    # is untouched. Isolated cores (no core-core edge) never enter the
+    # edge set; they label themselves, exactly as the propagation loop's
+    # all-cores seed did.
+    from ..operators.dedup import connected_components_twostar
+
+    cc = connected_components_twostar(
+        core_sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     )
-    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).first()[0]
-    while True:
-        nbr = core_sym.join(labels, core_sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "label"
-        )
-        new_labels = reliable_checkpoint(
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        new_sum = new_labels.agg(label_sum).first()[0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    core_label = labels.select(
-        F.col("node").alias("vec_id"), F.col("label").alias("cluster")
-    )
+    isolated = cores.join(
+        cc.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", F.col("vec_id").alias("cluster"))
+    core_label = cc.select(
+        F.col("node").alias("vec_id"), F.col("cluster")
+    ).unionByName(isolated)
     border_label = (
         sym.join(core_label.select(F.col("vec_id").alias("b"), "cluster"), "b")
         .join(cores.select(F.col("vec_id").alias("a")), "a", "left_anti")
