@@ -469,6 +469,10 @@ _BOUNDED_GLOBAL_WINDOW_SITES = {
     # result (curation.py q_weighted_sample_ares — boundedness comment at
     # the site)
     "weighted_sample_ares": 1,
+    # r9 audit: ntile + position windows both run over the
+    # <= CURR_DOC_BUDGET=200-row quota-selected manifest, never the
+    # corpus (boundedness comment at the site in q_curriculum_manifest)
+    "curriculum_manifest": 2,
     "char_trigram_profile": 1,
     "countmin_topk_estimate": 1,
     "vocab_growth_curve": 1,
@@ -625,6 +629,10 @@ _AUDITED_BNLJ_SITES = {
     "bpe_train_merges": 6,
     # r8: the broadcast one-row training-token-total (ntr) crossJoin
     "heldout_backoff_nll": 1,
+    # r9 audit: the one-row ztemp normalizer crossJoin (the same
+    # temperature_mix_allocation site, BuildRight over a one-row
+    # ungrouped HashAggregate broadcast)
+    "curriculum_manifest": 1,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

@@ -295,3 +295,45 @@ def test_stream_sliding_equals_batch(spark, sf_dir):
         (r.win_start_s, r.event_type): (r.n, r.total_value) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_timer_ttl_equals_batch(spark, sf_dir):
+    # Timer/TTL batch parity (the 10th runtime): the stream must emit
+    # EXACTLY the users whose inactivity TTL expired below the terminal
+    # watermark, each exactly once, with whole-history totals equal to
+    # the batch aggregation — and nobody else (still-armed timers stay
+    # in state, unemitted).
+    from thread_based_map_reduce_spark.streaming.events import (
+        TTL_GAP_MS,
+        run_stream_to_memory,
+        user_ttl_expiry_stream,
+    )
+
+    out = run_stream_to_memory(
+        user_ttl_expiry_stream(spark, sf_dir), "t_timer_ttl", "append"
+    ).collect()
+    uids = [r.user_id for r in out]
+    assert len(uids) == len(set(uids)), "a timer fired twice for some user"
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("m")).first()["m"]
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    )
+    import datetime
+
+    ttl = datetime.timedelta(milliseconds=TTL_GAP_MS)
+    wm = gmax - datetime.timedelta(hours=2)
+    want = {
+        r.user_id: (r.n_events, r.total_value) for r in batch if r.mx + ttl < wm
+    }
+    got = {r.user_id: (r.n_events, r.total_value) for r in out}
+    assert got == want and len(got) > 0
+    # the complement really is withheld: at least one user stays in state
+    # on this fixture (its last event is inside the watermark tail)
+    assert len(want) < len(batch)

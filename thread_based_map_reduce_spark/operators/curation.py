@@ -1250,3 +1250,174 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_micronat",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# -- curriculum-ordering training manifest (round-9 growth) ---------------------
+
+# The last unbuilt step between the sampling primitives and a
+# trainer-consumable ordering (VERDICT r8 #5): compose the A-ES
+# quality-weighted selection keys (q_weighted_sample_ares) with the
+# temperature mixture quotas (q_temperature_mix_allocation) into a
+# per-shard training manifest ordered easy -> hard (length-based
+# curriculum, Bengio et al. ICML 2009 "Curriculum Learning"), with a
+# deterministic hash shuffle INSIDE each difficulty decile so shards
+# don't see documents in corpus order.
+CURR_DOC_BUDGET = 200  # manifest size (documents) across all languages
+CURR_SHARDS = 8
+CURR_DECILES = 10
+_CURR_SALT = "curr:"
+
+
+@register(
+    "curriculum_manifest",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                                 t -> t <> '')), 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(floor(1e6 * ln(
+                       ({portable_hash64_sql("'" + _ARES_SALT + "' || CAST(doc_id AS VARCHAR)")} + 1)
+                       / {_H_SPACE_60})
+                       / greatest(n_chars, 1)) AS BIGINT) AS key_micronat
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT lang, sum(n_tokens) AS lang_tokens FROM per_doc GROUP BY lang
+        ),
+        tot AS (
+            SELECT sum(pow(lang_tokens, {MIX_TEMPERATURE_ALPHA})) AS ztemp
+            FROM per_lang
+        ),
+        quota AS (
+            SELECT lang,
+                   CAST(floor(pow(lang_tokens, {MIX_TEMPERATURE_ALPHA})
+                              / nullif(ztemp, 0) * {CURR_DOC_BUDGET}) AS BIGINT)
+                       AS quota_docs
+            FROM per_lang, tot
+        ),
+        ranked AS (
+            SELECT p.*,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY key_micronat DESC, doc_id) AS rnk
+            FROM per_doc p
+        ),
+        selected AS (
+            SELECT r.doc_id, r.lang, r.n_tokens
+            FROM ranked r JOIN quota q ON r.lang = q.lang
+            WHERE r.rnk <= q.quota_docs
+        ),
+        tiled AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(ntile({CURR_DECILES})
+                        OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
+                   {portable_hash64_sql("'" + _CURR_SALT + "' || CAST(doc_id AS VARCHAR)")}
+                       AS shuf
+            FROM selected
+        ),
+        pos AS (
+            SELECT doc_id, lang, n_tokens, decile,
+                   row_number() OVER (ORDER BY decile, shuf, doc_id) AS gp
+            FROM tiled
+        )
+        SELECT CAST((gp - 1) % {CURR_SHARDS} AS BIGINT) AS shard,
+               CAST((gp - 1) // {CURR_SHARDS} + 1 AS BIGINT) AS position,
+               doc_id, lang, decile, n_tokens
+        FROM pos
+    """,
+    doc="Curriculum-ordering training manifest (Bengio et al. 2009 "
+    "length-based curriculum): selects documents per language by the "
+    "SAME A-ES quality keys weighted_sample_ares ranks with, under "
+    "per-language document quotas from the SAME XLM-R n^alpha recipe "
+    "temperature_mix_allocation prices, then orders the selected set "
+    f"easy -> hard in {CURR_DECILES} token-count deciles with a "
+    "deterministic salted-hash shuffle inside each decile, and deals the "
+    f"ordering round-robin into {CURR_SHARDS} shards — emitting the "
+    "(shard, position, doc_id) list a trainer consumes directly. "
+    "100 TB shape: the quota table is n_langs rows (broadcast); "
+    "selection is ONE per-language rank window over the corpus (the "
+    "standard top-quota-per-key shape, WindowGroupLimit-prunable); the "
+    f"decile/position windows run over the <= {CURR_DOC_BUDGET}-row "
+    "SELECTED manifest, never the corpus (bounded-global-window audit in "
+    "test_plans.py) — at a production budget the manifest ordering step "
+    "is a range-partitioned sort by (decile, shuf), not a window. "
+    "Integer end to end (micronat keys, token counts, positions).",
+    tags=("curation", "sampling", "layout"),
+)
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        portable_hash64(F.concat(F.lit(_ARES_SALT), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(_H_SPACE_60)
+    key = F.floor(
+        F.lit(1e6) * F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("bigint")
+    per_doc = reliable_checkpoint(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.size(tokens("text")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            key.alias("key_micronat"),
+        )
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum(F.pow(F.col("lang_tokens"), F.lit(MIX_TEMPERATURE_ALPHA))).alias(
+            "ztemp"
+        )
+    )
+    # one-row broadcast normalizer (the temperature_mix_allocation site)
+    quota = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.pow(F.col("lang_tokens"), F.lit(MIX_TEMPERATURE_ALPHA))
+            / F.nullif(F.col("ztemp"), F.lit(0))
+            * CURR_DOC_BUDGET
+        )
+        .cast("bigint")
+        .alias("quota_docs"),
+    )
+    w_lang = W.partitionBy("lang").orderBy(F.desc("key_micronat"), "doc_id")
+    selected = (
+        per_doc.withColumn("rnk", F.row_number().over(w_lang))
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("rnk") <= F.col("quota_docs"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    shuf = portable_hash64(
+        F.concat(F.lit(_CURR_SALT), F.col("doc_id").cast("string"))
+    )
+    # BOUNDED global windows: both run over the <= CURR_DOC_BUDGET-row
+    # selected manifest the quota filter already produced, never the
+    # corpus (audited in test_plans.py _BOUNDED_GLOBAL_WINDOW_SITES)
+    tiled = selected.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.ntile(CURR_DECILES)
+        .over(W.orderBy("n_tokens", "doc_id"))
+        .cast("bigint")
+        .alias("decile"),
+        shuf.alias("shuf"),
+    )
+    gp = F.row_number().over(W.orderBy("decile", "shuf", "doc_id"))
+    return tiled.select(
+        ((gp - 1) % CURR_SHARDS).cast("bigint").alias("shard"),
+        ((gp - 1) - (gp - 1) % CURR_SHARDS).cast("bigint").alias("_q"),
+        "doc_id",
+        "lang",
+        "decile",
+        "n_tokens",
+    ).select(
+        "shard",
+        (F.col("_q") / CURR_SHARDS + 1).cast("bigint").alias("position"),
+        "doc_id",
+        "lang",
+        "decile",
+        "n_tokens",
+    )

@@ -2971,3 +2971,255 @@ def q_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return simhash_hamming_pairs_impl(
         spark, sf_dir, n_blocks=sized_simhash_blocks(n_docs)
     )
+
+
+# -- Record linkage / entity resolution on customer (round-9 growth) -----------
+
+# Fellegi & Sunter (JASA 1969, "A Theory for Record Linkage"): candidate
+# pairs from BLOCKING, then a per-pair linear agreement score over the
+# record's fields, match above a threshold. Two standard blocking passes
+# (multi-pass blocking, Hernandez & Stolfo 1995): name-trigram keys with
+# a block-size cap (ubiquitous trigrams — here the shared "customer#"
+# prefix and the zero-run "000" — carry no discriminating power and
+# would otherwise recreate the all-pairs join), and (nation, $500
+# account-balance band) composite keys, capped identically. Scoring is
+# integer-quantized end to end (trigram-Jaccard micros + fixed field
+# weights) so the oracle comparison is exact.
+RL_TRI_MAX_BLOCK = 15  # drop blocking keys bigger than this (hot-block cap)
+RL_BAL_BAND_CENTS = 50_000  # $500 balance band for the composite key
+RL_BAL_CLOSE_CENTS = 50_000  # |bal_a - bal_b| <= $500 counts as agreement
+RL_W_SEGMENT = 300_000  # field agreement weights, micro-units
+RL_W_BALANCE = 200_000
+RL_W_NATION = 100_000
+RL_MATCH_MICRO = 1_300_000  # threshold on name_jacc_micro + weights
+
+
+def _rl_pair_expand(buckets: DataFrame) -> DataFrame:
+    """(key-grouped sorted id array) -> distinct (cust_a < cust_b) pairs,
+    the bucket-local expansion idiom shared with minhash-LSH/simhash."""
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .where(F.size("ids") <= RL_TRI_MAX_BLOCK)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS cust_a, b AS cust_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.cust_a", "p.cust_b")
+    )
+
+
+@register(
+    "record_linkage_customer",
+    oracle=f"""
+        WITH norm AS (
+            SELECT c_custkey, lower(c_name) AS nm, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                   c_mktsegment
+            FROM customer
+        ),
+        tri AS (
+            SELECT DISTINCT c_custkey, substr(nm, CAST(i AS INT), 3) AS tg
+            FROM norm,
+                 LATERAL unnest(range(1, greatest(length(nm) - 1, 1))) AS t(i)
+        ),
+        kept AS (
+            SELECT tg FROM tri GROUP BY tg
+            HAVING count(*) BETWEEN 2 AND {RL_TRI_MAX_BLOCK}
+        ),
+        tcand AS (
+            SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+            FROM tri a JOIN kept USING (tg) JOIN tri b USING (tg)
+            WHERE b.c_custkey > a.c_custkey
+        ),
+        nkey AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(bal_cents / {RL_BAL_BAND_CENTS}.0) AS BIGINT) AS band
+            FROM norm
+        ),
+        nkept AS (
+            SELECT c_nationkey, band FROM nkey GROUP BY c_nationkey, band
+            HAVING count(*) BETWEEN 2 AND {RL_TRI_MAX_BLOCK}
+        ),
+        ncand AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+            FROM nkey a
+            JOIN nkept k ON a.c_nationkey = k.c_nationkey AND a.band = k.band
+            JOIN nkey b ON b.c_nationkey = k.c_nationkey AND b.band = k.band
+            WHERE b.c_custkey > a.c_custkey
+        ),
+        cand AS (SELECT * FROM tcand UNION SELECT * FROM ncand),
+        tri_n AS (
+            SELECT c_custkey, CAST(count(*) AS BIGINT) AS nt FROM tri
+            GROUP BY c_custkey
+        ),
+        inter AS (
+            SELECT c.cust_a, c.cust_b, CAST(count(*) AS BIGINT) AS ni
+            FROM cand c
+            JOIN tri x ON x.c_custkey = c.cust_a
+            JOIN tri y ON y.c_custkey = c.cust_b AND y.tg = x.tg
+            GROUP BY c.cust_a, c.cust_b
+        ),
+        scored AS (
+            SELECT c.cust_a, c.cust_b,
+                   coalesce(CAST(floor(
+                       1000000.0 * coalesce(i.ni, 0)
+                       / nullif(coalesce(ta.nt, 0) + coalesce(tb.nt, 0)
+                                - coalesce(i.ni, 0), 0)
+                   ) AS BIGINT), 0) AS name_jacc_micro,
+                   CASE WHEN na.c_mktsegment = nb.c_mktsegment
+                        THEN 1 ELSE 0 END AS same_segment,
+                   CASE WHEN abs(na.bal_cents - nb.bal_cents)
+                             <= {RL_BAL_CLOSE_CENTS}
+                        THEN 1 ELSE 0 END AS balance_close,
+                   CASE WHEN na.c_nationkey = nb.c_nationkey
+                        THEN 1 ELSE 0 END AS same_nation
+            FROM cand c
+            LEFT JOIN inter i ON i.cust_a = c.cust_a AND i.cust_b = c.cust_b
+            LEFT JOIN tri_n ta ON ta.c_custkey = c.cust_a
+            LEFT JOIN tri_n tb ON tb.c_custkey = c.cust_b
+            JOIN norm na ON na.c_custkey = c.cust_a
+            JOIN norm nb ON nb.c_custkey = c.cust_b
+        )
+        SELECT cust_a, cust_b, name_jacc_micro,
+               CAST(same_segment AS BIGINT) AS same_segment,
+               CAST(balance_close AS BIGINT) AS balance_close,
+               CAST(same_nation AS BIGINT) AS same_nation,
+               CAST(name_jacc_micro + {RL_W_SEGMENT} * same_segment
+                    + {RL_W_BALANCE} * balance_close
+                    + {RL_W_NATION} * same_nation AS BIGINT) AS score_micro
+        FROM scored
+        WHERE name_jacc_micro + {RL_W_SEGMENT} * same_segment
+              + {RL_W_BALANCE} * balance_close
+              + {RL_W_NATION} * same_nation >= {RL_MATCH_MICRO}
+    """,
+    doc="Record linkage / entity resolution on customer (Fellegi-Sunter "
+    "1969): multi-pass blocking (Hernandez-Stolfo) over name trigrams "
+    "and (nation, $500-balance-band) composite keys — BOTH families "
+    f"hot-block-capped at {RL_TRI_MAX_BLOCK} records, because ubiquitous "
+    "keys (the shared 'customer#' name prefix, the '000' zero-run) carry "
+    "no discriminating power and would recreate the all-pairs join "
+    "(measured at sf0.01: the cap cuts trigram candidates 11.5M -> 9.2k) "
+    "— then a per-pair linear agreement score: trigram-Jaccard micros + "
+    "fixed weights for segment/balance/nation agreement, match at >= "
+    f"{RL_MATCH_MICRO} micro-units. Integer-quantized end to end (cents, "
+    "micro-Jaccard) so the oracle hash is exact. 100 TB shape: the "
+    "trigram key space is alphabet-bounded (broadcastable kept-key "
+    "table), candidates are bucket-local expansions bounded by "
+    "cap^2/2 per key — never a table self-join; scoring touches "
+    "candidates only, via narrow equi-joins on custkey. The cap is the "
+    "documented recall knob: production runs add passes with different "
+    "keys (the sorted-neighborhood entry is one) rather than uncapping.",
+    tags=("dedup", "linkage", "curation"),
+)
+def q_record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    norm = reliable_checkpoint(
+        cust.select(
+            "c_custkey",
+            F.lower("c_name").alias("nm"),
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+            "c_mktsegment",
+        )
+    )
+    # positions 1..len-2; the filter-over-greatest form is empty for
+    # len < 3 and null names in BOTH engines (greatest ignores nulls,
+    # the filter predicate nulls out), with no ANSI sequence() error
+    tri = reliable_checkpoint(
+        norm.select(
+            "c_custkey",
+            F.explode(
+                F.expr(
+                    "filter(sequence(1, greatest(length(nm) - 2, 1)), "
+                    "i -> i <= length(nm) - 2)"
+                )
+            ).alias("i"),
+            "nm",
+        )
+        .select("c_custkey", F.expr("substring(nm, i, 3)").alias("tg"))
+        .distinct()
+    )
+    kept = (
+        tri.groupBy("tg")
+        .agg(F.count("*").alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= RL_TRI_MAX_BLOCK))
+        .select("tg")
+    )
+    tcand = _rl_pair_expand(
+        tri.join(F.broadcast(kept), "tg")
+        .groupBy("tg")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
+    )
+    band = F.floor(F.col("bal_cents") / F.lit(float(RL_BAL_BAND_CENTS))).cast(
+        "bigint"
+    )
+    ncand = _rl_pair_expand(
+        norm.select("c_custkey", "c_nationkey", band.alias("band"))
+        .groupBy("c_nationkey", "band")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
+    )
+    cand = reliable_checkpoint(tcand.union(ncand).distinct())
+    tri_n = tri.groupBy("c_custkey").agg(F.count("*").cast("bigint").alias("nt"))
+    inter = (
+        cand.join(tri.select(F.col("c_custkey").alias("cust_a"), "tg"), "cust_a")
+        .join(tri.select(F.col("c_custkey").alias("cust_b"), "tg"), ["cust_b", "tg"])
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    na = norm.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_cents").alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nb = norm.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_cents").alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    ta = tri_n.select(F.col("c_custkey").alias("cust_a"), F.col("nt").alias("nt_a"))
+    tb = tri_n.select(F.col("c_custkey").alias("cust_b"), F.col("nt").alias("nt_b"))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    denom = F.nullif(
+        F.coalesce(F.col("nt_a"), F.lit(0))
+        + F.coalesce(F.col("nt_b"), F.lit(0))
+        - ni,
+        F.lit(0),
+    )
+    jacc = F.coalesce(
+        F.floor(F.lit(1_000_000.0) * ni / denom).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    same_segment = F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)
+    balance_close = F.when(
+        F.abs(F.col("bal_a") - F.col("bal_b")) <= RL_BAL_CLOSE_CENTS, 1
+    ).otherwise(0)
+    same_nation = F.when(F.col("nat_a") == F.col("nat_b"), 1).otherwise(0)
+    score = (
+        jacc
+        + F.lit(RL_W_SEGMENT) * same_segment
+        + F.lit(RL_W_BALANCE) * balance_close
+        + F.lit(RL_W_NATION) * same_nation
+    )
+    return (
+        cand.join(inter, ["cust_a", "cust_b"], "left")
+        .join(ta, "cust_a", "left")
+        .join(tb, "cust_b", "left")
+        .join(na, "cust_a")
+        .join(nb, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            jacc.alias("name_jacc_micro"),
+            same_segment.cast("bigint").alias("same_segment"),
+            balance_close.cast("bigint").alias("balance_close"),
+            same_nation.cast("bigint").alias("same_nation"),
+            score.cast("bigint").alias("score_micro"),
+        )
+        .where(F.col("score_micro") >= RL_MATCH_MICRO)
+    )

@@ -350,3 +350,49 @@ def q_streaming_minhash_dedup_runtime(spark: SparkSession, sf_dir: str) -> DataF
         "tbmr_streaming_minhash_dedup_runtime",
         "append",
     )
+
+
+@register(
+    "streaming_timer_ttl_runtime",
+    # finalized = users whose inactivity TTL (last event + 10 min) lies
+    # strictly below the terminal watermark max(ts) - 2h: the timer fires
+    # iff the watermark passes the armed timestamp, so the emitted set —
+    # and each row's whole-history totals — is a pure function of the data
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   max(ts) AS mx
+            FROM events GROUP BY user_id
+        ),
+        g AS (SELECT max(ts) AS gmax FROM events)
+        SELECT user_id, n_events, total_value
+        FROM u, g
+        WHERE mx + INTERVAL 10 MINUTE < gmax - INTERVAL 2 HOUR
+    """,
+    doc="The 10th streaming runtime (VERDICT r8 #3): TIMER/TTL semantics "
+    "executed end-to-end — per-user state arms an event-time timer at "
+    "last_event + 10 min (GroupState.setTimeoutTimestamp); when the "
+    "watermark passes it, hasTimedOut fires in the terminal no-data "
+    "micro-batch, the finalized (n_events, total_value) row is appended "
+    "EXACTLY ONCE and the state is removed — the inactivity-expiry "
+    "pattern transformWithState's timer API names, on the protobuf-free "
+    "applyInPandasWithState EventTimeTimeout surface (real "
+    "transformWithStateInPandas needs google.protobuf, absent here; "
+    "test_streaming.py keeps a gated TWS twin). Batch-boundary "
+    "determinism: one staged file = one data batch, so values are "
+    "whole-history aggregates and the fired-timer set is exactly the "
+    "oracle's watermark inequality. State is one (long, double, long) "
+    "triple per user, removed on expiry — the state store shrinks as "
+    "users expire, the property TTL exists for at 100 TB.",
+    tags=("streaming", "runtime", "stateful", "udf", "timer"),
+)
+def q_streaming_timer_ttl_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import user_ttl_expiry_stream
+
+    return run_stream_to_memory(
+        user_ttl_expiry_stream(spark, sf_dir),
+        "tbmr_streaming_timer_ttl_runtime",
+        "append",
+    )

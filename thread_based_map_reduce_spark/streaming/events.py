@@ -39,6 +39,11 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 _STAGE_DIRS: dict[str, str] = {}
 
+# Inactivity TTL for the timer/expiry runtime: a user's state finalizes
+# when the watermark passes last_event + this gap (epoch-ms units, the
+# GroupState.setTimeoutTimestamp contract).
+TTL_GAP_MS = 10 * 60 * 1000
+
 # Serializes run_stream_to_memory's shuffle-width set/restore on the shared
 # session (ADVICE r6: concurrent streams would race the conf mutation).
 _RUN_STREAM_LOCK = threading.Lock()
@@ -398,3 +403,59 @@ def minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         [f"mh{i}" for i in range(N_PERMS)]
     )
     return deduped.select(*[f"mh{i}" for i in range(N_PERMS)])
+
+
+def user_ttl_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TTL/timer finalization via applyInPandasWithState with
+    EVENT-TIME TIMEOUT (the 10th runtime, VERDICT r8 #3): each user's
+    state carries (n_events, total_value, last_event_us) and arms a
+    timer at last_event + TTL_GAP; when the WATERMARK passes the timer,
+    hasTimedOut fires, the finalized row is emitted exactly once and the
+    state is removed — the inactivity-expiry/TTL pattern (abandoned-cart,
+    session-end billing) that ``transformWithState``'s timer API names;
+    this is the same semantics on the protobuf-free arbitrary-state API
+    (``transformWithStateInPandas`` itself needs google.protobuf, absent
+    from this image — test_streaming.py gates a real TWS twin on it).
+
+    Determinism (micro-batch boundaries must not leak into values): the
+    staged source is ONE file read in ONE data micro-batch, so every
+    user's whole history is aggregated in a single handler call; the
+    final no-data micro-batch (on by default) fires exactly the timers
+    whose timestamp lies below the terminal watermark max(ts) - delay —
+    a pure function of the data, which is the oracle's WHERE clause."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total, last_us))
+        # timer at last event + TTL gap, in epoch-ms (the GroupState unit)
+        state.setTimeoutTimestamp(last_us // 1000 + TTL_GAP_MS)
+
+    return (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double, last_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
