@@ -95,14 +95,37 @@ def gen_documents(n_docs: int, rng: np.random.Generator, vocab: list[str]):
     )
 
 
-def gen_embeddings(n_vecs: int, rng: np.random.Generator):
-    m = rng.standard_normal((n_vecs, 64)).astype(np.float32)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+def gen_embeddings(
+    n_vecs: int, rng: np.random.Generator, *, clustered: bool = False,
+    rho: float = 0.5,
+):
+    """Default: 64-dim unit-norm isotropic gaussian (the driver testdata
+    shape — centroid-norm ≈ 0.07, i.e. NO cluster structure). With
+    ``clustered`` (VERDICT r8 #2): 10 planted Gaussian clusters, one per
+    label — vec = normalize(sqrt(rho)·centroid[label] + sqrt(1-rho)·noise)
+    so expected within-cluster cosine ≈ rho and cross-cluster ≈ 0, the
+    label-correlated structure real text-embedding corpora have and the
+    sized-LSH recall claim depends on. Clustered mode uses its OWN rng
+    seed (1234) so the stream is identical whether or not documents were
+    generated first (--embeddings-only)."""
+    if clustered:
+        rng = np.random.default_rng(1234)
+        cents = rng.standard_normal((10, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_vecs)
+        noise = rng.standard_normal((n_vecs, 64))
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        m = math.sqrt(rho) * cents[labels] + math.sqrt(1.0 - rho) * noise
+        m = (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+    else:
+        m = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_vecs)
     return pa.table(
         {
             "vec_id": pa.array(range(n_vecs), type=pa.int64()),
             "embedding": pa.array([row.tolist() for row in m], type=pa.list_(pa.float32())),
-            "label": pa.array(rng.integers(0, 10, n_vecs), type=pa.int32()),
+            "label": pa.array(labels, type=pa.int32()),
         }
     )
 
@@ -172,6 +195,12 @@ def main() -> None:
                     help="output dir (default .scale10/, or .scale10h/ with --vocab-growth)")
     ap.add_argument("--with-lineitem", action="store_true",
                     help="also write the 3-column lineitem (sketch-family points)")
+    ap.add_argument("--clustered", action="store_true",
+                    help="planted-Gaussian-cluster embeddings (10 label-aligned "
+                    "clusters, within-cluster cosine ≈ 0.5) instead of isotropic")
+    ap.add_argument("--embeddings-only", action="store_true",
+                    help="write only embeddings.parquet (the ANN recall points "
+                    "read nothing else; skips the slow document loop)")
     args = ap.parse_args()
     out = args.out or os.path.join(
         ROOT, ".scale10h" if args.vocab_growth else ".scale10"
@@ -179,14 +208,28 @@ def main() -> None:
     if not os.path.isabs(out):
         out = os.path.join(ROOT, out)
     os.makedirs(out, exist_ok=True)
-    vocab = build_vocab(args.n_docs, args.vocab_growth)
     rng = np.random.default_rng(42)
-    pq.write_table(gen_documents(args.n_docs, rng, vocab), os.path.join(out, "documents.parquet"))
-    pq.write_table(gen_embeddings(args.n_docs * 2 // 5, rng), os.path.join(out, "embeddings.parquet"))
+    if args.embeddings_only:
+        if not args.clustered:
+            raise SystemExit("--embeddings-only requires --clustered (the "
+                             "isotropic stream shares rng state with documents)")
+        vocab = []
+    else:
+        vocab = build_vocab(args.n_docs, args.vocab_growth)
+        pq.write_table(gen_documents(args.n_docs, rng, vocab), os.path.join(out, "documents.parquet"))
+    pq.write_table(
+        gen_embeddings(args.n_docs * 2 // 5, rng, clustered=args.clustered),
+        os.path.join(out, "embeddings.parquet"),
+    )
     n_li = gen_lineitem(out, args.n_docs) if args.with_lineitem else 0
     print(
-        f"wrote {out}: {args.n_docs} documents, {args.n_docs * 2 // 5} embeddings, "
-        f"vocab={len(vocab)} ({'heaps' if args.vocab_growth else 'constant'})"
+        f"wrote {out}: "
+        + ("(embeddings only)" if args.embeddings_only
+           else f"{args.n_docs} documents")
+        + f", {args.n_docs * 2 // 5} embeddings"
+        + (" (clustered)" if args.clustered else "")
+        + ("" if args.embeddings_only
+           else f", vocab={len(vocab)} ({'heaps' if args.vocab_growth else 'constant'})")
         + (f", {n_li} lineitem rows" if n_li else "")
     )
 

@@ -1892,11 +1892,16 @@ def _bpe_oracle() -> str:
     return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(rounds_sql)
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """Run the BPE_ROUNDS training loop; returns (words, out_rows) where
-    ``words`` is the final (tok, s, cnt) encoded-vocabulary table and
-    ``out_rows`` the per-round merge-rule DataFrames. Shared by the
-    training entry and bpe_apply_encode."""
+def _bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS):
+    """Run the BPE training loop for ``n_rounds`` merges; returns
+    (words, out_rows) where ``words`` is the final (tok, s, cnt)
+    encoded-vocabulary table and ``out_rows`` the per-round merge-rule
+    DataFrames. Shared by the training entry and bpe_apply_encode (both
+    keep the oracle-pinned BPE_ROUNDS default); scripts/bpe_round_cost.py
+    passes deeper depths to measure the sequential driver-round cost
+    (VERDICT r8 #7) — real tokenizers run thousands of merges, each an
+    inherently sequential argmax+replace over the Heaps-law distinct-word
+    table, never re-touching the corpus."""
     o, c, t = _BPE_O, _BPE_C, _BPE_T
     docs = load_table(spark, sf_dir, "documents")
     pre = (
@@ -1918,7 +1923,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     )
     sep = c + o  # split separator between adjacent symbols (regex-safe: control chars)
     out_rows = []
-    for r in range(1, BPE_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         # filter on the CHEAP raw-column predicate (a multi-symbol word
         # contains the close+open separator) BEFORE projecting the split:
         # filtering on size(tk) re-inlines split() into the pushed Filter

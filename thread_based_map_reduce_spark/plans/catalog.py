@@ -116,19 +116,20 @@ def _load_all() -> None:
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # regenerated after CORRECTNESS_r07.json (300 hash-green names across
-    # r1-r7 — the full catalog; zero mismatches ever) via
+    # regenerated after CORRECTNESS_r08.json (312 hash-green names across
+    # r1-r8 - the full catalog; zero mismatches ever) via
     # scripts/update_verified.py.
     "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
-    "ann_recall_eval", "approx_aggregates", "approx_quantile_eval",
-    "argmax_aggregates", "array_hof", "array_setops", "asof_join_signup",
-    "association_rules_lift", "basket_part_pairs", "benford_digit_stats",
-    "best_day_per_month", "bigram_nll_quality", "bitwise_ops",
-    "bloom_filter_join_stats", "bm25_retrieval_topk", "bpe_pair_merge_topk",
-    "case_banding", "cdc_chunk_stats", "cdc_merge_apply",
-    "centroid_per_label", "char_trigram_profile", "charcount",
-    "chi2_lang_source_independence", "churn_label_stats",
+    "ann_method_recall_eval", "ann_recall_eval", "approx_aggregates",
+    "approx_quantile_eval", "argmax_aggregates", "array_hof",
+    "array_setops", "asof_join_signup", "association_rules_lift",
+    "basket_part_pairs", "benford_digit_stats", "best_day_per_month",
+    "bigram_nll_quality", "bitwise_ops", "bloom_filter_join_stats",
+    "bm25_retrieval_topk", "bpe_apply_encode", "bpe_pair_merge_topk",
+    "bpe_train_merges", "case_banding", "cdc_chunk_stats",
+    "cdc_merge_apply", "centroid_per_label", "char_trigram_profile",
+    "charcount", "chi2_lang_source_independence", "churn_label_stats",
     "cluster_quality_db_index", "cogroup_user_activity",
     "cohort_retention_matrix", "collect_sorted", "compaction_plan_stats",
     "conditional_aggregates", "consistent_hash_rebalance",
@@ -143,40 +144,43 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
     "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
     "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
-    "dedup_sorted_neighborhood", "detok_fidelity_stats",
-    "discount_effect_by_band", "distinct_counts_exact", "distinct_pairs",
-    "doc_char_entropy", "doc_fingerprint", "domain_mix_weights",
-    "dq_audit_stats", "dup_graph_bfs_hops", "dup_graph_degree_stats",
-    "dup_graph_link_prediction", "dup_graph_pagerank",
-    "dup_pairs_edit_distance", "dup_span_fraction", "embedding_covariance",
-    "embedding_norm_stats", "embedding_quantize_stats",
-    "embeddings_dim_stats", "emd_price_urgent_binned",
-    "event_transition_entropy", "event_type_transitions",
-    "events_anomaly_trailing_z", "events_autocorr_lag1",
-    "events_cusum_changepoint", "events_decayed_trend",
-    "events_dow_hour_heatmap", "events_error_rate_hourly",
-    "events_interarrival_stats", "events_rollup_day_from_hour",
-    "events_sliding_2h", "events_tumbling_hour", "exists_correlated",
+    "dedup_simhash_hamming_pairs", "dedup_sorted_neighborhood",
+    "detok_fidelity_stats", "discount_effect_by_band",
+    "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
+    "doc_fingerprint", "domain_mix_weights", "dq_audit_stats",
+    "dsir_importance_select", "dup_graph_bfs_hops",
+    "dup_graph_degree_stats", "dup_graph_link_prediction",
+    "dup_graph_pagerank", "dup_pairs_edit_distance", "dup_span_fraction",
+    "embedding_covariance", "embedding_norm_stats",
+    "embedding_quantize_stats", "embeddings_dim_stats",
+    "emd_price_urgent_binned", "event_transition_entropy",
+    "event_type_transitions", "events_anomaly_trailing_z",
+    "events_autocorr_lag1", "events_cusum_changepoint",
+    "events_decayed_trend", "events_dow_hour_heatmap",
+    "events_error_rate_hourly", "events_interarrival_stats",
+    "events_rollup_day_from_hour", "events_sliding_2h",
+    "events_tumbling_hour", "exists_correlated",
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
     "functional_dependency_audit", "funnel_attribution_last_touch",
     "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
-    "having_filter", "hll_distinct_estimate", "inline_struct_explode",
-    "inverted_index_stats", "ivf_kmeans_assignments", "ivf_search",
-    "ivf_search_nprobe2", "join_anti", "join_cardinality_eval",
-    "join_full_outer", "join_hint_shuffle_hash", "join_left_outer",
-    "join_right_outer", "join_salted_skew", "join_semi",
-    "join_star_revenue", "json_extract", "json_map_explode",
-    "json_struct_parse", "k_anonymity_stats", "key_skew_report",
-    "kll_quantile_sketch", "km_survival_signup_purchase",
+    "having_filter", "heldout_backoff_nll", "hll_distinct_estimate",
+    "inline_struct_explode", "inverted_index_stats",
+    "ivf_kmeans_assignments", "ivf_search", "ivf_search_nprobe2",
+    "join_anti", "join_cardinality_eval", "join_full_outer",
+    "join_hint_shuffle_hash", "join_left_outer", "join_right_outer",
+    "join_salted_skew", "join_semi", "join_star_revenue", "json_extract",
+    "json_map_explode", "json_struct_parse", "k_anonymity_stats",
+    "key_skew_report", "kll_quantile_sketch", "km_survival_signup_purchase",
     "kmv_distinct_estimate", "l_diversity_stats", "langid_confusion_matrix",
     "langid_heuristic", "lateral_topk_per_nation", "latest_event_per_user",
-    "limit_offset_page", "longest_streak_per_user", "lsh_band_tuning_curve",
-    "mad_outliers_by_type", "mannwhitney_price_urgent", "map_column",
-    "markov_next_event_accuracy", "median_by_status",
-    "minhash_estimate_eval", "mix_quota_exact_manifest", "mix_quota_sample",
-    "mode_priority_per_status", "mr_charcount", "mr_lang_source_expand",
-    "mr_wordcount_filtered", "multimodal_decode_stats",
-    "multimodal_flip_augment", "multimodal_frame_sample",
+    "leakage_safe_split", "limit_offset_page", "longest_streak_per_user",
+    "lsh_band_tuning_curve", "mad_outliers_by_type",
+    "mannwhitney_price_urgent", "map_column", "markov_next_event_accuracy",
+    "median_by_status", "minhash_estimate_eval", "mix_quota_exact_manifest",
+    "mix_quota_sample", "mode_priority_per_status", "mr_charcount",
+    "mr_lang_source_expand", "mr_wordcount_filtered",
+    "multimodal_decode_stats", "multimodal_flip_augment",
+    "multimodal_frame_sample", "multimodal_jpeg_ac_decode",
     "multimodal_jpeg_decode", "multimodal_meta", "multimodal_pgm_decode",
     "multimodal_png_decode", "multimodal_resize_thumbs",
     "multimodal_wav_decode", "multimodal_wav_features",
@@ -184,11 +188,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "mv_incremental_refresh", "nb_langid_train_eval", "nested_struct_ops",
     "not_in_subquery", "null_safe_join", "null_scalar_functions",
     "ohlc_bars_hourly", "ols_kfold_cv", "ols_price_model",
-    "orders_backlog_monthly", "orders_first_vs_repeat",
-    "orders_monthly_growth", "pack_sequences_stats",
-    "pandas_udaf_micro_mean", "pandas_udf_token_count",
-    "pca_power_iteration", "peak_concurrency", "percentiles",
-    "pii_scrub_stats", "pivot_status", "posexplode_tokens",
+    "optics_reachability", "orders_backlog_monthly",
+    "orders_first_vs_repeat", "orders_monthly_growth",
+    "pack_sequences_stats", "pandas_udaf_micro_mean",
+    "pandas_udf_token_count", "pca_power_iteration", "peak_concurrency",
+    "percentiles", "pii_scrub_stats", "pivot_status", "posexplode_tokens",
     "pq_adc_rerank_topk", "pq_adc_topk", "pq_codebook_stats",
     "pq_recall_eval", "pq_train_stats", "price_histogram",
     "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
@@ -208,100 +212,97 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "streaming_stateful_runtime", "streaming_static_join_runtime",
     "streaming_stream_join_runtime", "streaming_tumbling_runtime",
     "streaming_upsert_runtime", "string_functions_2", "subquery_scalar",
-    "text_embedding_alignment", "text_quality_score",
-    "text_repetition_ratio", "text_token_stats", "tfidf_top_terms",
-    "theil_sen_trend", "timeseries_gap_fill", "token_pmi_pairs",
-    "token_regex_count", "tokenizer_fertility_by_lang",
-    "top_bigrams_per_lang", "topk_global", "topk_with_ties", "tpch_q1",
-    "tpch_q10_returned_customers", "tpch_q11_value_concentration",
-    "tpch_q12_shipmode", "tpch_q13_order_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q20_dominant_suppliers", "tpch_q21_waiting_orders",
-    "tpch_q22_idle_customers", "tpch_q3_toporders",
-    "tpch_q4_priority_check", "tpch_q5_region_revenue", "tpch_q6_revenue",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "temperature_mix_allocation", "text_embedding_alignment",
+    "text_quality_score", "text_repetition_ratio", "text_token_stats",
+    "tfidf_top_terms", "theil_sen_trend", "theta_sketch_setops",
+    "timeseries_gap_fill", "token_pmi_pairs", "token_regex_count",
+    "tokenizer_fertility_by_lang", "top_bigrams_per_lang", "topk_global",
+    "topk_with_ties", "tpch_q1", "tpch_q10_returned_customers",
+    "tpch_q11_value_concentration", "tpch_q12_shipmode",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
+    "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
+    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "train_val_test_split_stats",
     "trend_slope_per_type", "trending_per_hour", "udtf_tokenize",
     "unigram_nll_quality", "union_all_tagged", "union_by_name_missing",
     "unpivot_part_metrics", "user_path_trigrams", "value_percentile_bands",
     "variant_json_shred", "vector_arithmetic", "vocab_growth_curve",
     "vocab_oov_coverage", "weak_label_vote_stats", "weighted_avg_price",
-    "weighted_median_price_by_flag", "window_lag_gap", "window_range_frame",
-    "window_rank_family", "window_running_sum", "window_topk_per_group",
-    "window_value_functions", "woe_iv_price_bins", "word_freq_topn",
-    "zipf_fit_stats", "zorder_pruning_stats", "zscore_outliers"
+    "weighted_median_price_by_flag", "weighted_sample_ares",
+    "window_lag_gap", "window_range_frame", "window_rank_family",
+    "window_running_sum", "window_topk_per_group", "window_value_functions",
+    "woe_iv_price_bins", "word_freq_topn", "zipf_fit_stats",
+    "zorder_pruning_stats", "zscore_outliers"
 })
 
 
-# Round-8 driver window, in priority order (VERDICT r7 #2): the catalog
-# is fully driver-verified (300/300 cumulative, zero stale rows), so the
-# window is: this round's new entries, then the changed-after-green
-# re-proves (code whose source lines changed in r8 after their last green
-# row — the null-safe reservoir join, the signature-store refactor behind
-# dedup_incremental_e2e/sigstore_append_compact, the JPEG fill-byte skip,
-# and the LSH plane/band parameterization shared by the embedding-LSH
-# family), then the oldest-green rotation: every remaining row with an
-# r1-vintage driver row (6+ rounds old). Unpinned later-r8 additions
-# still lead the verified tail automatically (rank band 1 < 4).
+# Round-9 driver window, in priority order (VERDICT r8 #6): new r9
+# entries first, then the changed-after-green re-proves (code whose
+# source changed in r9 after its r8 green row: the sized-simhash default
+# switch, the OPTICS two-star core-CC swap, and the BPE dry-round guard
+# in the shared _bpe_train/_bpe_parts path), then the oldest-green
+# rotation: the four remaining r1-vintage rows (incl.
+# tpch_q22_idle_customers, dropped from the r8 list without note -
+# ADVICE r8 #2) and the r2-vintage cohort. New entries added later in
+# r9 are inserted at the head and displace the r2 tail (displaced names
+# lead the r10 rotation; they stay hash-green, just not re-proved yet).
 _PINNED_FIRST = (
-    # --- new round-8 catalog entries ---
-    "ann_method_recall_eval",
-    "optics_reachability",
-    "multimodal_jpeg_ac_decode",
-    "leakage_safe_split",
-    "dsir_importance_select",
-    "temperature_mix_allocation",
-    "theta_sketch_setops",
-    "bpe_train_merges",
+    # --- new round-9 catalog entries ---
+    "record_linkage_customer",
+    "curriculum_manifest",
+    "streaming_timer_ttl_runtime",
+    # --- changed-after-green re-proves (r9 edits, driver rows now stale) ---
     "dedup_simhash_hamming_pairs",
-    "weighted_sample_ares",
+    "optics_reachability",
+    "bpe_train_merges",
     "bpe_apply_encode",
-    "heldout_backoff_nll",
-    # --- changed-after-green re-proves (r8 edits, driver rows now stale) ---
-    "reservoir_sample_per_key",
-    "dedup_incremental_e2e",
-    "sigstore_append_compact",
-    "multimodal_jpeg_decode",
-    "dbscan_lsh_clusters",
-    "dedup_embedding_lsh",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_recall_eval",
-    # --- oldest-green rotation: the full r1-vintage cohort ---
-    "array_hof",
-    "asof_join_signup",
-    "case_banding",
-    "collect_sorted",
-    "cube_counts",
-    "distinct_pairs",
-    "events_tumbling_hour",
-    "exists_correlated",
-    "grouping_sets",
-    "having_filter",
-    "json_extract",
-    "map_column",
-    "not_in_subquery",
-    "percentiles",
-    "pivot_status",
-    "posexplode_tokens",
-    "range_join_clicks",
-    "rollup_qty",
-    "sample_per_group",
-    "scalar_date",
-    "scalar_math",
-    "scalar_string",
-    "sessionize",
-    "stats_agg",
-    "subquery_scalar",
-    "tpch_q21_waiting_orders",
-    "tpch_q3_toporders",
-    "tpch_q5_region_revenue",
-    "tpch_q6_revenue",
-    # (union_all_tagged / window_range_frame / window_rank_family rotate
-    # in r9 — trimmed to keep the 8 new r8 entries inside the 50-slot
-    # window)
+    # --- oldest-green rotation: r1-vintage leftovers, then the r2 cohort ---
+    "tpch_q22_idle_customers",
+    "union_all_tagged",
+    "window_range_frame",
+    "window_rank_family",
+    "ann_bruteforce_topk",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_pairs",
+    "dedup_jaccard_blocked",
+    "dedup_minhash_signatures",
+    "dedup_normalized",
+    "dedup_simhash",
+    "distinct_counts_exact",
+    "doc_fingerprint",
+    "embedding_quantize_stats",
+    "events_sliding_2h",
+    "ivf_search",
+    "ivf_search_nprobe2",
+    "langid_heuristic",
+    "latest_event_per_user",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_pgm_decode",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
+    "pandas_udf_token_count",
+    "pii_scrub_stats",
+    "regex_functions",
+    "session_window_agg",
+    "string_functions_2",
+    "text_quality_score",
+    "text_token_stats",
+    "tpch_q10_returned_customers",
+    "tpch_q12_shipmode",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q4_priority_check",
+    "tpch_q7_nation_volume",
+    "udtf_tokenize",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
