@@ -3223,3 +3223,197 @@ def q_record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("score_micro") >= RL_MATCH_MICRO)
     )
+
+
+# -- winnowing fingerprints (round 9) ----------------------------------------
+#
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003) — the MOSS algorithm. Positional k-gram
+# fingerprinting with a GUARANTEE the hash-set families above lack: from
+# every window of _WIN_W consecutive k-gram hashes at least one is
+# selected, so any match of length >= _WIN_W + _WIN_K - 1 tokens between
+# two documents is ALWAYS caught by a shared selected fingerprint, while
+# only ~2/(_WIN_W+1) of grams are kept. Selection is min-hash-per-window
+# with the paper's rightmost tie rule, encoded tie-free as a single
+# BIGINT key fp31 * _WIN_POSENC + (_WIN_POSENC-1 - pos): min(key) == min
+# fp with rightmost position on fp ties, so one plain window-min agrees
+# bit-for-bit across engines (no argmin/arg_min tie-semantics gamble).
+# The match guarantee needs min selection to be position-independent,
+# which holds because ties on the fp part are md5 collisions (~2^-31
+# within a window) — and even those are mirrored by the oracle.
+
+_WIN_K = 4  # tokens per k-gram (noise threshold: matches < _WIN_K tokens never detected)
+_WIN_W = 4  # window width in grams (guarantee threshold: >= _WIN_W+_WIN_K-1 tokens always detected)
+_WIN_POSENC = 4096  # max in-doc gram positions; fp31 * 4096 + pos stays < 2^43
+_WIN_DF_CAP = 64  # pair join skips fingerprints selected in more docs (no dedup signal)
+
+
+def _winnow_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram, key) for every complete k-gram; key is the
+    tie-free winnowing order key. One scan, per-row transforms only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("tk"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(ngrams_of_tokens(F.col("tk"), _WIN_K)).alias("pos", "gram"),
+    )
+    fp = portable_hash64(F.col("gram")) % F.lit(MINHASH_PRIME)
+    return grams.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "gram",
+        (fp * _WIN_POSENC + (F.lit(_WIN_POSENC - 1) - F.col("pos"))).alias("key"),
+    )
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected fingerprints: distinct window-min keys joined back to the
+    gram rows — (doc_id, pos, gram, fp). The window pass and the decode
+    join are both doc_id-local (one hash partition by doc_id, reused);
+    the selected set is ~2/(W+1) ≈ 40% of grams."""
+    keyed = _winnow_keyed(spark, sf_dir)
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    part = W.partitionBy("doc_id")
+    sel = (
+        keyed.select(
+            "doc_id",
+            "pos",
+            F.min("key").over(win).alias("mkey"),
+            F.count("*").over(part).alias("n_grams"),
+        )
+        # complete windows only (canonical winnowing: a doc with fewer
+        # than W grams, i.e. < W+K-1 tokens, selects nothing). Filter
+        # AFTER the window projection so frames saw every row.
+        .where(F.col("pos") <= F.col("n_grams") - _WIN_W)
+        .select("doc_id", F.col("mkey").alias("key"))
+        .distinct()
+    )
+    return sel.join(keyed, ["doc_id", "key"]).select(
+        "doc_id",
+        "pos",
+        "gram",
+        F.expr(f"key div {_WIN_POSENC}").cast("bigint").alias("fp"),
+    )
+
+
+_WINNOW_SQL = f"""
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ),
+    wgrams0 AS (
+        -- lateral generate_series can't reference w in DuckDB; build the
+        -- positional gram list per doc and unnest it (the shingles-CTE
+        -- pattern above, plus a position field)
+        SELECT doc_id, len(w) - {_WIN_K} AS max_pos,
+               unnest([{{'pos': CAST(i - 1 AS BIGINT),
+                         'gram': array_to_string(w[i:i+{_WIN_K - 1}], ' ')}}
+                       for i in range(1, greatest(len(w) - {_WIN_K - 1}, 0) + 1)]) AS g
+        FROM toks
+    ),
+    wgrams AS (
+        SELECT doc_id, max_pos, g.pos AS pos, g.gram AS gram FROM wgrams0
+    ),
+    wkeyed AS (
+        SELECT doc_id, pos, gram, max_pos,
+               ({portable_hash64_sql('gram')} % {MINHASH_PRIME}) * {_WIN_POSENC}
+                   + ({_WIN_POSENC - 1} - pos) AS key
+        FROM wgrams
+    ),
+    wmins AS (
+        SELECT doc_id, pos, max_pos,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WIN_W - 1} FOLLOWING) AS mkey
+        FROM wkeyed
+    ),
+    wsel AS (
+        SELECT DISTINCT doc_id, mkey AS key
+        FROM wmins WHERE pos <= max_pos - {_WIN_W - 1}
+    ),
+    wfinger AS (
+        SELECT s.doc_id, k.pos, k.gram, k.key // {_WIN_POSENC} AS fp
+        FROM wsel s JOIN wkeyed k ON k.doc_id = s.doc_id AND k.key = s.key
+    )
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()}
+        SELECT doc_id, pos, fp FROM wfinger
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. SIGMOD 2003, "
+    f"the MOSS algorithm): positional {_WIN_K}-token-gram hashes, one "
+    f"min-hash selected per sliding window of {_WIN_W} grams (rightmost "
+    "tie rule, encoded tie-free in a single BIGINT key so one window-min "
+    "agrees across engines) — keeps ~2/(W+1) of grams while GUARANTEEING "
+    f"any match of >= {_WIN_W + _WIN_K - 1} tokens shares a selected "
+    "fingerprint. 100 TB shape: one scan, per-row gram explode, one "
+    "doc_id-partitioned window pass and a doc_id-local decode join — no "
+    "cross-doc shuffle at all; the selected table is the compact "
+    "substring-dedup index dedup_winnow_pairs queries",
+    tags=("dedup", "text", "fingerprint"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnow_selected(spark, sf_dir).select("doc_id", "pos", "fp")
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfinger),
+        wdf AS (
+            SELECT fp, gram, count(*) AS df FROM wdocfp GROUP BY fp, gram
+        ),
+        wrare AS (
+            SELECT d.doc_id, d.fp, d.gram
+            FROM wdocfp d JOIN wdf f ON f.fp = d.fp AND f.gram = d.gram
+            WHERE f.df <= {_WIN_DF_CAP}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM wrare a
+        JOIN wrare b ON a.fp = b.fp AND a.gram = b.gram
+                    AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+        HAVING count(*) >= 2
+    """,
+    doc="Substring-overlap candidate pairs from shared winnowing "
+    "fingerprints (MOSS-style plagiarism/clone detection): docs sharing "
+    ">= 2 selected fingerprints, matched on the GRAM STRING itself (the "
+    "fp is the narrow join key, the string equality kills md5-collision "
+    "false positives — exact, unlike pure-hash buckets). The winnowing "
+    f"guarantee makes this a complete detector for overlaps >= "
+    f"{_WIN_W + _WIN_K - 1} tokens that survive the document-frequency "
+    f"cap (fps selected in > {_WIN_DF_CAP} docs are dropped: corpus-"
+    "common phrases carry no dedup signal and their buckets are the "
+    "quadratic hazard — same cap discipline as the LSH/blocking "
+    "families). 100 TB shape: the join runs on the winnowed index "
+    "(~40% of grams), bucketed by fingerprint, bucket size df-capped",
+    tags=("dedup", "text", "fingerprint", "join"),
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = reliable_checkpoint(
+        _winnow_selected(spark, sf_dir).select("doc_id", "fp", "gram").distinct()
+    )
+    df = sel.groupBy("fp", "gram").agg(F.count("*").alias("df"))
+    rare = sel.join(df.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
+        "doc_id", "fp", "gram"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )

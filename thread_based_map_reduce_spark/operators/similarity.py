@@ -2962,3 +2962,105 @@ def q_optics_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_ord).cast("bigint"),
         ).alias("cluster_ord"),
     )
+
+
+# -- hard-negative mining (round 9) ------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+        WITH {_lsh_candidates_sql(multiprobe=True).strip()},
+        qv AS (
+            SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        hnm_scored AS (
+            SELECT c.qid, c.vec_id,
+                   {_COS_SQL.format(a='qv.qe', b='e.embedding')} AS cos,
+                   (e.label = qv.qlabel) AS same
+            FROM cand c JOIN qv USING (qid)
+            JOIN embeddings e ON e.vec_id = c.vec_id
+        ),
+        hnm_pos AS (
+            SELECT qid, vec_id AS positive_id, round(cos, 6) AS cos_pos
+            FROM (
+                SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM hnm_scored WHERE same
+            ) WHERE rn = 1
+        ),
+        hnm_neg AS (
+            SELECT qid, vec_id AS negative_id, round(cos, 6) AS cos_neg
+            FROM (
+                SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM hnm_scored WHERE NOT same
+            ) WHERE rn = 1
+        )
+        SELECT qid, positive_id, cos_pos, negative_id, cos_neg,
+               round(cos_pos - cos_neg, 6) AS margin
+        FROM hnm_pos JOIN hnm_neg USING (qid)
+    """,
+    doc="Contrastive-training triplet mining over the LSH candidate graph: "
+    "for each anchor, the POSITIVE is its highest-cosine same-label "
+    "candidate and the HARD NEGATIVE its highest-cosine different-label "
+    "candidate — the canonical in-batch hard-negative recipe for "
+    "embedding-model fine-tuning, restricted to multiprobe band-bucket "
+    "collisions so mining never scans the corpus (the production shape: "
+    "buckets ARE the batch). Anchors missing either side (no same- or "
+    "different-label collision) drop in both engines identically. 100 TB "
+    "shape: candidates come from the same narrow bigint bucket join as "
+    "ann_lsh_multiprobe; scoring touches only collision pairs; two "
+    "per-anchor top-1 windows on the tiny scored set",
+    tags=("similarity", "ann", "lsh", "curation"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = lsh_candidates(emb, multiprobe=True)
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(emb, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            cosine_similarity("qe", "embedding").alias("cos"),
+            (F.col("label") == F.col("qlabel")).alias("same"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    pos = (
+        scored.where(F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("positive_id"),
+            F.round("cos", 6).alias("cos_pos"),
+        )
+    )
+    neg = (
+        scored.where(~F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("negative_id"),
+            F.round("cos", 6).alias("cos_neg"),
+        )
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "positive_id",
+        "cos_pos",
+        "negative_id",
+        "cos_neg",
+        F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+    )
