@@ -147,3 +147,80 @@ def test_corpus_alphabet_invariant(sf):
             "corrupted identically in Spark and DuckDB; fix the fixture or "
             "re-key the affected operators"
         )
+
+
+# -- round-9 batch 2: AMS F2, CCNet buckets, bucketed join --------------------
+
+
+def test_ams_f2_exact_binary_estimates(spark):
+    from thread_based_map_reduce_spark.operators.relational_ext import (
+        AMS_ROWS,
+        q_ams_f2_sketch_estimate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_ams_f2_sketch_estimate(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["f2_exact"] > 0
+    # mean estimator is EXACTLY sum_sq / 16 (binary fraction, no rounding)
+    assert r["f2_est_mean"] == r["sum_sq"] / AMS_ROWS
+    assert r["f2_est_mom"] > 0
+    con = duck_connection(sf)
+    q = CATALOG["ams_f2_sketch_estimate"]
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems
+
+
+def test_ccnet_buckets_partition_documents(spark):
+    from thread_based_map_reduce_spark.operators.text import (
+        q_ccnet_perplexity_buckets,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_ccnet_perplexity_buckets(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    per_lang = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(per_lang)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        # terciles PARTITION the language's documents
+        assert sum(r["n_docs"] for r in rs) == per_lang[lang]
+        # ntile: earlier buckets never smaller, sizes differ by <= 1
+        sizes = [r["n_docs"] for r in rs]
+        assert sizes == sorted(sizes, reverse=True)
+        assert max(sizes) - min(sizes) <= 1
+        # perplexity ordering is monotone across buckets (ties split by
+        # doc_id, so non-strict boundary ordering must hold)
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_nll_nano"] <= b["min_nll_nano"]
+        # head+middle kept, tail dropped
+        assert [r["kept"] for r in rs] == [1, 1, 0][: len(rs)]
+        assert [r["tier"] for r in rs] == ["head", "middle", "tail"][: len(rs)]
+
+
+def test_bucketed_join_plan_is_exchange_and_sort_free(spark):
+    import re
+
+    from thread_based_map_reduce_spark.operators import layout  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    q = CATALOG["bucketed_join_revenue"]
+    df = q.fn(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # the ONLY exchange is the final groupBy; the join itself is
+    # bucket-co-located with one pre-sorted file per bucket, so there is
+    # NO Sort anywhere in the plan either
+    assert len(re.findall(r"\bExchange ", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+    con = duck_connection(sf)
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems

@@ -253,3 +253,112 @@ def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("sy"), 6).alias("avg_y_span"),
         F.round(F.avg(F.col("sx") * F.col("sy")), 6).alias("avg_cell_cover"),
     )
+
+
+# -- bucketed co-located join: the shuffle-free big-x-big path (round 9) ------
+
+BKT_N = 8  # bucket count; production sizes this to cluster parallelism
+
+# One bucketed copy of (orders, lineitem) per sf_dir, written once per
+# process into a mkdtemp scratch and registered as EXTERNAL tables in the
+# session catalog (explicit path option — nothing lands in
+# spark-warehouse/ under the caller's cwd). Cached like the dedup
+# signature store (dedup.py:590) so repeated calls reuse the layout.
+_BKT_LOCK = __import__("threading").Lock()
+_BKT_DIRS: dict[str, str] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"tbmr_bkt_orders_{tag}"
+    t_lineitem = f"tbmr_bkt_lineitem_{tag}"
+    with _BKT_LOCK:
+        if sf_dir not in _BKT_DIRS:
+            scratch = tempfile.mkdtemp(prefix="tbmr-bucketed-")
+            _BKT_DIRS[sf_dir] = scratch
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        scratch = _BKT_DIRS[sf_dir]
+        if not spark.catalog.tableExists(t_orders):
+            (
+                load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_orderpriority", "o_orderdate")
+                # one write task per bucket (repartition uses the same
+                # murmur3-mod hash family as bucketing) -> exactly ONE
+                # sorted file per bucket, which is what lets the reader
+                # drop the per-query Sort below the SortMergeJoin
+                .repartition(BKT_N, F.col("o_orderkey"))
+                .write.bucketBy(BKT_N, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", f"{scratch}/orders")
+                .mode("overwrite")
+                .saveAsTable(t_orders)
+            )
+        if not spark.catalog.tableExists(t_lineitem):
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_extendedprice", "l_discount")
+                .repartition(BKT_N, F.col("l_orderkey"))
+                .write.bucketBy(BKT_N, "l_orderkey")
+                .sortBy("l_orderkey")
+                .option("path", f"{scratch}/lineitem")
+                .mode("overwrite")
+                .saveAsTable(t_lineitem)
+            )
+    return t_orders, t_lineitem
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="The co-located big-x-big join: orders and lineitem are written "
+    f"ONCE as bucketed tables ({BKT_N} buckets on the order key, "
+    "sorted within bucket) into a scratch warehouse, then joined "
+    "bucket-to-bucket — the SortMergeJoin consumes both scans with ZERO "
+    "Exchange and ZERO per-query Sort on the join side "
+    "(tests/test_round9_growth.py asserts both against the plan; a merge "
+    "hint pins SMJ so a small scale factor cannot broadcast the "
+    "demonstration away). This is THE 100 TB pattern for repeated "
+    "fact-fact joins: pay the shuffle once at layout time, then every "
+    "downstream join on the bucket key is embarrassingly parallel with "
+    "map-side locality — what Hive/Spark bucketing and Iceberg "
+    "bucket-partition transforms ship as storage features. Values are the "
+    "plain TPC-H revenue-by-priority rollup, oracle-checked against the "
+    "UNBUCKETED tables, proving the layout is value-invisible.",
+    tags=("join", "layout", "sink"),
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    # Spark 3+ ignores within-bucket sort order by default (SPARK-24528);
+    # with exactly one file per bucket (the repartition above guarantees
+    # it) the order IS reliable, so opt back in — this is what removes
+    # the per-query Sort below the SortMergeJoin. Plan-time conf, only
+    # consulted for bucketed scans.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )

@@ -706,3 +706,134 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_true"),
         )
     )
+
+
+# -- AMS (Alon-Matias-Szegedy) F2 / self-join-size sketch (round 9) ----------
+
+AMS_ROWS = 16  # +/-1 sketch rows; estimator std-err ~ sqrt(2/R) per group
+AMS_GROUPS = 4  # median-of-means groups (4 rows each)
+
+
+@register(
+    "ams_f2_sketch_estimate",
+    oracle=f"""
+        WITH signed AS (
+            SELECT r.k AS r,
+                   CASE WHEN {portable_hash64_sql(
+                       "CAST(user_id AS VARCHAR) || '#' || CAST(r.k AS VARCHAR)"
+                   )} % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM events, (SELECT unnest(range(0, {AMS_ROWS})) AS k) r
+        ),
+        srows AS (
+            SELECT r, CAST(sum(s) AS BIGINT) AS s_r FROM signed GROUP BY r
+        ),
+        sq AS (
+            SELECT r, r // {AMS_ROWS // AMS_GROUPS} AS g, s_r * s_r AS sq_r
+            FROM srows
+        ),
+        grp AS (
+            SELECT g, CAST(sum(sq_r) AS BIGINT) / {AMS_ROWS // AMS_GROUPS}.0
+                   AS gmean
+            FROM sq GROUP BY g
+        ),
+        est AS (
+            SELECT CAST(sum(sq_r) AS BIGINT) AS sum_sq,
+                   CAST(sum(sq_r) AS BIGINT) / {AMS_ROWS}.0 AS f2_mean,
+                   (SELECT median(gmean) FROM grp) AS f2_mom
+            FROM sq
+        ),
+        exact AS (
+            SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY user_id)
+        )
+        SELECT {AMS_ROWS} AS n_rows,
+               {AMS_GROUPS} AS n_groups,
+               e.sum_sq,
+               x.f2_exact,
+               e.f2_mean AS f2_est_mean,
+               e.f2_mom AS f2_est_mom,
+               round(abs(e.f2_mean - x.f2_exact) / x.f2_exact, 6)
+                   AS rel_err_mean,
+               round(abs(e.f2_mom - x.f2_exact) / x.f2_exact, 6)
+                   AS rel_err_mom
+        FROM est e, exact x
+    """,
+    doc="AMS F2 / self-join-size sketch (Alon-Matias-Szegedy STOC'96) over "
+    f"events.user_id: {AMS_ROWS} independent +/-1 rows (sign = one bit of "
+    "the portable hash of user_id#row), each row keeps ONE integer "
+    "accumulator S_r = sum of signs over the stream; E[S_r^2] = F2 = "
+    "sum_u c_u^2, the self-join size the optimizer needs to price "
+    "events-x-events on user_id without computing it. Mean-of-squares and "
+    f"median-of-means ({AMS_GROUPS} groups) estimators both ride, with "
+    "the exact F2 and relative errors alongside (the kmv_distinct_"
+    "estimate pattern for second moments). Every quantity through the "
+    "estimators is an exact bigint or an exact binary fraction (/16, /4, "
+    "median = midpoint of two such), so the ESTIMATES sit under the hash "
+    "gate with no rounding exposure. 100 TB shape: the explode-by-16 is "
+    "map-side compute; partial aggregation collapses each partition to "
+    f"{AMS_ROWS} partial sums before the shuffle, so the wire is "
+    f"{AMS_ROWS} x n_partitions rows regardless of input size — the "
+    "sketch never materializes per-key counts (the exact twin's groupBy "
+    "does, and is the expensive path the sketch replaces at scale).",
+    tags=("agg", "approx", "sketch"),
+)
+def q_ams_f2_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    rpk = AMS_ROWS // AMS_GROUPS
+    signed = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(AMS_ROWS - 1))).alias("r"),
+        "u",
+    ).select(
+        "r",
+        F.when(
+            portable_hash64(
+                F.concat(F.col("u"), F.lit("#"), F.col("r").cast("string"))
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    srows = signed.groupBy("r").agg(F.sum("s").cast("bigint").alias("s_r"))
+    sq = srows.select(
+        "r",
+        F.expr(f"r div {rpk}").alias("g"),
+        (F.col("s_r") * F.col("s_r")).alias("sq_r"),
+    )
+    grp = sq.groupBy("g").agg(
+        (F.sum("sq_r").cast("bigint") / F.lit(float(rpk))).alias("gmean")
+    )
+    mom = grp.agg(F.expr("percentile(gmean, 0.5)").alias("f2_mom"))
+    est = sq.agg(
+        F.sum("sq_r").cast("bigint").alias("sum_sq"),
+        (F.sum("sq_r").cast("bigint") / F.lit(float(AMS_ROWS))).alias("f2_mean"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return (
+        est.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(AMS_ROWS).cast("int").alias("n_rows"),
+            F.lit(AMS_GROUPS).cast("int").alias("n_groups"),
+            "sum_sq",
+            "f2_exact",
+            F.col("f2_mean").alias("f2_est_mean"),
+            F.col("f2_mom").alias("f2_est_mom"),
+            F.round(
+                F.abs(F.col("f2_mean") - F.col("f2_exact")) / F.col("f2_exact"), 6
+            ).alias("rel_err_mean"),
+            F.round(
+                F.abs(F.col("f2_mom") - F.col("f2_exact")) / F.col("f2_exact"), 6
+            ).alias("rel_err_mom"),
+        )
+    )

@@ -2307,3 +2307,115 @@ def q_heldout_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("backoff_frac"),
     )
+
+
+# -- CCNet-style perplexity bucketing (round 9) -------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+        WITH {_TOKS_EXPLODED_SQL},
+        freq AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        tot AS (SELECT sum(f) AS total FROM freq),
+        lp AS (
+            SELECT w, CAST(round(ln(f / total::DOUBLE) * 1e9) AS BIGINT)
+                       AS lp_nano
+            FROM freq, tot
+        ),
+        doc_nll AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   -sum(l.lp_nano) // count(*) AS s_nano
+            FROM toks t JOIN lp l ON t.w = l.w
+            GROUP BY t.doc_id
+        ),
+        bucketed AS (
+            SELECT d.lang, n.n_tok, n.s_nano,
+                   ntile(3) OVER (
+                       PARTITION BY d.lang ORDER BY n.s_nano, n.doc_id
+                   ) AS bucket
+            FROM doc_nll n JOIN documents d ON d.doc_id = n.doc_id
+        )
+        SELECT lang,
+               CAST(bucket AS INT) AS bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS tier,
+               CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS kept,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+               CAST(min(s_nano) AS BIGINT) AS min_nll_nano,
+               CAST(max(s_nano) AS BIGINT) AS max_nll_nano,
+               round(sum(s_nano) / count(*) / 1e9, 6) AS mean_nll_per_tok
+        FROM bucketed
+        GROUP BY lang, bucket
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. LREC 2020): score "
+    "every document by its per-token unigram NLL (the exact integer "
+    "nano-unit machinery of unigram_nll_quality, floor-divided per token "
+    "so the score is a BIGINT), then split EACH LANGUAGE into "
+    "head/middle/tail perplexity terciles with ntile(3) ordered by "
+    "(score, doc_id) — the deterministic rank-based cut CCNet uses, with "
+    "doc_id breaking integer-score ties identically in both engines; "
+    "head+middle are the kept training pool, tail is flagged for drop. "
+    "Per (lang, tier): doc/token counts, score range, mean per-token NLL. "
+    "100 TB shape: one token pass to the vocabulary table (narrow "
+    "shuffle, AQE join back exactly as unigram_nll_quality), then the "
+    "window runs per-language over doc-level rows — 1e8 rows per "
+    "language-partition at worst, a sort the range-partitioner splits "
+    "fine; nothing in the plan touches raw text twice.",
+    tags=("text", "quality", "curation"),
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = reliable_checkpoint(
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f").alias("total")).withColumn("_k", F.lit(1))
+    lp = (
+        freq.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "w",
+            F.round(F.log(F.col("f") / F.col("total").cast("double")) * 1e9)
+            .cast("bigint")
+            .alias("lp_nano"),
+        )
+    )
+    doc_nll = (
+        tok.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.expr("-sum(lp_nano) div count(*)").alias("s_nano"),
+        )
+    )
+    bucketed = doc_nll.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tok",
+        "s_nano",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("s_nano", "doc_id"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tok_total"),
+        F.min("s_nano").cast("bigint").alias("min_nll_nano"),
+        F.max("s_nano").cast("bigint").alias("max_nll_nano"),
+        F.round(F.sum("s_nano") / F.count("*") / 1e9, 6).alias("mean_nll_per_tok"),
+    ).select(
+        "lang",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("tier"),
+        F.when(F.col("bucket") <= 2, 1).otherwise(0).cast("int").alias("kept"),
+        "n_docs",
+        "n_tok_total",
+        "min_nll_nano",
+        "max_nll_nano",
+        "mean_nll_per_tok",
+    )
