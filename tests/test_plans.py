@@ -142,6 +142,8 @@ _PYTHON_LANE = {
     "multimodal_jpeg_decode",
     # r8: the AC-lane twin rides the same mapInPandas codec
     "multimodal_jpeg_ac_decode",
+    # r9: the BMP struct-unpack parser kernel (same pattern as PGM/WAV)
+    "multimodal_bmp_decode",
 }
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
@@ -524,7 +526,18 @@ def unpartitioned_window_count(plan: str) -> int:
         r"^\(\d+\) (?:Window(?:InPandas)?)\n((?:.+\n)+?)\n", plan + "\n", re.M
     ):
         am = re.search(r"^Arguments: (.*)$", m.group(1), re.M)
-        if am and _toplevel_bracket_groups(am.group(1)) == 2:
+        if not am:
+            continue
+        args = am.group(1)
+        if _toplevel_bracket_groups(args) != 2:
+            continue
+        # Two groups is EITHER [exprs], [order] (global — offender) or
+        # [exprs], [partition] (partitioned frame-only window, e.g.
+        # count(*) OVER (PARTITION BY k) — fine). Spark always prints
+        # sort directions in an ordering group, so the last group is an
+        # ordering iff it carries ASC/DESC.
+        last = args[args.rindex("["):]
+        if re.search(r"\b(ASC|DESC)\b", last):
             n += 1
     return n
 
@@ -633,6 +646,21 @@ _AUDITED_BNLJ_SITES = {
     # temperature_mix_allocation site, BuildRight over a one-row
     # ungrouped HashAggregate broadcast)
     "curriculum_manifest": 1,
+    # r9 late-batch audit (every site verified BuildRight over an
+    # IdentityBroadcastMode BroadcastExchange of an ungrouped = ONE-ROW
+    # aggregate in the executed plan):
+    # ams: the one-row median-of-means percentile aggregate and the
+    # one-row exact-F2 sum crossed onto the one-row mean estimator row
+    "ams_f2_sketch_estimate": 2,
+    # ccnet: the one-row vocabulary-total aggregate — the identical
+    # audited site unigram_nll_quality carries (same machinery)
+    "ccnet_perplexity_buckets": 1,
+    # outer-join runtime: the one-row terminal-watermark-cutoff max
+    # aggregate crossed onto the sink for the boundary filter
+    "streaming_outer_join_runtime": 1,
+    # blocking recall eval: 4 families x (one-row n_hit count, one-row
+    # n_truth count) crossed onto each family's one-row n_pairs count
+    "dedup_blocking_recall_eval": 8,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

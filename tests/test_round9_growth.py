@@ -224,3 +224,122 @@ def test_bucketed_join_plan_is_exchange_and_sort_free(spark):
     con = duck_connection(sf)
     res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
     assert res.ok, res.problems
+
+
+def test_streaming_outer_join_runtime_parity_and_withholding(spark):
+    """11th runtime: left-outer stream-stream join — oracle parity at
+    sf0.001 plus the semantics the inner-join runtime can't show: rows
+    are exactly-once, every matched pair emits, and ONLY
+    watermark-cleared unmatched purchases emit null-padded."""
+    from pyspark.sql import functions as F
+
+    from thread_based_map_reduce_spark.operators import (  # noqa: F401
+        streaming_runtime,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = CATALOG["streaming_outer_join_runtime"]
+    con = duck_connection(sf)
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems
+
+    rows = q.fn(spark, sf).collect()
+    # exactly-once: no duplicate emissions across micro-batches
+    assert len(rows) == len({tuple(r) for r in rows})
+    matched = [r for r in rows if r["matched"] == 1]
+    unmatched = [r for r in rows if r["matched"] == 0]
+    assert len(matched) == 88 and len(unmatched) == 135  # sf0.001 fixture
+    assert all(r["s_us"] is None for r in unmatched)
+    # the withheld tail: the fixture has exactly 1 unmatched purchase
+    # inside the watermark horizon — it must NOT appear in the sink
+    ev = load_table(spark, sf, "events")
+    wm_cut = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+            F.max(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))),
+        )
+        - 3600 * 1000000
+        - 1000000
+    ).collect()[0][0]
+    assert all(r["p_us"] <= wm_cut for r in unmatched)
+
+
+def test_dedup_blocking_recall_eval_invariants(spark):
+    from thread_based_map_reduce_spark.operators.dedup import (
+        q_dedup_blocking_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["method"]: r for r in q_dedup_blocking_recall_eval(spark, sf).collect()}
+    assert set(rows) == {
+        "minhash_lsh",
+        "simhash_ham3",
+        "sorted_neighborhood",
+        "winnowing",
+    }
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_pairs"], r["n_truth"])
+        if r["n_truth"]:
+            assert r["recall"] == round(r["n_hit"] / r["n_truth"], 6)
+        if r["n_pairs"]:
+            assert r["prec"] == round(r["n_hit"] / r["n_pairs"], 6)
+    con = duck_connection(sf)
+    q = CATALOG["dedup_blocking_recall_eval"]
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems
+
+
+def test_textrank_keywords_parity_and_shape(spark):
+    from thread_based_map_reduce_spark.operators.text import (
+        TEXTRANK_TOPK,
+        q_textrank_keywords,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_textrank_keywords(spark, sf).collect()
+    assert 0 < len(rows) <= TEXTRANK_TOPK
+    # descending rank with word tie-break, all microunit ranks >= teleport
+    ranks = [(r["pr_microunits"], r["word"]) for r in rows]
+    assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+    assert all(r["pr_microunits"] >= 150000 for r in rows)
+    con = duck_connection(sf)
+    q = CATALOG["textrank_keywords"]
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems
+
+
+def test_bmp_decoder_is_a_real_parser(spark):
+    from thread_based_map_reduce_spark.operators.multimodal import (
+        decode_bmp,
+        with_bmp_payload,
+    )
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    payloads = (
+        with_bmp_payload(load_table(spark, sf, "documents")).limit(40).collect()
+    )
+    flip_matters = False
+    for row in payloads:
+        buf = bytes(row["payload"])
+        w, h, rows = decode_bmp(buf)
+        assert len(rows) == h and all(len(r) == 3 * w for r in rows)
+        # rows[0] is the TOP row = the LAST stored row (bottom-up format)
+        stride = ((3 * w + 3) // 4) * 4
+        off = len(buf) - stride * h
+        assert rows[0] == buf[off + (h - 1) * stride : off + (h - 1) * stride + 3 * w]
+        if h > 1 and rows[0] != rows[-1]:
+            flip_matters = True
+        # real validation: corrupt magic and a truncated file must raise
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_bmp(b"XX" + buf[2:])
+        with _pytest.raises(ValueError):
+            decode_bmp(buf[:-1])
+    assert flip_matters, "fixture never exercised the vertical flip"
+    con = duck_connection(sf)
+    q = CATALOG["multimodal_bmp_decode"]
+    res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)
+    assert res.ok, res.problems

@@ -219,8 +219,12 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "len_g", portable_hash64("gram").alias("gh"))
     gram_docs = span.groupBy("gh").agg(F.count("*").alias("nd"))
     dup = F.count(F.when(F.col("nd") >= 2, 1))
+    # shuffle-hash: the static planner was BROADCASTING the exploded span
+    # side (checkpoint-derived, so AQE never re-sizes it), defeating the
+    # aggregate-then-join-back design above; the hint pins the
+    # co-partitioned gh join the skew argument assumes (r9, measured)
     return (
-        span.join(gram_docs, "gh")
+        span.join(gram_docs.hint("shuffle_hash"), "gh")
         .groupBy("doc_id")
         .agg(
             F.any_value("len_g").cast("bigint").alias("n_spans"),

@@ -325,7 +325,13 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    tsets = combined.select("doc_id", "ts")
+    # SHUFFLE_HASH, not broadcast, for the verify fetch (r9, measured on
+    # ccnet's twin): the signature table is a CHECKPOINT scan whose size
+    # AQE cannot re-estimate, and the static planner was broadcasting the
+    # whole corpus-sized tsets projection into the verify join (BuildLeft
+    # over ExistingRDD in the sf0.1 plan) — harmless locally, fatal at
+    # 100 TB. The hint pins the co-partitioned narrow-key join.
+    tsets = combined.select("doc_id", "ts").hint("shuffle_hash")
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     # project the intersect size once, then filter on the scalar — a jac
@@ -1814,29 +1820,36 @@ SN_LEV_PREFIX = 64
 SN_LEV_MAX = 24
 
 
-@register(
-    "dedup_sorted_neighborhood",
-    oracle=f"""
-        WITH keyed AS (
+# The sort-key -> window-neighbor -> prefix-Levenshtein chain as ONE
+# shared CTE block ending in ``snpairs(doc_a, doc_b, lev)`` — used by the
+# dedup_sorted_neighborhood oracle and dedup_blocking_recall_eval.
+_SN_PAIRS_CTE_SQL = f"""snkeyed AS (
             SELECT doc_id, text,
                    substr(replace(lower(text), ' ', ''), 1, {SN_KEY_LEN}) AS sk
             FROM documents
         ),
-        ranked AS (
+        snranked AS (
             SELECT doc_id, text, sk,
                    row_number() OVER (ORDER BY sk, doc_id) AS rn
-            FROM keyed
+            FROM snkeyed
         ),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(levenshtein(substr(a.text, 1, {SN_LEV_PREFIX}),
-                                    substr(b.text, 1, {SN_LEV_PREFIX}))
-                        AS BIGINT) AS lev
-            FROM ranked a
-            JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
-        )
-        SELECT doc_a, doc_b, lev
-        FROM pairs WHERE lev <= {SN_LEV_MAX}
+        snpairs AS (
+            SELECT doc_a, doc_b, lev FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(levenshtein(substr(a.text, 1, {SN_LEV_PREFIX}),
+                                        substr(b.text, 1, {SN_LEV_PREFIX}))
+                            AS BIGINT) AS lev
+                FROM snranked a
+                JOIN snranked b ON b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
+            ) WHERE lev <= {SN_LEV_MAX}
+        )"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+        WITH {_SN_PAIRS_CTE_SQL}
+        SELECT doc_a, doc_b, lev FROM snpairs
     """,
     doc="Sorted-neighborhood dedup (Hernandez-Stolfo): sort by a "
     f"normalized {SN_KEY_LEN}-char key, compare each doc only to its "
@@ -2822,6 +2835,56 @@ def _weighted_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reliable_checkpoint(bits.select("doc_id", sim.alias("simhash")))
 
 
+# The full Charikar-fingerprint -> Manku-pigeonhole -> hamming-verify
+# chain as ONE shared CTE block ending in ``spairs(doc_a, doc_b,
+# hamming)`` — used verbatim by the dedup_simhash_hamming_pairs oracle
+# and re-used (completeness theorem: the pair set is block-count-
+# invariant) by dedup_blocking_recall_eval.
+_SIMHASH_PAIRS_CTE_SQL = f"""tf AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY doc_id, w
+        ),
+        h AS (
+            SELECT doc_id, tf, {portable_hash64_sql('w')} AS h FROM tf
+        ),
+        bits AS (
+            SELECT doc_id,
+                {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}" for j in range(SIMHASH64_BITS))}
+            FROM h GROUP BY doc_id
+        ),
+        sims AS (
+            SELECT doc_id,
+                {" + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(SIMHASH64_BITS))}
+                    AS simhash
+            FROM bits
+        ),
+        blocks AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS b, (simhash >> {b * _SH64_BLOCK_BITS}) "
+                f"& {_SH64_BLOCK_MASK} AS v FROM sims"
+                for b in range(_SH64_N_BLOCKS)
+            )}
+        ),
+        scand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM blocks x
+            JOIN blocks y ON x.b = y.b AND x.v = y.v AND y.doc_id > x.doc_id
+        ),
+        spairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+            FROM scand c
+            JOIN sims sa ON sa.doc_id = c.doc_a
+            JOIN sims sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH64_HAM_K}
+        )"""
+
+
 def simhash_hamming_pairs_impl(
     spark: SparkSession,
     sf_dir: str,
@@ -2876,8 +2939,15 @@ def simhash_hamming_pairs_impl(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
-    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    # shuffle-hash for the verify fetch — same checkpoint-broadcast
+    # hazard as _lsh_verified_pairs (sims is a corpus-sized checkpoint
+    # the static planner was broadcasting)
+    sa = sims.hint("shuffle_hash").select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha")
+    )
+    sb = sims.hint("shuffle_hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb")
+    )
     ham = F.expr("bit_count(_ha ^ _hb)")
     return (
         cand.join(sa, "doc_a")
@@ -2891,47 +2961,8 @@ def simhash_hamming_pairs_impl(
 @register(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
-        WITH tf AS (
-            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-            FROM (
-                SELECT doc_id,
-                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-                FROM documents
-            )
-            GROUP BY doc_id, w
-        ),
-        h AS (
-            SELECT doc_id, tf, {portable_hash64_sql('w')} AS h FROM tf
-        ),
-        bits AS (
-            SELECT doc_id,
-                {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}" for j in range(SIMHASH64_BITS))}
-            FROM h GROUP BY doc_id
-        ),
-        sims AS (
-            SELECT doc_id,
-                {" + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(SIMHASH64_BITS))}
-                    AS simhash
-            FROM bits
-        ),
-        blocks AS (
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS b, (simhash >> {b * _SH64_BLOCK_BITS}) "
-                f"& {_SH64_BLOCK_MASK} AS v FROM sims"
-                for b in range(_SH64_N_BLOCKS)
-            )}
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM blocks x
-            JOIN blocks y ON x.b = y.b AND x.v = y.v AND y.doc_id > x.doc_id
-        )
-        SELECT c.doc_a, c.doc_b,
-               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-        FROM cand c
-        JOIN sims sa ON sa.doc_id = c.doc_a
-        JOIN sims sb ON sb.doc_id = c.doc_b
-        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH64_HAM_K}
+        WITH {_SIMHASH_PAIRS_CTE_SQL}
+        SELECT doc_a, doc_b, hamming FROM spairs
     """,
     doc="SimHash near-dup PAIRS — the retrieval step dedup_simhash's "
     "fingerprints exist for — with the full Charikar construction "
@@ -3360,11 +3391,11 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_selected(spark, sf_dir).select("doc_id", "pos", "fp")
 
 
-@register(
-    "dedup_winnow_pairs",
-    oracle=f"""
-        WITH {_WINNOW_SQL.strip()},
-        wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfinger),
+# df-capped shared-fingerprint pair chain ending in
+# ``wnpairs(doc_a, doc_b, shared_fps)`` — shared by the
+# dedup_winnow_pairs oracle and dedup_blocking_recall_eval. Assumes
+# _WINNOW_SQL's CTEs (wfinger) precede it in the same WITH.
+_WINNOW_PAIRS_CTE_SQL = f"""wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfinger),
         wdf AS (
             SELECT fp, gram, count(*) AS df FROM wdocfp GROUP BY fp, gram
         ),
@@ -3372,14 +3403,24 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d.doc_id, d.fp, d.gram
             FROM wdocfp d JOIN wdf f ON f.fp = d.fp AND f.gram = d.gram
             WHERE f.df <= {_WIN_DF_CAP}
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS shared_fps
-        FROM wrare a
-        JOIN wrare b ON a.fp = b.fp AND a.gram = b.gram
-                    AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
-        HAVING count(*) >= 2
+        ),
+        wnpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM wrare a
+            JOIN wrare b ON a.fp = b.fp AND a.gram = b.gram
+                        AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+            HAVING count(*) >= 2
+        )"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL}
+        SELECT doc_a, doc_b, shared_fps FROM wnpairs
     """,
     doc="Substring-overlap candidate pairs from shared winnowing "
     "fingerprints (MOSS-style plagiarism/clone detection): docs sharing "
@@ -3403,7 +3444,10 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = sel.join(df.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
         "doc_id", "fp", "gram"
     )
-    a, b = rare.alias("a"), rare.alias("b")
+    # shuffle-hash for the fingerprint self-join — rare is corpus-sized
+    # and checkpoint-derived (same static-broadcast hazard as the LSH
+    # verify join); the pair join must bucket by fp, never broadcast
+    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -3417,3 +3461,190 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
+
+
+# -- blocking-family recall/precision eval (round 9) --------------------------
+
+
+def _exact_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUND TRUTH for the blocking eval: the complete exact-Jaccard >=
+    threshold pair set. Any pair with J >= 0.5 shares at least one
+    shingle, so the shingle inverted index is a COMPLETE candidate
+    superset — no probabilistic step anywhere. This is the step whose
+    cost the blocking families exist to avoid; as an EVAL it runs on a
+    corpus sample at scale (the ann_method_recall_eval pattern), and its
+    bucket sizes are bounded by the max shingle document-frequency
+    (fixture max df = 7; a production sample would df-cap the truth
+    index and report the skipped mass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hd = reliable_checkpoint(
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias(
+                "s"
+            ),
+        )
+        .select("doc_id", portable_hash64("s").alias("h60"))
+        .distinct()
+    )
+    tsets = hd.groupBy("doc_id").agg(F.collect_set("h60").alias("ts"))
+    buckets = (
+        hd.groupBy("h60")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("double").alias("_inter"),
+            F.size("ts_a").alias("_na"),
+            F.size("ts_b").alias("_nb"),
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _recall_eval_oracle() -> str:
+    methods_sql = "\n            UNION ALL\n".join(
+        f"""            SELECT '{name}' AS method,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {cte}) AS n_pairs,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM {cte} p JOIN truth t
+                      ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS n_hit"""
+        for name, cte in (
+            ("minhash_lsh", "m_mh"),
+            ("simhash_ham3", "m_sh"),
+            ("sorted_neighborhood", "m_sn"),
+            ("winnowing", "m_wn"),
+        )
+    )
+    return f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()},
+        {_SIMHASH_PAIRS_CTE_SQL},
+        {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL},
+        {_SN_PAIRS_CTE_SQL},
+        hdist AS (
+            SELECT DISTINCT doc_id, {portable_hash64_sql('s')} AS h FROM shingles
+        ),
+        tcand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM hdist a JOIN hdist b ON a.h = b.h AND b.doc_id > a.doc_id
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM tcand
+            JOIN tsets ta ON ta.doc_id = doc_a
+            JOIN tsets tb ON tb.doc_id = doc_b
+            WHERE len(list_intersect(ta.ts, tb.ts))::DOUBLE
+                  / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        m_mh AS (SELECT least(doc_a, doc_b) AS doc_a,
+                        greatest(doc_a, doc_b) AS doc_b FROM vpairs),
+        m_sh AS (SELECT least(doc_a, doc_b) AS doc_a,
+                        greatest(doc_a, doc_b) AS doc_b FROM spairs),
+        m_sn AS (SELECT least(doc_a, doc_b) AS doc_a,
+                        greatest(doc_a, doc_b) AS doc_b FROM snpairs),
+        m_wn AS (SELECT least(doc_a, doc_b) AS doc_a,
+                        greatest(doc_a, doc_b) AS doc_b FROM wnpairs),
+        stats AS (
+{methods_sql}
+        )
+        SELECT s.method, s.n_pairs, nt.n_truth, s.n_hit,
+               round(s.n_hit / nullif(nt.n_truth, 0), 6) AS recall,
+               round(s.n_hit / nullif(s.n_pairs, 0), 6) AS prec
+        FROM stats s, nt
+    """
+
+
+@register(
+    "dedup_blocking_recall_eval",
+    oracle=_recall_eval_oracle(),
+    doc="Recall/precision of every near-dup BLOCKING family against the "
+    "complete exact ground truth, in one hash-gated entry (the "
+    "ann_method_recall_eval pattern applied to dedup): truth = ALL pairs "
+    f"with exact shingle-Jaccard >= {JACCARD_THRESHOLD} via the shingle "
+    "inverted index (complete — a qualifying pair must share a shingle); "
+    "each family contributes the pair set its production twin emits "
+    "(minhash_lsh = banded-LSH verified pairs; simhash_ham3 = "
+    "hamming<=3 retrieval; sorted_neighborhood = window-3 prefix-"
+    "Levenshtein matches; winnowing = >=2 shared fingerprints), each "
+    "REUSING the production construction so the eval prices the real "
+    "thing. Emits n_pairs / n_hit / recall / precision per family — the "
+    "measured basis for choosing a family per corpus, instead of prose. "
+    "Expected shape on this fixture: LSH banding trades recall "
+    "(S-curve misses near-threshold pairs) for precision; hamming and "
+    "winnowing measure DIFFERENT similarity notions against the Jaccard "
+    "truth, which is exactly what the eval exposes. 100 TB shape: the "
+    "eval runs on a sample (truth is the quadratic-adjacent step the "
+    "families avoid); every per-family set reuses its production plan "
+    "unchanged.",
+    tags=("dedup", "minhash", "lsh", "simhash", "eval"),
+)
+def q_dedup_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = reliable_checkpoint(_exact_jaccard_truth(spark, sf_dir))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    norm = lambda df: df.select(  # noqa: E731
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    methods = (
+        ("minhash_lsh", _lsh_verified_pairs(spark, sf_dir)),
+        ("simhash_ham3", q_dedup_simhash_hamming_pairs(spark, sf_dir)),
+        ("sorted_neighborhood", q_dedup_sorted_neighborhood(spark, sf_dir)),
+        ("winnowing", q_dedup_winnow_pairs(spark, sf_dir)),
+    )
+    out = None
+    for name, pairs in methods:
+        # checkpoint: the pair set feeds BOTH the count and the truth
+        # join — without it every family's whole pipeline (and its
+        # audited window sites) would execute twice in one plan
+        p = reliable_checkpoint(norm(pairs))
+        n_pairs = p.agg(F.count("*").cast("bigint").alias("n_pairs"))
+        n_hit = p.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("bigint").alias("n_hit")
+        )
+        row = (
+            n_pairs.crossJoin(F.broadcast(n_hit))
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(name).alias("method"),
+                "n_pairs",
+                "n_truth",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hit") / F.nullif(F.col("n_pairs"), F.lit(0)), 6
+                ).alias("prec"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1296,3 +1296,186 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_px", "max_px", "png_bytes",
         "rows_none", "rows_sub", "rows_up", "rows_avg", "rows_paeth",
     )
+
+
+# -- REAL image decode path #2: BMP (24-bit, BITMAPINFOHEADER) ----------------
+#
+# Same synthesize-JVM-side / parse-with-a-real-kernel / SQL-oracle pattern
+# as PGM and WAV, but exercising the parsing quirks PGM has none of:
+# little-endian multi-byte header fields, 4-byte row-stride PADDING, and
+# BOTTOM-UP row storage with BGR channel order. The top_row_sum output is
+# row-order-SENSITIVE, so a kernel that forgets the vertical flip (the
+# classic BMP bug) fails the hash gate, not just a code review.
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL 24-bit bottom-up BMP per document, built JVM-side.
+
+    Pixel bytes (BGR, row-major from the BOTTOM row up) are drawn from a
+    continuous tiled-md5 stream; each stored row is zero-padded to the
+    4-byte stride the format requires."""
+    w = (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("bigint") % 8 + 1).cast("int")
+    h = (F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("bigint") % 8 + 1).cast("int")
+    base = _media_docs(docs).select("doc_id", "text", w.alias("w"), h.alias("h"))
+    stride = F.expr("int((3 * w + 3) div 4) * 4")
+    base = base.withColumn("stride", stride)
+    # 3*w*h payload bytes as hex, from the tiled md5 stream
+    stream_hex = F.expr(
+        "substring(repeat(md5(text), int(ceil(3 * w * h / 16.0))), 1, 6 * w * h)"
+    )
+    base = base.withColumn("stream_hex", stream_hex)
+    rows_hex = F.expr(
+        "concat_ws('', transform(sequence(0, h - 1), r -> "
+        "concat(substring(stream_hex, r * 6 * w + 1, 6 * w), "
+        "repeat('00', stride - 3 * w))))"
+    )
+    file_size = F.expr("54 + stride * h")
+    img_size = F.expr("stride * h")
+    payload_hex = F.concat(
+        F.lit("424d"),                     # "BM"
+        _le32_hex(file_size),
+        F.lit("00000000"),                 # reserved
+        _le32_hex(F.lit(54)),              # pixel data offset
+        _le32_hex(F.lit(40)),              # BITMAPINFOHEADER size
+        _le32_hex(F.col("w")),
+        _le32_hex(F.col("h")),             # positive height = bottom-up
+        F.lit("0100"), F.lit("1800"),      # planes 1, 24 bpp (LE16)
+        _le32_hex(F.lit(0)),               # BI_RGB (uncompressed)
+        _le32_hex(img_size),
+        _le32_hex(F.lit(2835)),            # 72 DPI in px/metre
+        _le32_hex(F.lit(2835)),
+        _le32_hex(F.lit(0)),               # palette colors
+        _le32_hex(F.lit(0)),               # important colors
+        rows_hex,
+    )
+    return base.select("doc_id", F.unhex(payload_hex).alias("payload"))
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL BMP parser: magic, LE header fields, stride/padding, returns
+    rows in TOP-DOWN order (i.e. undoes the bottom-up storage)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    file_size, _res, off = struct.unpack_from("<III", payload, 2)
+    if file_size != len(payload):
+        raise ValueError(f"header size {file_size} != payload {len(payload)}")
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiihHI", payload, 14)
+    if hdr_size != 40 or planes != 1:
+        raise ValueError("unsupported DIB header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported bpp={bpp}/compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((3 * w + 3) // 4) * 4
+    if len(payload) - off != stride * h:
+        raise ValueError("pixel array length mismatch")
+    stored = [
+        payload[off + r * stride : off + r * stride + 3 * w] for r in range(h)
+    ]
+    return w, h, stored[::-1] if bottom_up else stored
+
+
+def decode_bmp_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over REAL BMP payloads: parse, flip,
+    exact integer per-channel sums + the row-order-sensitive top-row sum."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, rows = decode_bmp(bytes(row.payload))
+                px = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, 3)
+                out.append(
+                    (
+                        row.doc_id,
+                        w,
+                        h,
+                        w * h,
+                        int(px[:, 0].sum()),  # B
+                        int(px[:, 1].sum()),  # G
+                        int(px[:, 2].sum()),  # R
+                        int(np.frombuffer(rows[0], dtype=np.uint8).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r", "top_row_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "sum_b long, sum_g long, sum_r long, top_row_sum long",
+    )
+
+
+@register(
+    "multimodal_bmp_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(list_sum([('0x' || substr(s, 6 * q + 1, 2))::BIGINT
+                              for q in range(0, (w * h)::INT)]) AS BIGINT) AS sum_b,
+               CAST(list_sum([('0x' || substr(s, 6 * q + 3, 2))::BIGINT
+                              for q in range(0, (w * h)::INT)]) AS BIGINT) AS sum_g,
+               CAST(list_sum([('0x' || substr(s, 6 * q + 5, 2))::BIGINT
+                              for q in range(0, (w * h)::INT)]) AS BIGINT) AS sum_r,
+               CAST(list_sum([('0x' || substr(s, 2 * p - 1, 2))::BIGINT
+                              for p in range(3 * (w * (h - 1))::INT + 1,
+                                             3 * (w * h)::INT + 1)]) AS BIGINT)
+                   AS top_row_sum,
+               round((list_sum([('0x' || substr(s, 2 * p - 1, 2))::BIGINT
+                                for p in range(1, 3 * (w * h)::INT + 1)]))
+                     / (3.0 * w * h), 6) AS mean_px
+        FROM (
+            SELECT doc_id, w, h,
+                   substr(repeat(md5(text), ceil(3 * w * h / 16.0)::INT),
+                          1, (6 * w * h)::INT) AS s
+            FROM (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 1, 2))::BIGINT % 8 + 1 AS w,
+                       ('0x' || substr(md5(text), 3, 2))::BIGINT % 8 + 1 AS h
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+        )
+    """,
+    doc="REAL BMP decode, oracle-checked: genuine 24-bit BITMAPINFOHEADER "
+    "files synthesized JVM-side (LE header fields via hex byte-swap, "
+    "4-byte row-stride zero padding, BOTTOM-UP row storage, BGR order); "
+    "the kernel is a real struct-unpack parser that validates "
+    "magic/size/offset/bpp/compression, strips stride padding and undoes "
+    "the vertical flip, in Arrow-batched mapInPandas. Exact bigint "
+    "per-channel sums plus top_row_sum — a row-order-SENSITIVE stat: a "
+    "decoder that skips the bottom-up flip (the classic BMP bug) or "
+    "mis-strides the padding fails the driver hash gate. Oracle rebuilds "
+    "the same pixel stream from the md5 math in SQL. Zero shuffle: one "
+    "scan, stateless per-image kernel, like every decode entry",
+    tags=("multimodal",),
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_bmp_images(with_bmp_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_b",
+        "sum_g",
+        "sum_r",
+        "top_row_sum",
+        F.round(
+            (F.col("sum_b") + F.col("sum_g") + F.col("sum_r"))
+            / (3.0 * F.col("n_pixels")),
+            6,
+        ).alias("mean_px"),
+    )

@@ -396,3 +396,91 @@ def q_streaming_timer_ttl_runtime(spark: SparkSession, sf_dir: str) -> DataFrame
         "tbmr_streaming_timer_ttl_runtime",
         "append",
     )
+
+
+@register(
+    "streaming_outer_join_runtime",
+    # matched pairs = the plain batch interval join; unmatched purchases
+    # are gated by the SAME watermark inequality on both sides: the engine
+    # keeps an emitted null-row only if p_ts sits >= 1 s inside the
+    # terminal watermark max(ts) - 1h, and the oracle applies the
+    # identical cutoff — so Spark's exact (strict-vs-non-strict, ms-
+    # rounded) eviction boundary can never flip a row between engines
+    oracle="""
+        WITH p AS (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        -- the run's terminal watermark: each side's watermark tracks its
+        -- OWN filtered stream's max ts, and the global watermark is the
+        -- min of the two
+        g AS (SELECT least((SELECT max(ts) FROM p),
+                           (SELECT max(ts) FROM s)) AS gmax)
+        SELECT p.user_id AS p_user,
+               p.event_id AS p_event,
+               CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+               CAST(epoch_us(s.ts) AS BIGINT) AS s_us,
+               1 AS matched
+        FROM p JOIN s
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+        UNION ALL
+        SELECT p.user_id, p.event_id,
+               CAST(epoch_us(p.ts) AS BIGINT),
+               CAST(NULL AS BIGINT),
+               0
+        FROM p, g
+        WHERE NOT EXISTS (
+                  SELECT 1 FROM s
+                  WHERE s.user_id = p.user_id
+                    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR)
+          AND epoch_us(p.ts)
+              <= epoch_us(g.gmax) - 3600::BIGINT * 1000000 - 1000000
+    """,
+    doc="The 11th streaming runtime: stream-stream LEFT OUTER interval "
+    "join executed end-to-end — purchases that DID match a signup emit "
+    "as inner rows during the data batch; purchases with no signup are "
+    "held in the join state store until the watermark proves no future "
+    "signup can match, then emit null-padded in the terminal no-data "
+    "micro-batch (the outer-emission semantics inner joins don't "
+    "exercise: state eviction IS the emission trigger). Boundary "
+    "determinism: both the engine and the oracle keep unmatched rows "
+    "only >= 1 s inside the terminal watermark, so the emitted set is a "
+    "pure function of the data, never of Spark's eviction inequality. "
+    "At 100 TB the state bound is the whole point: outer state holds "
+    "only rows younger than watermark + interval, evicted continuously.",
+    tags=("streaming", "runtime", "join"),
+)
+def q_streaming_outer_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import purchase_signup_left_join_stream
+
+    sink = run_stream_to_memory(
+        purchase_signup_left_join_stream(spark, sf_dir),
+        "tbmr_streaming_outer_join_runtime",
+        "append",
+    )
+    # terminal-watermark cutoff as a broadcast scalar (no driver collect):
+    # the global watermark is min(per-side maxima) - delay, each side
+    # tracking only its own filtered event type
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+                F.max(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))),
+            )
+            - 3600 * 1000000
+            - 1000000
+        ).alias("wm_cut_us")
+    )
+    return (
+        sink.crossJoin(F.broadcast(wm))
+        .where(F.col("s_us").isNotNull() | (F.col("p_us") <= F.col("wm_cut_us")))
+        .select(
+            "p_user",
+            "p_event",
+            "p_us",
+            "s_us",
+            F.when(F.col("s_us").isNotNull(), 1).otherwise(0).cast("int")
+            .alias("matched"),
+        )
+    )

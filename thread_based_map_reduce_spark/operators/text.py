@@ -964,11 +964,17 @@ def q_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_nano"),
         )
     )
-    # no broadcast hint: vocabulary size is corpus-dependent (billions of
-    # distinct tokens at web scale) — AQE picks broadcast when lp is small
-    # and a shuffle join on the narrow token key when it is not
+    # SHUFFLE_HASH on the vocabulary side, measured (r9): the token side
+    # is a checkpoint scan whose size AQE cannot re-estimate, and the
+    # static planner under-sized it at the 100x fixture — it BROADCAST
+    # the 27M-row token table and streamed the 310-row vocabulary
+    # (BuildLeft, ~150 s of the 100x point). The hint pins the narrow-key
+    # shuffle join with the vocabulary as build side — the plan a
+    # web-scale vocabulary (billions of tokens, past any broadcast
+    # threshold) needs anyway; per-partition hash build over the token
+    # stream, no sort, no broadcast of either side required.
     return (
-        tok.join(lp, "w")
+        tok.join(lp.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tok"),
@@ -2383,8 +2389,11 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_nano"),
         )
     )
+    # shuffle-hash with the vocabulary as build side — same measured
+    # rationale as unigram_nll_quality (the static planner broadcast the
+    # checkpointed token side at 100x)
     doc_nll = (
-        tok.join(lp, "w")
+        tok.join(lp.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tok"),
@@ -2418,4 +2427,115 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_nll_nano",
         "max_nll_nano",
         "mean_nll_per_tok",
+    )
+
+
+# -- TextRank keyword extraction (round 9) ------------------------------------
+
+TEXTRANK_ROUNDS = 2
+TEXTRANK_TOPK = 20
+
+
+@register(
+    "textrank_keywords",
+    oracle=f"""
+        WITH toks2 AS (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+            FROM documents
+        ),
+        adj AS (
+            SELECT DISTINCT g.a, g.b FROM (
+                SELECT unnest([{{'a': w[i], 'b': w[i+1]}}
+                               for i in range(1, greatest(len(w), 1))]) AS g
+                FROM toks2 WHERE len(w) >= 2
+            ) WHERE g.a <> g.b
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM adj
+            UNION SELECT b, a FROM adj
+        ),
+        deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1000000::BIGINT AS pr, d FROM deg),
+        in1 AS (
+            SELECT e.dst AS node, sum(p.pr // p.d) AS inbound
+            FROM edges e JOIN pr0 p ON e.src = p.node
+            GROUP BY e.dst
+        ),
+        pr1 AS (
+            SELECT g.node, CAST(150000 + (85 * coalesce(i.inbound, 0)) // 100
+                   AS BIGINT) AS pr, g.d
+            FROM deg g LEFT JOIN in1 i ON g.node = i.node
+        ),
+        in2 AS (
+            SELECT e.dst AS node, sum(p.pr // p.d) AS inbound
+            FROM edges e JOIN pr1 p ON e.src = p.node
+            GROUP BY e.dst
+        ),
+        pr2 AS (
+            SELECT g.node, CAST(150000 + (85 * coalesce(i.inbound, 0)) // 100
+                   AS BIGINT) AS pr, g.d
+            FROM deg g LEFT JOIN in2 i ON g.node = i.node
+        )
+        SELECT node AS word, CAST(d AS BIGINT) AS degree, pr AS pr_microunits
+        FROM pr2
+        ORDER BY pr DESC, word
+        LIMIT {TEXTRANK_TOPK}
+    """,
+    doc="TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004): build "
+    "the word co-occurrence graph (distinct adjacent-token pairs across "
+    "the corpus, undirected, self-loops dropped), run "
+    f"{TEXTRANK_ROUNDS} PageRank rounds in exact integer microunits "
+    "(the dup_graph_pagerank replay scheme: pr0 = 1e6, each round "
+    "150000 + 85*sum(pr div deg) div 100 — floor-div on all-positive "
+    "values, bit-identical in both engines), emit the top-"
+    f"{TEXTRANK_TOPK} keywords by rank with word tie-break. 100 TB "
+    "shape: the graph is VOCABULARY-sized (distinct bigrams obey the "
+    "same Heaps-law sublinear growth the BPE word table rides), so the "
+    "corpus is touched once to extract adjacency and every iteration "
+    "runs on the compact edge table; top-k is TakeOrderedAndProject",
+    tags=("text", "graph", "iterative"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select(tokens("text").alias("toks")).where(F.size("toks") >= 2)
+    adj = (
+        toks_df.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(toks, (t, i) -> "
+                    "struct(t AS a, try_element_at(toks, i + 2) AS b)), "
+                    "p -> p.b IS NOT NULL AND p.a <> p.b)"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    half = adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = reliable_checkpoint(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    pr = deg.select("node", F.lit(1000000).cast("bigint").alias("pr"), "d")
+    for _ in range(TEXTRANK_ROUNDS):
+        contrib = edges.join(pr, edges["src"] == pr["node"]).select(
+            F.col("dst").alias("node"), F.expr("pr div d").alias("c")
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("inbound"))
+        pr = deg.join(inbound, "node", "left").select(
+            "node",
+            (F.lit(150000) + F.expr("85 * coalesce(inbound, 0) div 100"))
+            .cast("bigint")
+            .alias("pr"),
+            "d",
+        )
+    return (
+        pr.select(
+            F.col("node").alias("word"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.col("pr").alias("pr_microunits"),
+        )
+        .orderBy(F.col("pr_microunits").desc(), "word")
+        .limit(TEXTRANK_TOPK)
     )

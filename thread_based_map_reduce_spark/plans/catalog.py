@@ -240,27 +240,58 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Round-9 driver window, in priority order (VERDICT r8 #6): new r9
-# entries first, then the changed-after-green re-proves (code whose
-# source changed in r9 after its r8 green row: the sized-simhash default
-# switch, the OPTICS two-star core-CC swap, and the BPE dry-round guard
-# in the shared _bpe_train/_bpe_parts path), then the oldest-green
-# rotation: the four remaining r1-vintage rows (incl.
-# tpch_q22_idle_customers, dropped from the r8 list without note -
-# ADVICE r8 #2) and the r2-vintage cohort. New entries added later in
-# r9 are inserted at the head and displace the r2 tail (displaced names
-# lead the r10 rotation; they stay hash-green, just not re-proved yet).
+# Round-9 driver window, in priority order (VERDICT r8 #6), REVISED
+# twice as round 9 grew: (1) ALL new r9 catalog entries first (early
+# batch - record linkage, curriculum manifest, timer/TTL runtime,
+# winnowing, hard-negative mining; late batch - AMS F2, CCNet buckets,
+# bucketed join, outer-join runtime, blocking recall eval, TextRank,
+# BMP decode); (2) the changed-after-green re-proves - r9 edits after
+# an r8 green row: the sized-simhash default switch, the OPTICS
+# two-star swap, the BPE dry-round guard, the sorted-neighborhood /
+# winnow oracle-CTE extraction, and the round-9 CHECKPOINT-BROADCAST
+# JOIN FIX (BASELINE.md "round-9 join-strategy fix"), which re-planned
+# every consumer of _lsh_verified_pairs (pairs, clusters x2, the five
+# dup-graph entries, edit-distance, leakage split), the simhash/winnow
+# verify joins, dup_span_fraction and the unigram-NLL machinery; (3)
+# the oldest-green rotation with whatever slots remain. The window
+# holds exactly 50 names (the driver's sample size). Displaced to lead
+# the r10 rotation (hash-green, just not re-proved this round):
+# pandas_udf_token_count, pii_scrub_stats, regex_functions,
+# session_window_agg, string_functions_2, text_quality_score,
+# text_token_stats, udtf_tokenize, multimodal_frame_sample,
+# multimodal_meta, multimodal_pgm_decode, multimodal_wav_decode,
+# multimodal_y4m_decode, and the tpch_q4/q7/q10/q12/q14/q17/q18/q19
+# rows.
 _PINNED_FIRST = (
-    # --- new round-9 catalog entries ---
     "record_linkage_customer",
     "curriculum_manifest",
     "streaming_timer_ttl_runtime",
-    # --- changed-after-green re-proves (r9 edits, driver rows now stale) ---
+    "winnowing_fingerprints",
+    "dedup_winnow_pairs",
+    "hard_negative_mining",
+    "ams_f2_sketch_estimate",
+    "ccnet_perplexity_buckets",
+    "bucketed_join_revenue",
+    "streaming_outer_join_runtime",
+    "dedup_blocking_recall_eval",
+    "textrank_keywords",
+    "multimodal_bmp_decode",
     "dedup_simhash_hamming_pairs",
     "optics_reachability",
     "bpe_train_merges",
     "bpe_apply_encode",
-    # --- oldest-green rotation: r1-vintage leftovers, then the r2 cohort ---
+    "dedup_sorted_neighborhood",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters_twostar",
+    "dedup_graph_triangles",
+    "dup_graph_degree_stats",
+    "dup_graph_pagerank",
+    "dup_pairs_edit_distance",
+    "dup_graph_bfs_hops",
+    "dup_graph_link_prediction",
+    "leakage_safe_split",
+    "dup_span_fraction",
+    "unigram_nll_quality",
     "tpch_q22_idle_customers",
     "union_all_tagged",
     "window_range_frame",
@@ -282,27 +313,6 @@ _PINNED_FIRST = (
     "ivf_search_nprobe2",
     "langid_heuristic",
     "latest_event_per_user",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_pgm_decode",
-    "multimodal_wav_decode",
-    "multimodal_y4m_decode",
-    "pandas_udf_token_count",
-    "pii_scrub_stats",
-    "regex_functions",
-    "session_window_agg",
-    "string_functions_2",
-    "text_quality_score",
-    "text_token_stats",
-    "tpch_q10_returned_customers",
-    "tpch_q12_shipmode",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q4_priority_check",
-    "tpch_q7_nation_volume",
-    "udtf_tokenize",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 

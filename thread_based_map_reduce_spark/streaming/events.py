@@ -459,3 +459,48 @@ def user_ttl_expiry_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def purchase_signup_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (the 11th runtime): every
+    purchase joined to the same user's signups within the preceding 24 h;
+    purchases with NO matching signup are emitted null-padded — but only
+    once the watermark proves no future signup can still match (append
+    mode holds the outer row in state until then). Matched rows emit as
+    they join; unmatched rows emit in the terminal no-data micro-batch,
+    when the final global watermark - min(max purchase ts, max signup ts)
+    - 1h, each side's watermark tracking its OWN filtered stream - passes
+    the purchase timestamp
+    (a signup matching p needs s_ts <= p_ts, and post-watermark arrivals
+    have s_ts > wm — the eviction bound the planner derives from the
+    interval condition)."""
+    ev = _events_stream(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return (
+        purchases.join(
+            signups,
+            (F.col("p_user") == F.col("s_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+            "left_outer",
+        )
+        .select(
+            "p_user",
+            "p_event",
+            F.unix_micros("p_ts").alias("p_us"),
+            F.unix_micros("s_ts").alias("s_us"),
+        )
+    )
