@@ -268,12 +268,40 @@ _BKT_LOCK = __import__("threading").Lock()
 _BKT_DIRS: dict[str, str] = {}
 
 
+def _one_file_per_bucket(path: str, n_buckets: int) -> None:
+    """Guard the one-file-per-bucket invariant every bucketed writer in
+    this repo must preserve: q_bucketed_join_revenue turns on
+    spark.sql.legacy.bucketedTableScan.outputOrdering, which is only
+    sound when each bucket is a single sorted file — multiple files per
+    bucket would get a falsely-assumed sort order and could silently
+    corrupt sort-merge joins (ADVICE r9). The repartition(BKT_N, key)
+    before bucketBy guarantees it; this assert makes a future writer
+    that drops the repartition fail loudly at write time instead."""
+    import os
+
+    data_files = [
+        f
+        for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    ]
+    if len(data_files) != n_buckets:
+        raise AssertionError(
+            f"bucketed table at {path}: {len(data_files)} data files for "
+            f"{n_buckets} buckets — the one-file-per-bucket invariant that "
+            "legacy.bucketedTableScan.outputOrdering relies on is broken"
+        )
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import atexit
     import hashlib
+    import os
     import shutil
     import tempfile
 
+    # normalize: trailing slashes / symlinked spellings of the same dir
+    # must share one bucketed copy, not silently duplicate it (ADVICE r9)
+    sf_dir = os.path.realpath(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders = f"tbmr_bkt_orders_{tag}"
     t_lineitem = f"tbmr_bkt_lineitem_{tag}"
@@ -298,6 +326,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .mode("overwrite")
                 .saveAsTable(t_orders)
             )
+            _one_file_per_bucket(f"{scratch}/orders", BKT_N)
         if not spark.catalog.tableExists(t_lineitem):
             (
                 load_table(spark, sf_dir, "lineitem")
@@ -309,6 +338,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .mode("overwrite")
                 .saveAsTable(t_lineitem)
             )
+            _one_file_per_bucket(f"{scratch}/lineitem", BKT_N)
     return t_orders, t_lineitem
 
 
@@ -343,9 +373,12 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
     # Spark 3+ ignores within-bucket sort order by default (SPARK-24528);
     # with exactly one file per bucket (the repartition above guarantees
-    # it) the order IS reliable, so opt back in — this is what removes
-    # the per-query Sort below the SortMergeJoin. Plan-time conf, only
-    # consulted for bucketed scans.
+    # it, and _one_file_per_bucket ASSERTS it at write time for every
+    # bucketed table this repo creates) the order IS reliable, so opt
+    # back in — this is what removes the per-query Sort below the
+    # SortMergeJoin. Plan-time conf, consulted only for bucketed scans;
+    # it stays set for the session, which is sound exactly because the
+    # write-time guard keeps the invariant global (ADVICE r9).
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     o = spark.table(t_orders)
     li = spark.table(t_lineitem)

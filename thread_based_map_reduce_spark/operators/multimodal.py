@@ -1366,6 +1366,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("unsupported DIB header")
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported bpp={bpp}/compression={comp}")
+    # w <= 0 or h == 0 would otherwise produce a negative stride / empty
+    # pixel array and surface as a misleading length-mismatch error (or a
+    # divide-by-zero in downstream mean computations) — reject explicitly,
+    # matching the parser's other validations (ADVICE r9)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions w={w} h={h}")
     bottom_up = h > 0
     h = abs(h)
     stride = ((3 * w + 3) // 4) * 4
