@@ -1,0 +1,107 @@
+"""Round-10 growth tests.
+
+1. Exact-substring seed-and-extend (VERDICT r9 #1): on a planted fixture
+   the operator's span set must equal the BRUTE-FORCE maximal duplicated
+   spans >= the winnowing guarantee threshold — both directions (sound:
+   every emitted span is a real maximal duplicated run; complete: every
+   maximal run >= _SPAN_MIN_TOKENS is found).
+
+2. BMP header validation (ADVICE r9 low): crafted w <= 0 / h == 0 headers
+   must fail with the explicit dimension error, not a misleading
+   pixel-array length mismatch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from thread_based_map_reduce_spark.operators.dedup import (
+    _SPAN_MIN_TOKENS,
+    exact_substring_spans_impl,
+)
+from thread_based_map_reduce_spark.operators.multimodal import decode_bmp
+
+
+def _brute_force_spans(docs: dict[int, str], min_len: int) -> set[tuple]:
+    """All maximal cross-document duplicated token runs >= min_len, by
+    walking every alignment diagonal of every pair."""
+    toks = {d: t.split() for d, t in docs.items()}
+    out = set()
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            for d in range(-(len(tb) - 1), len(ta)):
+                # diagonal d: ta[i] vs tb[i - d]
+                i = max(0, d)
+                while i < len(ta) and i - d < len(tb):
+                    if ta[i] == tb[i - d]:
+                        j = i
+                        while j < len(ta) and j - d < len(tb) and ta[j] == tb[j - d]:
+                            j += 1
+                        if j - i >= min_len:
+                            out.add((a, b, i, i - d, j - i))
+                        i = j
+                    else:
+                        i += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted_docs():
+    span9 = " ".join(f"s{i}" for i in range(9))  # 9 tokens, > threshold
+    span7 = " ".join(f"t{i}" for i in range(7))  # exactly the threshold
+    span6 = " ".join(f"u{i}" for i in range(6))  # below threshold: invisible
+    return {
+        1: f"f1 f2 {span9} f3 f4 f5 {span7}",
+        2: f"g1 g2 g3 g4 {span9} g5 {span6}",
+        3: f"{span7} h1 h2 h3 h4 h5 h6 h7",
+        4: f"k1 {span6} k2 k3 k4 k5 k6 k7 k8",
+        # span9 appears TWICE -> two alignment diagonals vs docs 1 and 2
+        5: f"m1 {span9} m2 m3 {span9} m4",
+        6: "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10",
+    }
+
+
+def test_exact_substring_spans_match_bruteforce(spark, planted_docs):
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in planted_docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+        for r in exact_substring_spans_impl(docs).collect()
+    }
+    want = _brute_force_spans(planted_docs, _SPAN_MIN_TOKENS)
+    assert got == want
+    # the fixture actually exercises the interesting cases
+    assert (1, 2, 2, 4, 9) in want  # long span, shifted offsets
+    assert (1, 3, 14, 0, 7) in want  # exactly-threshold span
+    assert any(p[:2] == (1, 5) for p in want)  # multi-diagonal doc
+    assert sum(1 for p in want if p[:2] == (1, 5)) == 2
+    assert not any(p[:2] == (2, 4) for p in want)  # 6-token span invisible
+    assert not any(p[0] == 6 or p[1] == 6 for p in want)
+
+
+def test_exact_substring_spans_empty_and_short(spark):
+    # corpora with no doc reaching W+K-1 tokens select nothing and the
+    # operator returns an EMPTY frame, not an error
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    assert exact_substring_spans_impl(docs).count() == 0
+
+
+def _bmp_header(w: int, h: int, payload_len: int) -> bytes:
+    hdr = b"BM" + struct.pack("<III", payload_len, 0, 54)
+    dib = struct.pack("<IiihHI", 40, w, h, 1, 24, 0) + b"\x00" * 20
+    return hdr + dib
+
+
+def test_bmp_rejects_nonpositive_dimensions():
+    for w, h in ((0, 4), (-3, 4), (2, 0)):
+        payload = _bmp_header(w, h, 54)
+        with pytest.raises(ValueError, match="invalid BMP dimensions"):
+            decode_bmp(payload)

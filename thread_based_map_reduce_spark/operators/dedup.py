@@ -3279,10 +3279,11 @@ _WIN_POSENC = 4096  # max in-doc gram positions; fp31 * 4096 + pos stays < 2^43
 _WIN_DF_CAP = 64  # pair join skips fingerprints selected in more docs (no dedup signal)
 
 
-def _winnow_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_keyed(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, gram, key) for every complete k-gram; key is the
-    tie-free winnowing order key. One scan, per-row transforms only."""
-    docs = load_table(spark, sf_dir, "documents")
+    tie-free winnowing order key. One scan, per-row transforms only.
+    Takes the documents frame directly so planted-fixture tests can
+    drive the whole winnow/extend pipeline on synthetic corpora."""
     toked = docs.select("doc_id", tokens("text").alias("tk"))
     grams = toked.select(
         "doc_id",
@@ -3297,12 +3298,12 @@ def _winnow_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_selected(docs: DataFrame) -> DataFrame:
     """Selected fingerprints: distinct window-min keys joined back to the
     gram rows — (doc_id, pos, gram, fp). The window pass and the decode
     join are both doc_id-local (one hash partition by doc_id, reused);
     the selected set is ~2/(W+1) ≈ 40% of grams."""
-    keyed = _winnow_keyed(spark, sf_dir)
+    keyed = _winnow_keyed(docs)
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     part = W.partitionBy("doc_id")
     sel = (
@@ -3388,7 +3389,8 @@ _WINNOW_SQL = f"""
     tags=("dedup", "text", "fingerprint"),
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _winnow_selected(spark, sf_dir).select("doc_id", "pos", "fp")
+    docs = load_table(spark, sf_dir, "documents")
+    return _winnow_selected(docs).select("doc_id", "pos", "fp")
 
 
 # df-capped shared-fingerprint pair chain ending in
@@ -3438,7 +3440,9 @@ _WINNOW_PAIRS_CTE_SQL = f"""wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfi
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = reliable_checkpoint(
-        _winnow_selected(spark, sf_dir).select("doc_id", "fp", "gram").distinct()
+        _winnow_selected(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fp", "gram")
+        .distinct()
     )
     df = sel.groupBy("fp", "gram").agg(F.count("*").alias("df"))
     rare = sel.join(df.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
@@ -3461,6 +3465,187 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
+
+
+# -- exact-substring dedup: winnowing seed-and-extend (round 10) --------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") define the industry-standard exact-substring pass: find every
+# MAXIMAL substring duplicated across documents above a length threshold,
+# via a corpus suffix array. Same semantics here without the suffix array:
+# winnowing seeds + seed-and-extend. The winnowing guarantee says any
+# duplicated span of >= _WIN_W + _WIN_K - 1 tokens selects at least one
+# COMMON fingerprint in both documents at the SAME offset inside the span
+# (the window-min gram is a function of the matching gram hashes, and the
+# positional tiebreak only matters on md5 fp collisions, ~2^-31 per
+# window, mirrored by the oracle anyway). Extending such an aligned seed
+# left and right while tokens agree therefore reaches exactly the span's
+# boundaries — so the distinct extended spans ARE the maximal duplicated
+# substrings, and every span >= the guarantee threshold whose fingerprint
+# survives the df cap is found. Seeds inside one maximal run all extend
+# to the identical (start_a, start_b, len) row, so one DISTINCT collapses
+# them; runs on different alignment diagonals stay distinct rows, which
+# matches Lee et al.'s per-occurrence span semantics.
+
+_SPAN_MIN_TOKENS = _WIN_W + _WIN_K - 1  # the winnowing completeness threshold
+
+
+def _span_ext_expr(maxn: str, a_idx: str, b_idx: str) -> str:
+    """SQL for the maximal match extension: the largest e in [0, maxn]
+    with tokens agreeing at offsets 1..e — i.e. (first mismatch) - 1, or
+    maxn when none. The CASE guard keeps element_at in-bounds under ANSI
+    for the padded i > maxn probe (sequence(1, 0) would descend)."""
+    return f"""coalesce(array_min(filter(
+        sequence(1, greatest({maxn}, 1)),
+        i -> CASE WHEN i > {maxn} THEN false
+                  ELSE element_at(ta, CAST({a_idx} AS INT))
+                       != element_at(tb, CAST({b_idx} AS INT)) END)) - 1,
+        {maxn})"""
+
+
+def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
+    """Maximal cross-document duplicated token spans >= _SPAN_MIN_TOKENS.
+
+    Pipeline: winnow (doc-local) -> df-capped shared-fingerprint seeds
+    (bucketed by (fp, gram), the dedup_winnow_pairs join) -> per-seed
+    bidirectional extension against the two token arrays -> DISTINCT.
+    100 TB shape: the seed join is fingerprint-bucketed and df-capped
+    (never all-pairs); the extension joins are narrow doc_id equi-joins
+    pinned SHUFFLE_HASH (the token-array table is corpus-sized and
+    checkpoint-backed — the r9 static-broadcast hazard); per-seed work is
+    O(span length) array probing, embarrassingly parallel. Seed volume is
+    bounded by winnow density (~2/(W+1) of grams) x the df cap."""
+    sel = reliable_checkpoint(_winnow_selected(docs))
+    dfc = (
+        sel.select("doc_id", "fp", "gram")
+        .distinct()
+        .groupBy("fp", "gram")
+        .agg(F.count("*").alias("df"))
+    )
+    rare = sel.join(dfc.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
+        "doc_id", "pos", "fp", "gram"
+    )
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp", "gram"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "fp", "gram"
+    ).hint("shuffle_hash")
+    seeds = (
+        a.join(b, ["fp", "gram"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    # one tokenize pass, reused by both extension sides; shuffle-hash
+    # pinned — a checkpoint scan must never be the static planner's
+    # broadcast candidate (r9 audit)
+    toks = reliable_checkpoint(docs.select("doc_id", tokens("text").alias("tk")))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta")).hint(
+        "shuffle_hash"
+    )
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb")).hint(
+        "shuffle_hash"
+    )
+    maxl = "least(pos_a, pos_b)"
+    maxr = f"least(size(ta) - pos_a - {_WIN_K}, size(tb) - pos_b - {_WIN_K})"
+    ext = (
+        seeds.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            F.expr(_span_ext_expr(maxl, "pos_a - i + 1", "pos_b - i + 1"))
+            .cast("bigint")
+            .alias("l_ext"),
+            F.expr(
+                _span_ext_expr(maxr, f"pos_a + {_WIN_K} + i", f"pos_b + {_WIN_K} + i")
+            )
+            .cast("bigint")
+            .alias("r_ext"),
+        )
+    )
+    return (
+        ext.select(
+            "doc_a",
+            "doc_b",
+            (F.col("pos_a") - F.col("l_ext")).alias("start_a"),
+            (F.col("pos_b") - F.col("l_ext")).alias("start_b"),
+            (F.col("l_ext") + F.lit(_WIN_K) + F.col("r_ext")).alias("span_len"),
+        )
+        .where(F.col("span_len") >= _SPAN_MIN_TOKENS)
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfinger),
+        wdf AS (
+            SELECT fp, gram, count(*) AS df FROM wdocfp GROUP BY fp, gram
+        ),
+        wseed AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM wfinger a
+            JOIN wdf f ON f.fp = a.fp AND f.gram = a.gram
+                       AND f.df <= {_WIN_DF_CAP}
+            JOIN wfinger b ON b.fp = a.fp AND b.gram = a.gram
+                           AND b.doc_id > a.doc_id
+        ),
+        wext AS (
+            SELECT s.doc_a, s.doc_b, s.pos_a, s.pos_b,
+                   ta.w AS ta, tb.w AS tb,
+                   least(s.pos_a, s.pos_b) AS maxl,
+                   least(len(ta.w) - s.pos_a - {_WIN_K},
+                         len(tb.w) - s.pos_b - {_WIN_K}) AS maxr
+            FROM wseed s
+            JOIN toks ta ON ta.doc_id = s.doc_a
+            JOIN toks tb ON tb.doc_id = s.doc_b
+        ),
+        wlr AS (
+            SELECT doc_a, doc_b, pos_a, pos_b,
+                   coalesce(list_min(list_filter(range(1, maxl + 1),
+                       i -> ta[CAST(pos_a - i + 1 AS INT)]
+                            <> tb[CAST(pos_b - i + 1 AS INT)])) - 1,
+                       maxl) AS l_ext,
+                   coalesce(list_min(list_filter(range(1, maxr + 1),
+                       i -> ta[CAST(pos_a + {_WIN_K} + i AS INT)]
+                            <> tb[CAST(pos_b + {_WIN_K} + i AS INT)])) - 1,
+                       maxr) AS r_ext
+            FROM wext
+        )
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(pos_a - l_ext AS BIGINT) AS start_a,
+               CAST(pos_b - l_ext AS BIGINT) AS start_b,
+               CAST(l_ext + {_WIN_K} + r_ext AS BIGINT) AS span_len
+        FROM wlr
+        WHERE l_ext + {_WIN_K} + r_ext >= {_SPAN_MIN_TOKENS}
+    """,
+    doc="Exact-substring dedup, seed-and-extend (Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better' "
+    "semantics, without the suffix array): winnowing seeds — complete "
+    f"for duplicated spans >= {_SPAN_MIN_TOKENS} tokens by the MOSS "
+    "guarantee, aligned because the window-min gram is position-"
+    "independent — are extended token-by-token left and right against "
+    "both documents' token arrays; every seed inside one maximal "
+    "duplicated run extends to the identical (start_a, start_b, len) "
+    "row, so DISTINCT yields exactly the MAXIMAL duplicated substrings "
+    "per alignment. Output is 0-based token offsets + span length per "
+    "occurrence pair. tests/test_round10_growth.py proves spans == "
+    "brute-force maximal-span truth on a planted fixture. 100 TB shape: "
+    "seeds are fingerprint-bucketed and df-capped (the quadratic hazard "
+    "is capped exactly as in dedup_winnow_pairs); extension is two "
+    "narrow doc_id SHUFFLE_HASH joins plus O(span) array probes per "
+    "seed — no all-pairs stage, no corpus broadcast, no suffix array to "
+    "build or hold in memory",
+    tags=("dedup", "text", "fingerprint", "join"),
+)
+def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_spans_impl(load_table(spark, sf_dir, "documents"))
 
 
 # -- blocking-family recall/precision eval (round 9) --------------------------
