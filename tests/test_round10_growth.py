@@ -94,6 +94,51 @@ def test_exact_substring_spans_empty_and_short(spark):
     assert exact_substring_spans_impl(docs).count() == 0
 
 
+def test_record_linkage_em_reorders_vs_fixed_weights(spark, sf_dir):
+    """The learned EM posterior must REORDER at least one agreement-pattern
+    pair relative to the fixed Fellegi-Sunter weights — i.e. EM actually
+    learned something the hand-set weights get wrong (VERDICT r9 #2's
+    done-criterion), and the learned parameters are sane probabilities."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    rows = CATALOG["record_linkage_em_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 4  # the blocked candidates cover several patterns
+    r0 = rows[0]
+    for v in (
+        r0.p_milli,
+        r0.m_seg_milli, r0.m_bal_milli, r0.m_nat_milli,
+        r0.u_seg_milli, r0.u_bal_milli, r0.u_nat_milli,
+    ):
+        assert 1 <= v <= 999
+    reorders = [
+        (a, b)
+        for a in rows
+        for b in rows
+        if a.fixed_score_micro > b.fixed_score_micro
+        and a.posterior_micro < b.posterior_micro
+    ]
+    assert reorders, "EM posterior must reorder at least one pattern pair"
+    # the planted near-dups agree on balance band: EM must discover the
+    # balance field as a discriminator (m >> u)
+    assert r0.m_bal_milli > r0.u_bal_milli
+
+
+def test_rl_em_python_reference_fixed_point():
+    """The integer EM recurrence on a hand-built pattern table: a clearly
+    separated mixture must drive m above u for the separating field and
+    stay inside the clamp range."""
+    from thread_based_map_reduce_spark.operators.dedup import _rl_em_python
+
+    # 100 matched-looking pairs agree everywhere; 10k random pairs agree
+    # only occasionally
+    patterns = [(1, 1, 1, 100), (0, 0, 0, 9000), (1, 0, 0, 500), (0, 1, 0, 400)]
+    p, m, u = _rl_em_python(patterns)
+    assert 1 <= p <= 999
+    assert all(1 <= x <= 999 for x in m + u)
+    assert m[2] > u[2]  # nation agreement only ever co-occurs with matches
+
+
 def _bmp_header(w: int, h: int, payload_len: int) -> bytes:
     hdr = b"BM" + struct.pack("<III", payload_len, 0, 54)
     dib = struct.pack("<IiihHI", 40, w, h, 1, 24, 0) + b"\x00" * 20

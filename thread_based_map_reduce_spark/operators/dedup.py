@@ -3044,10 +3044,10 @@ def _rl_pair_expand(buckets: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "record_linkage_customer",
-    oracle=f"""
-        WITH norm AS (
+# Shared blocking/candidate CTE chain (norm → tri/kept → tcand/ncand →
+# cand), reused by record_linkage_customer and the EM-weight estimator so
+# both oracles see the identical candidate set.
+_RL_CAND_SQL = f"""norm AS (
             SELECT c_custkey, lower(c_name) AS nm, c_nationkey,
                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
                    c_mktsegment
@@ -3083,7 +3083,69 @@ def _rl_pair_expand(buckets: DataFrame) -> DataFrame:
             JOIN nkey b ON b.c_nationkey = k.c_nationkey AND b.band = k.band
             WHERE b.c_custkey > a.c_custkey
         ),
-        cand AS (SELECT * FROM tcand UNION SELECT * FROM ncand),
+        cand AS (SELECT * FROM tcand UNION SELECT * FROM ncand)"""
+
+
+def _rl_blocked_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(norm, tri, cand): normalized customer fields, the distinct name
+    trigrams, and the multi-pass-blocked candidate pair set — the shared
+    front half of record_linkage_customer and its EM-weight twin."""
+    cust = load_table(spark, sf_dir, "customer")
+    norm = reliable_checkpoint(
+        cust.select(
+            "c_custkey",
+            F.lower("c_name").alias("nm"),
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+            "c_mktsegment",
+        )
+    )
+    # positions 1..len-2; the filter-over-greatest form is empty for
+    # len < 3 and null names in BOTH engines (greatest ignores nulls,
+    # the filter predicate nulls out), with no ANSI sequence() error
+    tri = reliable_checkpoint(
+        norm.select(
+            "c_custkey",
+            F.explode(
+                F.expr(
+                    "filter(sequence(1, greatest(length(nm) - 2, 1)), "
+                    "i -> i <= length(nm) - 2)"
+                )
+            ).alias("i"),
+            "nm",
+        )
+        .select("c_custkey", F.expr("substring(nm, i, 3)").alias("tg"))
+        .distinct()
+    )
+    kept = (
+        tri.groupBy("tg")
+        .agg(F.count("*").alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= RL_TRI_MAX_BLOCK))
+        .select("tg")
+    )
+    tcand = _rl_pair_expand(
+        tri.join(F.broadcast(kept), "tg")
+        .groupBy("tg")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
+    )
+    band = F.floor(F.col("bal_cents") / F.lit(float(RL_BAL_BAND_CENTS))).cast(
+        "bigint"
+    )
+    ncand = _rl_pair_expand(
+        norm.select("c_custkey", "c_nationkey", band.alias("band"))
+        .groupBy("c_nationkey", "band")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
+    )
+    cand = reliable_checkpoint(tcand.union(ncand).distinct())
+    return norm, tri, cand
+
+
+@register(
+    "record_linkage_customer",
+    oracle=f"""
+        WITH {_RL_CAND_SQL},
         tri_n AS (
             SELECT c_custkey, CAST(count(*) AS BIGINT) AS nt FROM tri
             GROUP BY c_custkey
@@ -3148,53 +3210,7 @@ def _rl_pair_expand(buckets: DataFrame) -> DataFrame:
     tags=("dedup", "linkage", "curation"),
 )
 def q_record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    norm = reliable_checkpoint(
-        cust.select(
-            "c_custkey",
-            F.lower("c_name").alias("nm"),
-            "c_nationkey",
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
-            "c_mktsegment",
-        )
-    )
-    # positions 1..len-2; the filter-over-greatest form is empty for
-    # len < 3 and null names in BOTH engines (greatest ignores nulls,
-    # the filter predicate nulls out), with no ANSI sequence() error
-    tri = reliable_checkpoint(
-        norm.select(
-            "c_custkey",
-            F.explode(
-                F.expr(
-                    "filter(sequence(1, greatest(length(nm) - 2, 1)), "
-                    "i -> i <= length(nm) - 2)"
-                )
-            ).alias("i"),
-            "nm",
-        )
-        .select("c_custkey", F.expr("substring(nm, i, 3)").alias("tg"))
-        .distinct()
-    )
-    kept = (
-        tri.groupBy("tg")
-        .agg(F.count("*").alias("_n"))
-        .where((F.col("_n") >= 2) & (F.col("_n") <= RL_TRI_MAX_BLOCK))
-        .select("tg")
-    )
-    tcand = _rl_pair_expand(
-        tri.join(F.broadcast(kept), "tg")
-        .groupBy("tg")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
-    )
-    band = F.floor(F.col("bal_cents") / F.lit(float(RL_BAL_BAND_CENTS))).cast(
-        "bigint"
-    )
-    ncand = _rl_pair_expand(
-        norm.select("c_custkey", "c_nationkey", band.alias("band"))
-        .groupBy("c_nationkey", "band")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ids"))
-    )
-    cand = reliable_checkpoint(tcand.union(ncand).distinct())
+    norm, tri, cand = _rl_blocked_candidates(spark, sf_dir)
     tri_n = tri.groupBy("c_custkey").agg(F.count("*").cast("bigint").alias("nt"))
     inter = (
         cand.join(tri.select(F.col("c_custkey").alias("cust_a"), "tg"), "cust_a")
@@ -3253,6 +3269,235 @@ def q_record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.cast("bigint").alias("score_micro"),
         )
         .where(F.col("score_micro") >= RL_MATCH_MICRO)
+    )
+
+
+# -- Fellegi-Sunter EM weight estimation (round 10) ---------------------------
+#
+# The half of Fellegi-Sunter that record_linkage_customer fixes by hand:
+# learn m_k = P(agree on field k | match), u_k = P(agree | non-match) and
+# the match prior p from the data, via EM over the agreement-PATTERN table
+# (Winkler 1988, "Using the EM algorithm for weight computation in the
+# Fellegi-Sunter model"). The pattern table has at most 2^3 = 8 rows, so
+# the distributed work is ONE aggregation of the blocked candidate pairs;
+# the EM loop itself runs on that constant-size model table (the k x 64
+# centroid-seed precedent). Everything is integer-quantized: probabilities
+# live in milli-units, the E-step posterior in micro-units, and every
+# update is BIGINT integer division (floor) — products bounded by
+# 1000^4 * 1e6 = 1e18 < 2^63 — so Spark, the driver-side loop, and the
+# DuckDB oracle's unrolled CTE chain replay the SAME integer sequence
+# bit-for-bit. No float enters until never.
+
+_RL_EM_ITERS = 5
+_RL_EM_INIT = (100, (900, 900, 900), (100, 100, 100))  # p, m[3], u[3] milli
+
+
+def _rl_em_python(patterns: list[tuple[int, int, int, int]]) -> tuple:
+    """Reference EM in exact integers: patterns = [(g1, g2, g3, n)].
+    Returns (p, m[3], u[3]) in milli-units after _RL_EM_ITERS rounds.
+    The DuckDB oracle unrolls the identical recurrence in SQL."""
+    p, m, u = _RL_EM_INIT[0], list(_RL_EM_INIT[1]), list(_RL_EM_INIT[2])
+    clamp = lambda x: max(1, min(999, x))  # noqa: E731
+    for _ in range(_RL_EM_ITERS):
+        W = V = 0
+        A, B = [0, 0, 0], [0, 0, 0]
+        for g1, g2, g3, n in patterns:
+            g = (g1, g2, g3)
+            num, den = p, 1000 - p
+            for k in range(3):
+                num *= m[k] if g[k] else 1000 - m[k]
+                den *= u[k] if g[k] else 1000 - u[k]
+            wq = (num * 1_000_000) // (num + den)
+            W += n * wq
+            V += n * (1_000_000 - wq)
+            for k in range(3):
+                A[k] += n * wq * g[k]
+                B[k] += n * (1_000_000 - wq) * g[k]
+        p = clamp((W * 1000) // max(W + V, 1))
+        m = [clamp((A[k] * 1000) // max(W, 1)) for k in range(3)]
+        u = [clamp((B[k] * 1000) // max(V, 1)) for k in range(3)]
+    return p, m, u
+
+
+def _rl_em_sql() -> str:
+    """Unrolled EM iteration CTEs over the `pat(g1, g2, g3, n)` table:
+    em0 is the init row, em{T} the learned state. Pure integer floor
+    division throughout — the exact recurrence of _rl_em_python."""
+    p0, m0, u0 = _RL_EM_INIT
+    ctes = [
+        f"em0 AS (SELECT {p0} AS p, "
+        + ", ".join(f"{m0[k]} AS m{k + 1}" for k in range(3))
+        + ", "
+        + ", ".join(f"{u0[k]} AS u{k + 1}" for k in range(3))
+        + ")"
+    ]
+    for t in range(1, _RL_EM_ITERS + 1):
+        num = " * ".join(
+            ["CAST(e.p AS BIGINT)"]
+            + [f"CASE WHEN g{k} = 1 THEN e.m{k} ELSE 1000 - e.m{k} END" for k in (1, 2, 3)]
+        )
+        den = " * ".join(
+            ["CAST(1000 - e.p AS BIGINT)"]
+            + [f"CASE WHEN g{k} = 1 THEN e.u{k} ELSE 1000 - e.u{k} END" for k in (1, 2, 3)]
+        )
+        ctes.append(
+            f"""es{t} AS (
+            SELECT g1, g2, g3, n,
+                   (({num}) * 1000000) // (({num}) + ({den})) AS wq
+            FROM pat, em{t - 1} e
+        )"""
+        )
+        ctes.append(
+            f"""ea{t} AS (
+            SELECT CAST(sum(n * wq) AS BIGINT) AS W,
+                   CAST(sum(n * (1000000 - wq)) AS BIGINT) AS V,
+                   {", ".join(f"CAST(sum(n * wq * g{k}) AS BIGINT) AS A{k}" for k in (1, 2, 3))},
+                   {", ".join(f"CAST(sum(n * (1000000 - wq) * g{k}) AS BIGINT) AS B{k}" for k in (1, 2, 3))}
+            FROM es{t}
+        )"""
+        )
+        ctes.append(
+            f"""em{t} AS (
+            SELECT greatest(1, least(999, (W * 1000) // greatest(W + V, 1))) AS p,
+                   {", ".join(f"greatest(1, least(999, (A{k} * 1000) // greatest(W, 1))) AS m{k}" for k in (1, 2, 3))},
+                   {", ".join(f"greatest(1, least(999, (B{k} * 1000) // greatest(V, 1))) AS u{k}" for k in (1, 2, 3))}
+            FROM ea{t}
+        )"""
+        )
+    return ",\n        ".join(ctes)
+
+
+@register(
+    "record_linkage_em_weights",
+    oracle=f"""
+        WITH {_RL_CAND_SQL},
+        agree AS (
+            SELECT CASE WHEN na.c_mktsegment = nb.c_mktsegment
+                        THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN abs(na.bal_cents - nb.bal_cents)
+                             <= {RL_BAL_CLOSE_CENTS} THEN 1 ELSE 0 END AS g2,
+                   CASE WHEN na.c_nationkey = nb.c_nationkey
+                        THEN 1 ELSE 0 END AS g3
+            FROM cand c
+            JOIN norm na ON na.c_custkey = c.cust_a
+            JOIN norm nb ON nb.c_custkey = c.cust_b
+        ),
+        pat AS (
+            SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+            FROM agree GROUP BY 1, 2, 3
+        ),
+        {_rl_em_sql()}
+        SELECT CAST(g1 AS BIGINT) AS same_segment,
+               CAST(g2 AS BIGINT) AS balance_close,
+               CAST(g3 AS BIGINT) AS same_nation,
+               n AS n_pairs,
+               CAST(e.p AS BIGINT) AS p_milli,
+               CAST(e.m1 AS BIGINT) AS m_seg_milli,
+               CAST(e.m2 AS BIGINT) AS m_bal_milli,
+               CAST(e.m3 AS BIGINT) AS m_nat_milli,
+               CAST(e.u1 AS BIGINT) AS u_seg_milli,
+               CAST(e.u2 AS BIGINT) AS u_bal_milli,
+               CAST(e.u3 AS BIGINT) AS u_nat_milli,
+               CAST(((CAST(e.p AS BIGINT) * CASE WHEN g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                          * CASE WHEN g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                          * CASE WHEN g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                     * 1000000)
+                    // ((e.p * CASE WHEN g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                             * CASE WHEN g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                             * CASE WHEN g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                        + (CAST(1000 - e.p AS BIGINT)
+                             * CASE WHEN g1 = 1 THEN e.u1 ELSE 1000 - e.u1 END
+                             * CASE WHEN g2 = 1 THEN e.u2 ELSE 1000 - e.u2 END
+                             * CASE WHEN g3 = 1 THEN e.u3 ELSE 1000 - e.u3 END))
+                    AS BIGINT) AS posterior_micro,
+               CAST({RL_W_SEGMENT} * g1 + {RL_W_BALANCE} * g2
+                    + {RL_W_NATION} * g3 AS BIGINT) AS fixed_score_micro
+        FROM pat, em{_RL_EM_ITERS} e
+    """,
+    doc="Fellegi-Sunter EM weight estimation (Winkler 1988) — the learned "
+    "half record_linkage_customer's fixed weights stand in for: EM over "
+    "the agreement-pattern table of the SAME multi-pass-blocked candidate "
+    f"pairs learns P(match) and per-field m/u probabilities in "
+    f"{_RL_EM_ITERS} fixed iterations. Fully integer-quantized (milli-unit "
+    "probabilities, micro-unit posteriors, BIGINT floor division, products "
+    "bounded < 2^63), so the driver-side loop and the oracle's unrolled "
+    "CTE chain replay the identical integer sequence — no float "
+    "summation-order hazard anywhere. Output: one row per agreement "
+    "pattern with its pair count, the learned parameter state, the "
+    "pattern's EM posterior, and the fixed-weight score — "
+    "tests/test_round10_growth.py asserts the learned posterior REORDERS "
+    "at least one pattern pair vs the fixed weights. 100 TB shape: one "
+    "map-side-combined aggregation of blocked candidates into <= 8 "
+    "pattern rows; EM runs on that constant-size model table (the "
+    "centroid-seed precedent), never touching pair-level data again",
+    tags=("dedup", "linkage", "curation", "ml"),
+)
+def q_record_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm, _tri, cand = _rl_blocked_candidates(spark, sf_dir)
+    na = norm.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_cents").alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nb = norm.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_cents").alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    pat = (
+        cand.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .select(
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).alias("g1"),
+            F.when(
+                F.abs(F.col("bal_a") - F.col("bal_b")) <= RL_BAL_CLOSE_CENTS, 1
+            )
+            .otherwise(0)
+            .alias("g2"),
+            F.when(F.col("nat_a") == F.col("nat_b"), 1).otherwise(0).alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # constant-size model table (<= 8 rows): the EM loop is driver-side on
+    # purpose, like the k x 64 centroid seeds — the distributed stage is the
+    # single pattern aggregation above
+    rows = [(r.g1, r.g2, r.g3, r.n) for r in pat.collect()]
+    p, m, u = _rl_em_python(rows)
+    num = F.lit(p).cast("bigint")
+    den = F.lit(1000 - p).cast("bigint")
+    for k, gk in enumerate(("g1", "g2", "g3")):
+        num = num * F.when(F.col(gk) == 1, m[k]).otherwise(1000 - m[k])
+        den = den * F.when(F.col(gk) == 1, u[k]).otherwise(1000 - u[k])
+    posterior = F.expr(
+        f"(CAST(_num AS BIGINT) * 1000000) div (CAST(_num AS BIGINT) + CAST(_den AS BIGINT))"
+    )
+    return (
+        pat.withColumn("_num", num.cast("bigint"))
+        .withColumn("_den", den.cast("bigint"))
+        .select(
+            F.col("g1").cast("bigint").alias("same_segment"),
+            F.col("g2").cast("bigint").alias("balance_close"),
+            F.col("g3").cast("bigint").alias("same_nation"),
+            F.col("n").alias("n_pairs"),
+            F.lit(p).cast("bigint").alias("p_milli"),
+            F.lit(m[0]).cast("bigint").alias("m_seg_milli"),
+            F.lit(m[1]).cast("bigint").alias("m_bal_milli"),
+            F.lit(m[2]).cast("bigint").alias("m_nat_milli"),
+            F.lit(u[0]).cast("bigint").alias("u_seg_milli"),
+            F.lit(u[1]).cast("bigint").alias("u_bal_milli"),
+            F.lit(u[2]).cast("bigint").alias("u_nat_milli"),
+            posterior.cast("bigint").alias("posterior_micro"),
+            (
+                F.lit(RL_W_SEGMENT) * F.col("g1")
+                + F.lit(RL_W_BALANCE) * F.col("g2")
+                + F.lit(RL_W_NATION) * F.col("g3")
+            )
+            .cast("bigint")
+            .alias("fixed_score_micro"),
+        )
     )
 
 
