@@ -124,6 +124,25 @@ def test_record_linkage_em_reorders_vs_fixed_weights(spark, sf_dir):
     assert r0.m_bal_milli > r0.u_bal_milli
 
 
+def test_group_kfold_cv_leak_free_by_construction(spark, sf_dir):
+    """Group-aware folds must have ZERO verified near-dup pairs straddling
+    a fold boundary (the fold is a function of the cluster), while the
+    naive doc-hash assignment audited alongside measurably leaks — the
+    contamination the operator exists to remove. Folds must also
+    partition the corpus."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+    from thread_based_map_reduce_spark.sources.registry import load_table
+
+    _load_all()
+    rows = CATALOG["group_kfold_cv"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert all(r.leaky_pairs_group_fold == 0 for r in rows)
+    assert rows[0].leaky_pairs_doc_fold > 0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_test for r in rows) == n_docs
+    assert all(r.n_train + r.n_test == n_docs for r in rows)
+
+
 def test_rl_em_python_reference_fixed_point():
     """The integer EM recurrence on a hand-built pattern table: a clearly
     separated mixture must drive m above u for the separating field and

@@ -2621,14 +2621,10 @@ def _split_col(key: F.Column) -> F.Column:
     )
 
 
-@register(
-    "leakage_safe_split",
-    oracle=f"""
-        WITH RECURSIVE {_SHINGLES_SQL.strip()},
-        {_HASHED_SQL.strip()},
-        {_minhash_sig_sql().strip()},
-        {_verified_pairs_sql().strip()},
-        sym AS (
+# Connected-component labels over the verified LSH pair graph as a
+# recursive-walk CTE chain (requires WITH RECURSIVE and the vpairs CTE in
+# scope) — shared by leakage_safe_split and group_kfold_cv.
+_CC_LABELS_SQL = """sym AS (
             SELECT doc_a AS a, doc_b AS b FROM vpairs
             UNION SELECT doc_b, doc_a FROM vpairs
             UNION SELECT doc_a, doc_a FROM vpairs
@@ -2641,7 +2637,17 @@ def _split_col(key: F.Column) -> F.Column:
         ),
         labels AS (
             SELECT node AS doc_id, min(root) AS cluster FROM walk GROUP BY node
-        ),
+        )"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()},
+        {_CC_LABELS_SQL},
         assigned AS (
             SELECT d.doc_id,
                    coalesce(l.cluster, d.doc_id) AS cluster,
@@ -2764,6 +2770,224 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaky_pairs_doc_split",
         )
     )
+
+# -- group-aware k-fold cross-validation (round 10) ---------------------------
+
+_GKF_FOLDS = 5
+_GKF_SALT = "fold:"
+
+
+def _fold_col(key: F.Column) -> F.Column:
+    return (
+        portable_hash64(F.concat(F.lit(_GKF_SALT), key.cast("string"))) % _GKF_FOLDS
+    )
+
+
+@register(
+    "group_kfold_cv",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()},
+        {_CC_LABELS_SQL},
+        base AS (
+            SELECT d.doc_id,
+                   {portable_hash64_sql(
+                       "'" + _GKF_SALT + "' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")}
+                       % {_GKF_FOLDS} AS fold,
+                   {portable_hash64_sql(
+                       "'" + _GKF_SALT + "' || CAST(d.doc_id AS VARCHAR)")}
+                       % {_GKF_FOLDS} AS doc_fold,
+                   CAST(len(list_filter(string_split(d.text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS x,
+                   d.n_chars AS y
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        fstats AS (
+            SELECT fold,
+                   CAST(count(*) AS BIGINT) AS fn,
+                   CAST(sum(x) AS BIGINT) AS fsx,
+                   CAST(sum(x * x) AS BIGINT) AS fsxx,
+                   CAST(sum(y) AS BIGINT) AS fsy,
+                   CAST(sum(x * y) AS BIGINT) AS fsxy,
+                   CAST(sum(y * y) AS BIGINT) AS fsyy
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(fn) AS BIGINT) AS tn,
+                   CAST(sum(fsx) AS BIGINT) AS tx,
+                   CAST(sum(fsxx) AS BIGINT) AS txx,
+                   CAST(sum(fsy) AS BIGINT) AS ty,
+                   CAST(sum(fsxy) AS BIGINT) AS txy,
+                   CAST(sum(fsyy) AS BIGINT) AS tyy
+            FROM fstats
+        ),
+        train AS (
+            SELECT fold,
+                   CAST(tn - fn AS BIGINT) AS n_train,
+                   fn AS n_test,
+                   CAST(tn - fn AS DOUBLE) AS nd,
+                   CAST(tx - fsx AS DOUBLE) AS sx,
+                   CAST(txx - fsxx AS DOUBLE) AS sxx,
+                   CAST(ty - fsy AS DOUBLE) AS sy,
+                   CAST(txy - fsxy AS DOUBLE) AS sxy,
+                   CAST(fn AS DOUBLE) AS tnd,
+                   CAST(fsx AS DOUBLE) AS tsx,
+                   CAST(fsxx AS DOUBLE) AS tsxx,
+                   CAST(fsy AS DOUBLE) AS tsy,
+                   CAST(fsxy AS DOUBLE) AS tsxy,
+                   CAST(fsyy AS DOUBLE) AS tsyy
+            FROM fstats CROSS JOIN tot
+        ),
+        betas AS (
+            SELECT *,
+                   (nd * sxy - sx * sy) / nullif(nd * sxx - sx * sx, 0.0) AS b1r
+            FROM train
+        ),
+        betas2 AS (SELECT *, (sy - b1r * sx) / nd AS b0r FROM betas),
+        leaks AS (
+            SELECT CAST(count(CASE WHEN a.fold <> b.fold THEN 1 END)
+                        AS BIGINT) AS leaky_pairs_group_fold,
+                   CAST(count(CASE WHEN a.doc_fold <> b.doc_fold THEN 1 END)
+                        AS BIGINT) AS leaky_pairs_doc_fold
+            FROM vpairs v
+            JOIN base a ON a.doc_id = v.doc_a
+            JOIN base b ON b.doc_id = v.doc_b
+        )
+        SELECT CAST(fold AS BIGINT) AS fold, n_train, n_test,
+               round(b0r, 6) AS b0,
+               round(b1r, 6) AS b1,
+               round(sqrt(greatest(
+                   tsyy - 2.0 * b0r * tsy - 2.0 * b1r * tsxy
+                   + tnd * b0r * b0r + 2.0 * b0r * b1r * tsx
+                   + b1r * b1r * tsxx, 0.0) / tnd), 6) AS rmse_holdout,
+               l.leaky_pairs_group_fold, l.leaky_pairs_doc_fold
+        FROM betas2, leaks l
+    """,
+    doc=f"Group-aware {_GKF_FOLDS}-fold cross-validation (VERDICT r9 #4): "
+    "folds are assigned per NEAR-DUP CLUSTER (two-star connected "
+    "components over the verified LSH pair graph, the leakage_safe_split "
+    "machinery), so near-duplicate documents can never straddle a "
+    "train/test fold boundary — the leak that makes CV on undeduplicated "
+    "corpora optimistically biased. The model is the ols_kfold_cv "
+    "technique applied to documents (n_chars ~ token count): per-fold "
+    "moment sums are exact BIGINTs in ONE pass, each fold's training "
+    "moments come from total-minus-fold subtraction, the normal equation "
+    "solves in closed form, and holdout RMSE derives from the held-out "
+    "fold's own moments — never a per-row residual. Audit columns count "
+    "verified near-dup pairs straddling folds: 0 by construction for the "
+    "group assignment (the fold is a function of the cluster), and the "
+    "measured contamination for the naive doc-hash assignment alongside. "
+    "100 TB shape: pair graph + two-star CC are O(log n) narrow shuffles; "
+    "the CV itself is one map-side-combined aggregate into "
+    f"{_GKF_FOLDS} rows plus constant-work solves.",
+    tags=("dedup", "curation", "ml", "eval", "iterative"),
+)
+def q_group_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = reliable_checkpoint(
+        _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components_twostar(edges)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(tokens("text")).cast("bigint").alias("x")
+    )
+    base = reliable_checkpoint(
+        docs.join(
+            labels.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            _fold_col(F.coalesce("cluster", "doc_id")).alias("fold"),
+            _fold_col(F.col("doc_id")).alias("doc_fold"),
+            "x",
+            F.col("n_chars").alias("y"),
+        )
+    )
+    fstats = base.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("fn"),
+        F.sum("x").cast("bigint").alias("fsx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("fsxx"),
+        F.sum("y").cast("bigint").alias("fsy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("fsxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("fsyy"),
+    )
+    tot = fstats.agg(
+        F.sum("fn").cast("bigint").alias("tn"),
+        F.sum("fsx").cast("bigint").alias("tx"),
+        F.sum("fsxx").cast("bigint").alias("txx"),
+        F.sum("fsy").cast("bigint").alias("ty"),
+        F.sum("fsxy").cast("bigint").alias("txy"),
+        F.sum("fsyy").cast("bigint").alias("tyy"),
+    )
+    train = fstats.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("tn") - F.col("fn")).cast("bigint").alias("n_train"),
+        F.col("fn").alias("n_test"),
+        (F.col("tn") - F.col("fn")).cast("double").alias("nd"),
+        (F.col("tx") - F.col("fsx")).cast("double").alias("sx"),
+        (F.col("txx") - F.col("fsxx")).cast("double").alias("sxx"),
+        (F.col("ty") - F.col("fsy")).cast("double").alias("sy"),
+        (F.col("txy") - F.col("fsxy")).cast("double").alias("sxy"),
+        F.col("fn").cast("double").alias("tnd"),
+        F.col("fsx").cast("double").alias("tsx"),
+        F.col("fsxx").cast("double").alias("tsxx"),
+        F.col("fsy").cast("double").alias("tsy"),
+        F.col("fsxy").cast("double").alias("tsxy"),
+        F.col("fsyy").cast("double").alias("tsyy"),
+    )
+    b1r = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    betas = train.withColumn("b1r", b1r).withColumn(
+        "b0r", (F.col("sy") - F.col("b1r") * F.col("sx")) / F.col("nd")
+    )
+    sa = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fold").alias("fold_a"),
+        F.col("doc_fold").alias("dfold_a"),
+    )
+    sb = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fold").alias("fold_b"),
+        F.col("doc_fold").alias("dfold_b"),
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.when(F.col("fold_a") != F.col("fold_b"), 1))
+            .cast("bigint")
+            .alias("leaky_pairs_group_fold"),
+            F.count(F.when(F.col("dfold_a") != F.col("dfold_b"), 1))
+            .cast("bigint")
+            .alias("leaky_pairs_doc_fold"),
+        )
+    )
+    sse = (
+        F.col("tsyy")
+        - F.lit(2.0) * F.col("b0r") * F.col("tsy")
+        - F.lit(2.0) * F.col("b1r") * F.col("tsxy")
+        + F.col("tnd") * F.col("b0r") * F.col("b0r")
+        + F.lit(2.0) * F.col("b0r") * F.col("b1r") * F.col("tsx")
+        + F.col("b1r") * F.col("b1r") * F.col("tsxx")
+    )
+    return (
+        betas.crossJoin(F.broadcast(leaks))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_train",
+            "n_test",
+            F.round("b0r", 6).alias("b0"),
+            F.round("b1r", 6).alias("b1"),
+            F.round(
+                F.sqrt(F.greatest(sse, F.lit(0.0)) / F.col("tnd")), 6
+            ).alias("rmse_holdout"),
+            "leaky_pairs_group_fold",
+            "leaky_pairs_doc_fold",
+        )
+    )
+
 
 # -- SimHash hamming-distance pairs (round-8 growth) ---------------------------
 
