@@ -158,6 +158,55 @@ def test_rl_em_python_reference_fixed_point():
     assert m[2] > u[2]  # nation agreement only ever co-occurs with matches
 
 
+def test_hilbert_transform_is_the_hilbert_curve(spark):
+    """The unrolled xy2d column expression must (a) agree with the Python
+    reference on every cell, (b) be a bijection onto 0..255, and (c) have
+    the UNIT-STEP ADJACENCY property — consecutive Hilbert indices are
+    always grid neighbors (the locality Morton order lacks, and the whole
+    reason the layout twin exists)."""
+    from thread_based_map_reduce_spark.operators.layout import (
+        ZQ_BITS,
+        ZQ_CELLS,
+        hilbert_d_col,
+        hilbert_xy2d_py,
+    )
+
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(ZQ_CELLS) for y in range(ZQ_CELLS)],
+        "xq long, yq long",
+    )
+    got = {
+        (r.xq, r.yq): r.hv
+        for r in hilbert_d_col(cells, ZQ_BITS, "xq", "yq").collect()
+    }
+    want = {
+        (x, y): hilbert_xy2d_py(ZQ_BITS, x, y)
+        for x in range(ZQ_CELLS)
+        for y in range(ZQ_CELLS)
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(ZQ_CELLS * ZQ_CELLS))
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(ZQ_CELLS * ZQ_CELLS - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"step {d} not adjacent"
+
+
+def test_hilbert_layout_beats_zorder(spark, sf_dir):
+    """On the testdata the Hilbert layout must produce tighter per-file
+    bounding boxes than Z-order (strictly smaller avg 2-D cell cover) and
+    read no MORE files for the fixed probe rectangle."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    rows = {
+        r.layout: r
+        for r in CATALOG["hilbert_pruning_stats"].fn(spark, sf_dir).collect()
+    }
+    assert rows["hilbert"].avg_cell_cover < rows["zorder"].avg_cell_cover
+    assert rows["hilbert"].files_hit_q <= rows["zorder"].files_hit_q
+
+
 def _bmp_header(w: int, h: int, payload_len: int) -> bytes:
     hdr = b"BM" + struct.pack("<III", payload_len, 0, 54)
     dib = struct.pack("<IiihHI", 40, w, h, 1, 24, 0) + b"\x00" * 20

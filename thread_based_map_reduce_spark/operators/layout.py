@@ -255,6 +255,285 @@ def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Hilbert-curve layout: the better-locality twin of Z-order (round 10) -----
+#
+# The Hilbert curve visits every cell of the 2^b x 2^b grid such that
+# CONSECUTIVE indices are always grid neighbors (Morton/Z-order jumps
+# across the grid at every power-of-two boundary), so equal-count file
+# cuts along the Hilbert rank produce tighter per-file bounding boxes —
+# the property Databricks' liquid clustering and Amazon Redshift sort
+# keys exploit. The transform here is the classic state-free integer
+# xy2d (quadrant fold + reflect/swap rotation per bit level), UNROLLED
+# over ZQ_BITS levels so it is a pure column expression in Spark and a
+# generated CTE chain in DuckDB — one shared Python generator emits both,
+# so the engines agree bit-for-bit with no lookup table to ship.
+
+_HILBERT_QUAD = (
+    "CASE WHEN rx{p} = 0 AND ry{p} = 0 THEN 0 WHEN rx{p} = 0 THEN 1 "
+    "WHEN ry{p} = 1 THEN 2 ELSE 3 END"
+)
+
+
+def hilbert_xy2d_py(order: int, x: int, y: int) -> int:
+    """Reference Python xy2d for tests: Hilbert index of (x, y) on the
+    2^order grid. Same quadrant/rotation recurrence the SQL unrolls."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_d_col(df: DataFrame, order: int, xcol: str, ycol: str) -> DataFrame:
+    """Append column ``hv`` = Hilbert index of (xcol, ycol); unrolled
+    per-bit-level projections, no UDF, no lookup table."""
+    df = (
+        df.withColumn("hx0", F.col(xcol))
+        .withColumn("hy0", F.col(ycol))
+        .withColumn("hd0", F.lit(0).cast("bigint"))
+    )
+    temps: list[str] = ["hx0", "hy0", "hd0"]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        p, q = str(i), str(i + 1)
+        df = df.withColumn(
+            f"rx{p}",
+            F.when(F.col(f"hx{p}").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0),
+        ).withColumn(
+            f"ry{p}",
+            F.when(F.col(f"hy{p}").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0),
+        )
+        quad = (
+            F.when((F.col(f"rx{p}") == 0) & (F.col(f"ry{p}") == 0), 0)
+            .when(F.col(f"rx{p}") == 0, 1)
+            .when(F.col(f"ry{p}") == 1, 2)
+            .otherwise(3)
+        )
+        df = (
+            df.withColumn(f"hd{q}", F.col(f"hd{p}") + F.lit(s * s) * quad)
+            .withColumn(
+                f"hx{q}",
+                F.when(F.col(f"ry{p}") == 1, F.col(f"hx{p}"))
+                .when(F.col(f"rx{p}") == 1, F.lit(s - 1) - F.col(f"hy{p}"))
+                .otherwise(F.col(f"hy{p}")),
+            )
+            .withColumn(
+                f"hy{q}",
+                F.when(F.col(f"ry{p}") == 1, F.col(f"hy{p}"))
+                .when(F.col(f"rx{p}") == 1, F.lit(s - 1) - F.col(f"hx{p}"))
+                .otherwise(F.col(f"hx{p}")),
+            )
+        )
+        temps += [f"rx{p}", f"ry{p}", f"hx{q}", f"hy{q}", f"hd{q}"]
+    df = df.withColumn("hv", F.col(f"hd{order}").cast("bigint"))
+    return df.drop(*temps)
+
+
+def _hilbert_sql_ctes(order: int, base: str) -> str:
+    """CTE chain h0..h{order} over ``base`` (must expose xq, yq and the
+    pass-through columns); h{order} exposes hv. Mirrors hilbert_d_col
+    iteration-for-iteration; fresh column names per level avoid the
+    lateral-alias-shadowing divergence documented in catalog.py."""
+    ctes = [
+        f"h0 AS (SELECT *, xq AS hx0, yq AS hy0, CAST(0 AS BIGINT) AS hd0 FROM {base})"
+    ]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        p, q = str(i), str(i + 1)
+        quad = _HILBERT_QUAD.format(p=p)
+        ctes.append(
+            f"""ha{q} AS (
+            SELECT *,
+                   CASE WHEN (hx{p} & {s}) > 0 THEN 1 ELSE 0 END AS rx{p},
+                   CASE WHEN (hy{p} & {s}) > 0 THEN 1 ELSE 0 END AS ry{p}
+            FROM h{p}
+        )"""
+        )
+        ctes.append(
+            f"""h{q} AS (
+            SELECT *,
+                   hd{p} + {s * s} * ({quad}) AS hd{q},
+                   CASE WHEN ry{p} = 1 THEN hx{p}
+                        WHEN rx{p} = 1 THEN {s - 1} - hy{p}
+                        ELSE hy{p} END AS hx{q},
+                   CASE WHEN ry{p} = 1 THEN hy{p}
+                        WHEN rx{p} = 1 THEN {s - 1} - hx{p}
+                        ELSE hx{p} END AS hy{q}
+            FROM ha{q}
+        )"""
+        )
+    ctes.append(
+        f"hfin AS (SELECT *, CAST(hd{order} AS BIGINT) AS hv FROM h{order})"
+    )
+    return ",\n        ".join(ctes)
+
+
+# Fixed probe rectangle for the files-skipped comparison: a 4x4 cell
+# region in the middle of the grid (1/16 of the cell space). files_hit =
+# files whose per-file (x, y) min/max box intersects it — exactly the
+# parquet data-skipping decision for that predicate.
+_HQ_LO, _HQ_HI = 4, 7
+
+
+@register(
+    "hilbert_pruning_stats",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+                   min(o_totalprice) AS minp, max(o_totalprice) AS maxp,
+                   min(o_orderkey) AS mino, max(o_orderkey) AS maxo,
+                   count(*) AS n
+            FROM orders
+        ),
+        q AS (
+            SELECT o_orderkey, n,
+                   least({ZQ_CELLS - 1}, floor((o_custkey - minc) * {ZQ_CELLS}.0
+                         / (maxc - minc + 1)))::BIGINT AS xq,
+                   least({ZQ_CELLS - 1}, coalesce(floor((o_totalprice - minp)
+                         * {ZQ_CELLS}.0 / nullif(maxp - minp, 0)), 0))::BIGINT AS yq
+            FROM orders, bounds
+        ),
+        {_hilbert_sql_ctes(ZQ_BITS, 'q')},
+        z AS (
+            SELECT o_orderkey, xq, yq, n,
+                   {_interleave_sql('xq', 'yq')} AS zv, hv
+            FROM hfin
+        ),
+        ranked AS (
+            SELECT xq, yq, n, 'zorder' AS layout,
+                   row_number() OVER (ORDER BY zv, o_orderkey) AS rn FROM z
+            UNION ALL
+            SELECT xq, yq, n, 'hilbert' AS layout,
+                   row_number() OVER (ORDER BY hv, o_orderkey) AS rn FROM z
+        ),
+        files AS (
+            SELECT layout,
+                   CAST(floor((rn - 1) * {N_FILES}.0 / n) AS BIGINT) AS file_id,
+                   (max(xq) - min(xq) + 1) / {ZQ_CELLS}.0 AS sx,
+                   (max(yq) - min(yq) + 1) / {ZQ_CELLS}.0 AS sy,
+                   CASE WHEN max(xq) >= {_HQ_LO} AND min(xq) <= {_HQ_HI}
+                         AND max(yq) >= {_HQ_LO} AND min(yq) <= {_HQ_HI}
+                        THEN 1 ELSE 0 END AS hit
+            FROM ranked
+            GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               round(avg(sx), 6) AS avg_x_span,
+               round(avg(sy), 6) AS avg_y_span,
+               round(avg(sx * sy), 6) AS avg_cell_cover,
+               CAST(sum(hit) AS BIGINT) AS files_hit_q
+        FROM files
+        GROUP BY layout
+    """,
+    doc="Hilbert-curve clustering vs Z-order, measured on the same "
+    f"{ZQ_CELLS}x{ZQ_CELLS} (customer x price) quantization and the same "
+    f"{N_FILES} equal-count files as zorder_pruning_stats: per-file "
+    "min/max spans, 2-D cell coverage, and files_hit_q — how many files a "
+    f"point/range predicate on the fixed {_HQ_HI - _HQ_LO + 1}x"
+    f"{_HQ_HI - _HQ_LO + 1}-cell probe rectangle must actually read given "
+    "parquet data-skipping stats (the files-SKIPPED comparison at equal "
+    "selectivity). The Hilbert index is the state-free integer xy2d "
+    "transform (quadrant fold + reflect/swap per bit level) UNROLLED into "
+    f"{ZQ_BITS} pure column-expression levels — no UDF, no lookup table; "
+    "one Python generator emits both the Spark projection chain and the "
+    "DuckDB CTE chain so the engines agree bit-for-bit "
+    "(tests/test_round10_growth.py proves the transform is the Hilbert "
+    "bijection with unit-step adjacency). Rank/file machinery is the "
+    "zorder entry's monotone-bucket prefix-sum — 256-way parallel, "
+    "no one-partition window. At 100 TB this decides whether the probe "
+    "predicate reads 2 files or 8",
+    tags=("layout", "sort"),
+)
+def q_hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = orders.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("o_totalprice").alias("minp"),
+        F.max("o_totalprice").alias("maxp"),
+        F.count("*").alias("n"),
+    ).withColumn("_k", F.lit(1))
+    j = orders.withColumn("_k", F.lit(1)).join(F.broadcast(bounds), "_k")
+    xq = F.least(
+        F.lit(ZQ_CELLS - 1),
+        F.floor(
+            (F.col("o_custkey") - F.col("minc"))
+            * float(ZQ_CELLS)
+            / (F.col("maxc") - F.col("minc") + 1)
+        ),
+    ).cast("bigint")
+    yq = F.least(
+        F.lit(ZQ_CELLS - 1),
+        F.coalesce(
+            F.floor(
+                (F.col("o_totalprice") - F.col("minp"))
+                * float(ZQ_CELLS)
+                / F.nullif(F.col("maxp") - F.col("minp"), F.lit(0.0))
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    ).cast("bigint")
+    z = reliable_checkpoint(
+        hilbert_d_col(
+            j.select(
+                "o_orderkey", "n", xq.alias("xq"), yq.alias("yq")
+            ).withColumn("zv", _interleave(F.col("xq"), F.col("yq"))),
+            ZQ_BITS,
+            "xq",
+            "yq",
+        )
+    )
+    branches = []
+    for layout, sortcol in (("zorder", F.col("zv")), ("hilbert", F.col("hv"))):
+        ranked = _global_rank(z, sortcol, sortcol)
+        branches.append(
+            ranked.select(
+                F.lit(layout).alias("layout"),
+                F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
+                .cast("bigint")
+                .alias("file_id"),
+                "xq",
+                "yq",
+            )
+        )
+    files = (
+        branches[0]
+        .unionAll(branches[1])
+        .groupBy("layout", "file_id")
+        .agg(
+            ((F.max("xq") - F.min("xq") + 1) / float(ZQ_CELLS)).alias("sx"),
+            ((F.max("yq") - F.min("yq") + 1) / float(ZQ_CELLS)).alias("sy"),
+            F.when(
+                (F.max("xq") >= _HQ_LO)
+                & (F.min("xq") <= _HQ_HI)
+                & (F.max("yq") >= _HQ_LO)
+                & (F.min("yq") <= _HQ_HI),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.round(F.avg("sx"), 6).alias("avg_x_span"),
+        F.round(F.avg("sy"), 6).alias("avg_y_span"),
+        F.round(F.avg(F.col("sx") * F.col("sy")), 6).alias("avg_cell_cover"),
+        F.sum("hit").cast("bigint").alias("files_hit_q"),
+    )
+
+
 # -- bucketed co-located join: the shuffle-free big-x-big path (round 9) ------
 
 BKT_N = 8  # bucket count; production sizes this to cluster parallelism
