@@ -107,27 +107,27 @@ def _load_all() -> None:
     )
 
 
-# Names with a hard green row in CORRECTNESS_r01/r02 (committed driver
-# artifacts). A STATIC constant — regenerated once per round by
+# Names with a hard green row in committed CORRECTNESS_r*.json driver
+# artifacts. A STATIC constant — regenerated once per round by
 # ``scripts/update_verified.py`` and committed — so the catalog order is
 # byte-identical in every environment and never depends on reading result
 # files at call time (ADVICE r2: the previous glob of CORRECTNESS_r*.json
 # made ordering environment-dependent). Set
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
+# Regenerated after CORRECTNESS_r09.json (325 hash-green names across
+# r1-r9 — the full r9 catalog; zero mismatches ever).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # regenerated after CORRECTNESS_r08.json (312 hash-green names across
-    # r1-r8 - the full catalog; zero mismatches ever) via
-    # scripts/update_verified.py.
     "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
-    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
-    "ann_method_recall_eval", "ann_recall_eval", "approx_aggregates",
-    "approx_quantile_eval", "argmax_aggregates", "array_hof",
-    "array_setops", "asof_join_signup", "association_rules_lift",
-    "basket_part_pairs", "benford_digit_stats", "best_day_per_month",
-    "bigram_nll_quality", "bitwise_ops", "bloom_filter_join_stats",
-    "bm25_retrieval_topk", "bpe_apply_encode", "bpe_pair_merge_topk",
-    "bpe_train_merges", "case_banding", "cdc_chunk_stats",
+    "ams_f2_sketch_estimate", "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "ann_lsh_multiprobe", "ann_method_recall_eval", "ann_recall_eval",
+    "approx_aggregates", "approx_quantile_eval", "argmax_aggregates",
+    "array_hof", "array_setops", "asof_join_signup",
+    "association_rules_lift", "basket_part_pairs", "benford_digit_stats",
+    "best_day_per_month", "bigram_nll_quality", "bitwise_ops",
+    "bloom_filter_join_stats", "bm25_retrieval_topk", "bpe_apply_encode",
+    "bpe_pair_merge_topk", "bpe_train_merges", "bucketed_join_revenue",
+    "case_banding", "ccnet_perplexity_buckets", "cdc_chunk_stats",
     "cdc_merge_apply", "centroid_per_label", "char_trigram_profile",
     "charcount", "chi2_lang_source_independence", "churn_label_stats",
     "cluster_quality_db_index", "cogroup_user_activity",
@@ -136,16 +136,18 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "corpus_curation_stats", "correlated_min_subquery",
     "countmin_topk_estimate", "cross_join_bounded", "cube_counts",
     "cumulative_revenue_share", "curation_pipeline_v2",
-    "customer_ltv_deciles", "date_interval_arithmetic",
-    "dbscan_lsh_clusters", "decision_stump_train", "decontam_eval_overlap",
-    "dedup_canonical_map", "dedup_clusters", "dedup_clusters_twostar",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_graph_triangles", "dedup_incremental_e2e",
-    "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
-    "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
+    "curriculum_manifest", "customer_ltv_deciles",
+    "date_interval_arithmetic", "dbscan_lsh_clusters",
+    "decision_stump_train", "decontam_eval_overlap",
+    "dedup_blocking_recall_eval", "dedup_canonical_map", "dedup_clusters",
+    "dedup_clusters_twostar", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_graph_triangles",
+    "dedup_incremental_e2e", "dedup_incremental_pairs",
+    "dedup_jaccard_blocked", "dedup_keep_best", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures", "dedup_normalized",
+    "dedup_prefix_filter_pairs", "dedup_simhash",
     "dedup_simhash_hamming_pairs", "dedup_sorted_neighborhood",
-    "detok_fidelity_stats", "discount_effect_by_band",
+    "dedup_winnow_pairs", "detok_fidelity_stats", "discount_effect_by_band",
     "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
     "doc_fingerprint", "domain_mix_weights", "dq_audit_stats",
     "dsir_importance_select", "dup_graph_bfs_hops",
@@ -163,14 +165,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
     "functional_dependency_audit", "funnel_attribution_last_touch",
     "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
-    "having_filter", "heldout_backoff_nll", "hll_distinct_estimate",
-    "inline_struct_explode", "inverted_index_stats",
-    "ivf_kmeans_assignments", "ivf_search", "ivf_search_nprobe2",
-    "join_anti", "join_cardinality_eval", "join_full_outer",
-    "join_hint_shuffle_hash", "join_left_outer", "join_right_outer",
-    "join_salted_skew", "join_semi", "join_star_revenue", "json_extract",
-    "json_map_explode", "json_struct_parse", "k_anonymity_stats",
-    "key_skew_report", "kll_quantile_sketch", "km_survival_signup_purchase",
+    "hard_negative_mining", "having_filter", "heldout_backoff_nll",
+    "hll_distinct_estimate", "inline_struct_explode",
+    "inverted_index_stats", "ivf_kmeans_assignments", "ivf_search",
+    "ivf_search_nprobe2", "join_anti", "join_cardinality_eval",
+    "join_full_outer", "join_hint_shuffle_hash", "join_left_outer",
+    "join_right_outer", "join_salted_skew", "join_semi",
+    "join_star_revenue", "json_extract", "json_map_explode",
+    "json_struct_parse", "k_anonymity_stats", "key_skew_report",
+    "kll_quantile_sketch", "km_survival_signup_purchase",
     "kmv_distinct_estimate", "l_diversity_stats", "langid_confusion_matrix",
     "langid_heuristic", "lateral_topk_per_nation", "latest_event_per_user",
     "leakage_safe_split", "limit_offset_page", "longest_streak_per_user",
@@ -179,53 +182,57 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "median_by_status", "minhash_estimate_eval", "mix_quota_exact_manifest",
     "mix_quota_sample", "mode_priority_per_status", "mr_charcount",
     "mr_lang_source_expand", "mr_wordcount_filtered",
-    "multimodal_decode_stats", "multimodal_flip_augment",
-    "multimodal_frame_sample", "multimodal_jpeg_ac_decode",
-    "multimodal_jpeg_decode", "multimodal_meta", "multimodal_pgm_decode",
-    "multimodal_png_decode", "multimodal_resize_thumbs",
-    "multimodal_wav_decode", "multimodal_wav_features",
-    "multimodal_y4m_decode", "multimodal_y4m_motion",
-    "mv_incremental_refresh", "nb_langid_train_eval", "nested_struct_ops",
-    "not_in_subquery", "null_safe_join", "null_scalar_functions",
-    "ohlc_bars_hourly", "ols_kfold_cv", "ols_price_model",
-    "optics_reachability", "orders_backlog_monthly",
-    "orders_first_vs_repeat", "orders_monthly_growth",
-    "pack_sequences_stats", "pandas_udaf_micro_mean",
-    "pandas_udf_token_count", "pca_power_iteration", "peak_concurrency",
-    "percentiles", "pii_scrub_stats", "pivot_status", "posexplode_tokens",
+    "multimodal_bmp_decode", "multimodal_decode_stats",
+    "multimodal_flip_augment", "multimodal_frame_sample",
+    "multimodal_jpeg_ac_decode", "multimodal_jpeg_decode",
+    "multimodal_meta", "multimodal_pgm_decode", "multimodal_png_decode",
+    "multimodal_resize_thumbs", "multimodal_wav_decode",
+    "multimodal_wav_features", "multimodal_y4m_decode",
+    "multimodal_y4m_motion", "mv_incremental_refresh",
+    "nb_langid_train_eval", "nested_struct_ops", "not_in_subquery",
+    "null_safe_join", "null_scalar_functions", "ohlc_bars_hourly",
+    "ols_kfold_cv", "ols_price_model", "optics_reachability",
+    "orders_backlog_monthly", "orders_first_vs_repeat",
+    "orders_monthly_growth", "pack_sequences_stats",
+    "pandas_udaf_micro_mean", "pandas_udf_token_count",
+    "pca_power_iteration", "peak_concurrency", "percentiles",
+    "pii_scrub_stats", "pivot_status", "posexplode_tokens",
     "pq_adc_rerank_topk", "pq_adc_topk", "pq_codebook_stats",
     "pq_recall_eval", "pq_train_stats", "price_histogram",
     "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
     "range_join_clicks", "range_partition_balance", "ratio_to_report",
-    "recursive_month_spine", "regex_functions", "reservoir_sample_per_key",
-    "retention_weekly", "returns_rate_by_month", "revenue_gini_by_nation",
-    "rfm_segments", "rolling_reach_7d", "rollup_qty",
-    "sample_hash_deterministic", "sample_per_group", "scalar_date",
-    "scalar_math", "scalar_string", "scd_intervals", "seasonal_hod_profile",
-    "segmented_trend_breakpoint", "semantic_dedup_stats",
-    "session_window_agg", "sessionize", "set_except", "set_intersect",
-    "set_union_distinct", "setop_all_variants", "shard_assignment_stats",
+    "record_linkage_customer", "recursive_month_spine", "regex_functions",
+    "reservoir_sample_per_key", "retention_weekly", "returns_rate_by_month",
+    "revenue_gini_by_nation", "rfm_segments", "rolling_reach_7d",
+    "rollup_qty", "sample_hash_deterministic", "sample_per_group",
+    "scalar_date", "scalar_math", "scalar_string", "scd_intervals",
+    "seasonal_hod_profile", "segmented_trend_breakpoint",
+    "semantic_dedup_stats", "session_window_agg", "sessionize",
+    "set_except", "set_intersect", "set_union_distinct",
+    "setop_all_variants", "shard_assignment_stats",
     "sigstore_append_compact", "skyline_pareto_parts", "source_lang_kl",
     "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
     "streaming_dedup_runtime", "streaming_minhash_dedup_runtime",
-    "streaming_session_runtime", "streaming_sliding_runtime",
-    "streaming_stateful_runtime", "streaming_static_join_runtime",
-    "streaming_stream_join_runtime", "streaming_tumbling_runtime",
+    "streaming_outer_join_runtime", "streaming_session_runtime",
+    "streaming_sliding_runtime", "streaming_stateful_runtime",
+    "streaming_static_join_runtime", "streaming_stream_join_runtime",
+    "streaming_timer_ttl_runtime", "streaming_tumbling_runtime",
     "streaming_upsert_runtime", "string_functions_2", "subquery_scalar",
     "temperature_mix_allocation", "text_embedding_alignment",
     "text_quality_score", "text_repetition_ratio", "text_token_stats",
-    "tfidf_top_terms", "theil_sen_trend", "theta_sketch_setops",
-    "timeseries_gap_fill", "token_pmi_pairs", "token_regex_count",
-    "tokenizer_fertility_by_lang", "top_bigrams_per_lang", "topk_global",
-    "topk_with_ties", "tpch_q1", "tpch_q10_returned_customers",
-    "tpch_q11_value_concentration", "tpch_q12_shipmode",
-    "tpch_q13_order_distribution", "tpch_q14_promo_share",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
-    "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
-    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "textrank_keywords", "tfidf_top_terms", "theil_sen_trend",
+    "theta_sketch_setops", "timeseries_gap_fill", "token_pmi_pairs",
+    "token_regex_count", "tokenizer_fertility_by_lang",
+    "top_bigrams_per_lang", "topk_global", "topk_with_ties", "tpch_q1",
+    "tpch_q10_returned_customers", "tpch_q11_value_concentration",
+    "tpch_q12_shipmode", "tpch_q13_order_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety", "tpch_q17_small_quantity",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q20_dominant_suppliers", "tpch_q21_waiting_orders",
+    "tpch_q22_idle_customers", "tpch_q3_toporders",
+    "tpch_q4_priority_check", "tpch_q5_region_revenue", "tpch_q6_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "train_val_test_split_stats",
     "trend_slope_per_type", "trending_per_hour", "udtf_tokenize",
     "unigram_nll_quality", "union_all_tagged", "union_by_name_missing",
@@ -235,53 +242,40 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "weighted_median_price_by_flag", "weighted_sample_ares",
     "window_lag_gap", "window_range_frame", "window_rank_family",
     "window_running_sum", "window_topk_per_group", "window_value_functions",
-    "woe_iv_price_bins", "word_freq_topn", "zipf_fit_stats",
-    "zorder_pruning_stats", "zscore_outliers"
+    "winnowing_fingerprints", "woe_iv_price_bins", "word_freq_topn",
+    "zipf_fit_stats", "zorder_pruning_stats", "zscore_outliers"
 })
 
 
-# Round-9 driver window, in priority order (VERDICT r8 #6), REVISED
-# twice as round 9 grew: (1) ALL new r9 catalog entries first (early
-# batch - record linkage, curriculum manifest, timer/TTL runtime,
-# winnowing, hard-negative mining; late batch - AMS F2, CCNet buckets,
-# bucketed join, outer-join runtime, blocking recall eval, TextRank,
-# BMP decode); (2) the changed-after-green re-proves - r9 edits after
-# an r8 green row: the sized-simhash default switch, the OPTICS
-# two-star swap, the BPE dry-round guard, the sorted-neighborhood /
-# winnow oracle-CTE extraction, and the round-9 CHECKPOINT-BROADCAST
-# JOIN FIX (BASELINE.md "round-9 join-strategy fix"), which re-planned
-# every consumer of _lsh_verified_pairs (pairs, clusters x2, the five
-# dup-graph entries, edit-distance, leakage split), the simhash/winnow
-# verify joins, dup_span_fraction and the unigram-NLL machinery; (3)
-# the oldest-green rotation with whatever slots remain. The window
-# holds exactly 50 names (the driver's sample size). Displaced to lead
-# the r10 rotation (hash-green, just not re-proved this round):
-# pandas_udf_token_count, pii_scrub_stats, regex_functions,
-# session_window_agg, string_functions_2, text_quality_score,
-# text_token_stats, udtf_tokenize, multimodal_frame_sample,
-# multimodal_meta, multimodal_pgm_decode, multimodal_wav_decode,
-# multimodal_y4m_decode, and the tpch_q4/q7/q10/q12/q14/q17/q18/q19
-# rows.
+# Round-10 driver window, in priority order (VERDICT r9 #8): (1) ALL
+# new r10 catalog entries first (exact-substring spans, EM weights,
+# group k-fold CV, Hilbert layout); (2) the changed-after-green
+# re-proves — the record-linkage candidate refactor, the winnow-helper
+# signature change and the span-CTE oracle recomposition, the 5-family
+# matched-budget eval rewrite, and the round-10 BUCKETED SIGNATURE
+# TABLE (zero-exchange verify joins), which re-planned every consumer
+# of _lsh_verified_pairs / _signature_combined (pairs, clusters x2,
+# the five dup-graph entries, edit-distance, leakage split, keep-best,
+# canonical-map, curation stats, minhash-estimate, band-tuning,
+# semantic-dedup, the incremental/sigstore paths), plus the BMP
+# dimension-validation and bucket-guard ADVICE fixes; (3) the
+# oldest-green rotation with the names round 9 displaced. Exactly 50
+# names (the driver's sample size). Hash-green but not re-proved this
+# round (lead the r11 rotation): dedup_incremental_pairs,
+# dedup_simhash_hamming_pairs, zorder_pruning_stats, and the remaining
+# relational tail.
 _PINNED_FIRST = (
+    "dedup_exact_substring_spans",
+    "record_linkage_em_weights",
+    "group_kfold_cv",
+    "hilbert_pruning_stats",
     "record_linkage_customer",
-    "curriculum_manifest",
-    "streaming_timer_ttl_runtime",
     "winnowing_fingerprints",
     "dedup_winnow_pairs",
-    "hard_negative_mining",
-    "ams_f2_sketch_estimate",
-    "ccnet_perplexity_buckets",
-    "bucketed_join_revenue",
-    "streaming_outer_join_runtime",
     "dedup_blocking_recall_eval",
-    "textrank_keywords",
-    "multimodal_bmp_decode",
-    "dedup_simhash_hamming_pairs",
-    "optics_reachability",
-    "bpe_train_merges",
-    "bpe_apply_encode",
-    "dedup_sorted_neighborhood",
+    "leakage_safe_split",
     "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
     "dedup_clusters_twostar",
     "dedup_graph_triangles",
     "dup_graph_degree_stats",
@@ -289,30 +283,38 @@ _PINNED_FIRST = (
     "dup_pairs_edit_distance",
     "dup_graph_bfs_hops",
     "dup_graph_link_prediction",
-    "leakage_safe_split",
-    "dup_span_fraction",
-    "unigram_nll_quality",
-    "tpch_q22_idle_customers",
-    "union_all_tagged",
-    "window_range_frame",
-    "window_rank_family",
-    "ann_bruteforce_topk",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_pairs",
-    "dedup_jaccard_blocked",
-    "dedup_minhash_signatures",
-    "dedup_normalized",
-    "dedup_simhash",
-    "distinct_counts_exact",
-    "doc_fingerprint",
-    "embedding_quantize_stats",
-    "events_sliding_2h",
-    "ivf_search",
-    "ivf_search_nprobe2",
-    "langid_heuristic",
-    "latest_event_per_user",
+    "dedup_incremental_e2e",
+    "sigstore_append_compact",
+    "dedup_keep_best",
+    "dedup_canonical_map",
+    "minhash_estimate_eval",
+    "lsh_band_tuning_curve",
+    "semantic_dedup_stats",
+    "corpus_curation_stats",
+    "multimodal_bmp_decode",
+    "bucketed_join_revenue",
+    "dedup_sorted_neighborhood",
+    "pandas_udf_token_count",
+    "pii_scrub_stats",
+    "regex_functions",
+    "session_window_agg",
+    "string_functions_2",
+    "text_quality_score",
+    "text_token_stats",
+    "udtf_tokenize",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_pgm_decode",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
+    "tpch_q4_priority_check",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_customers",
+    "tpch_q12_shipmode",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
