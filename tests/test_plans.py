@@ -498,6 +498,11 @@ _BOUNDED_GLOBAL_WINDOW_SITES = {
     "decision_stump_train": 1,
     # rank over the two-level bucket table (W * n candidates, gated above)
     "dedup_sorted_neighborhood": 2,
+    # r10 audit: the same two bounded prefix-sum windows as
+    # zorder_pruning_stats — each runs over the <= RANK_BUCKETS=256-row
+    # bucket-count table (boundedness comment at _global_rank), one per
+    # layout branch
+    "hilbert_pruning_stats": 2,
 }
 
 
@@ -658,9 +663,17 @@ _AUDITED_BNLJ_SITES = {
     # outer-join runtime: the one-row terminal-watermark-cutoff max
     # aggregate crossed onto the sink for the boundary filter
     "streaming_outer_join_runtime": 1,
-    # blocking recall eval: 4 families x (one-row n_hit count, one-row
-    # n_truth count) crossed onto each family's one-row n_pairs count
-    "dedup_blocking_recall_eval": 8,
+    # r10 re-audit (the 5-family matched-budget rewrite): the per-family
+    # count/hit crossJoins now sit BEHIND the stats checkpoint; the final
+    # plan's three sites are the one-row n_truth aggregate, and the
+    # one-row min-n_pairs budget aggregate crossed twice (the budgeted
+    # cut and the output projection) — all BuildRight over one-row
+    # broadcasts
+    "dedup_blocking_recall_eval": 3,
+    # r10 audit: the one-row moment-totals aggregate (tot) and the
+    # one-row leak-count audit aggregate — the ols_kfold_cv /
+    # leakage_safe_split sites composed
+    "group_kfold_cv": 2,
     "ann_bruteforce_topk": 1, "ann_recall_eval": 1, "approx_quantile_eval": 5,
     "association_rules_lift": 1, "benford_digit_stats": 1, "bloom_filter_join_stats": 4,
     "cdc_merge_apply": 4, "churn_label_stats": 1, "consistent_hash_rebalance": 1,

@@ -158,6 +158,34 @@ def test_rl_em_python_reference_fixed_point():
     assert m[2] > u[2]  # nation agreement only ever co-occurs with matches
 
 
+def test_lsh_verify_join_rides_bucketing(spark, sf_dir):
+    """The round-10 verify-join shape: both exact-Jaccard verify joins are
+    SortMergeJoins whose signature side is the doc_id-BUCKETED table scan
+    with NO Exchange and NO Sort above it (the corpus never reshuffles),
+    and nothing in the plan broadcasts (the r9 corpus-broadcast invariant,
+    now strategy-pinned by the merge hint)."""
+    from thread_based_map_reduce_spark.operators.dedup import _lsh_verified_pairs
+
+    plan = (
+        _lsh_verified_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") == 2
+    assert "BroadcastExchange" not in plan
+    assert "Bucketed: true" in plan
+    # the only Sorts are on the candidate side: one per SMJ (a sig-side
+    # Exchange+Sort would make this 4)
+    assert plan.count("Sort ") <= 2
+    # no Exchange may sit between an SMJ and a bucketed signature scan —
+    # equivalently, the bucketed scans outnumber the exchanges feeding
+    # sorts: check no Exchange line mentions the signature table's output
+    for line in plan.splitlines():
+        if "Exchange" in line and "tbmr_lsh_sig" in line:
+            raise AssertionError(f"signature scan is being exchanged: {line}")
+
+
 def test_hilbert_transform_is_the_hilbert_curve(spark):
     """The unrolled xy2d column expression must (a) agree with the Python
     reference on every cell, (b) be a bijection onto 0..255, and (c) have

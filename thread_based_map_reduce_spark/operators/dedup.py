@@ -4397,6 +4397,11 @@ def q_dedup_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = row if stats is None else stats.unionAll(row)
         mp = p.select(F.lit(name).alias("method"), "doc_a", "doc_b", "score")
         allp = mp if allp is None else allp.unionAll(mp)
+    # checkpoint the 5-row stats table: it feeds the budget aggregate, the
+    # final projection AND (transitively) the budgeted cut — without the
+    # checkpoint the whole 5-family count/hit union re-executes once per
+    # consumer and the per-family one-row crossJoins triple in the plan
+    stats = reliable_checkpoint(stats)
     # matched candidate budget: every family ranked by ITS OWN score and
     # cut to the smallest family's pair count, so precision compares
     # like-for-like spend (VERDICT r9 #7) — the per-method window
