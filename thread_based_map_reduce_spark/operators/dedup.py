@@ -4047,6 +4047,19 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pos_a", "pos_b")
     )
+    # Collapse seeds per (doc_a, doc_b) BEFORE touching token arrays: a
+    # near-dup pair shares most of its winnowed fingerprints, so the raw
+    # seed table has O(fingerprints-per-doc) rows per pair — joining the
+    # two token arrays per SEED would copy both arrays once per seed
+    # (measured: the dominant cost at sf0.1). One row per pair carrying
+    # the seed list ships each array exactly once; the per-seed extension
+    # then runs inside a transform() lambda over that list — same total
+    # probe work, 2-3 orders of magnitude less join traffic. DISTINCT
+    # positions: duplicate (pos_a, pos_b) seeds cannot arise (wfinger is
+    # key-distinct), but collect_set is the cheap belt anyway.
+    seed_arr = seeds.groupBy("doc_a", "doc_b").agg(
+        F.collect_set(F.struct("pos_a", "pos_b")).alias("sps")
+    )
     # one tokenize pass, reused by both extension sides; shuffle-hash
     # pinned — a checkpoint scan must never be the static planner's
     # broadcast candidate (r9 audit)
@@ -4057,33 +4070,36 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb")).hint(
         "shuffle_hash"
     )
-    maxl = "least(pos_a, pos_b)"
-    maxr = f"least(size(ta) - pos_a - {_WIN_K}, size(tb) - pos_b - {_WIN_K})"
+    maxl = "least(s.pos_a, s.pos_b)"
+    maxr = f"least(size(ta) - s.pos_a - {_WIN_K}, size(tb) - s.pos_b - {_WIN_K})"
+    l_ext = _span_ext_expr(maxl, "s.pos_a - i + 1", "s.pos_b - i + 1")
+    r_ext = _span_ext_expr(
+        maxr, f"s.pos_a + {_WIN_K} + i", f"s.pos_b + {_WIN_K} + i"
+    )
     ext = (
-        seeds.join(ta, "doc_a")
+        seed_arr.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "pos_a",
-            "pos_b",
-            F.expr(_span_ext_expr(maxl, "pos_a - i + 1", "pos_b - i + 1"))
-            .cast("bigint")
-            .alias("l_ext"),
-            F.expr(
-                _span_ext_expr(maxr, f"pos_a + {_WIN_K} + i", f"pos_b + {_WIN_K} + i")
-            )
-            .cast("bigint")
-            .alias("r_ext"),
+            F.explode(
+                F.expr(
+                    f"transform(sps, s -> struct("
+                    f"s.pos_a AS pos_a, "
+                    f"s.pos_b AS pos_b, "
+                    f"CAST(({l_ext}) AS BIGINT) AS l_ext, "
+                    f"CAST(({r_ext}) AS BIGINT) AS r_ext))"
+                )
+            ).alias("e"),
         )
     )
     return (
         ext.select(
             "doc_a",
             "doc_b",
-            (F.col("pos_a") - F.col("l_ext")).alias("start_a"),
-            (F.col("pos_b") - F.col("l_ext")).alias("start_b"),
-            (F.col("l_ext") + F.lit(_WIN_K) + F.col("r_ext")).alias("span_len"),
+            (F.col("e.pos_a") - F.col("e.l_ext")).alias("start_a"),
+            (F.col("e.pos_b") - F.col("e.l_ext")).alias("start_b"),
+            (F.col("e.l_ext") + F.lit(_WIN_K) + F.col("e.r_ext")).alias("span_len"),
         )
         .where(F.col("span_len") >= _SPAN_MIN_TOKENS)
         .distinct()
