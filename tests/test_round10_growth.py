@@ -94,6 +94,39 @@ def test_exact_substring_spans_empty_and_short(spark):
     assert exact_substring_spans_impl(docs).count() == 0
 
 
+def test_span_coverage_matches_bruteforce(spark, planted_docs):
+    """dup_span_coverage_exact's interval union must equal the Python
+    merge of the brute-force span set on the planted fixture — including
+    zero-coverage docs and the overlapping multi-partner case."""
+    from thread_based_map_reduce_spark.operators.dedup import span_coverage_impl
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in planted_docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in span_coverage_impl(docs).collect()
+    }
+    spans = _brute_force_spans(planted_docs, _SPAN_MIN_TOKENS)
+    ivals: dict[int, list[tuple[int, int]]] = {d: [] for d in planted_docs}
+    for a, b, sa, sb, ln in spans:
+        ivals[a].append((sa, sa + ln))
+        ivals[b].append((sb, sb + ln))
+    want = {}
+    for d, text in planted_docs.items():
+        merged, cov = [], 0
+        for s, e in sorted(ivals[d]):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        cov = sum(e - s for s, e in merged)
+        want[d] = (len(text.split()), cov)
+    assert got == want
+    assert want[6][1] == 0  # the unrelated doc has zero coverage
+    assert want[5][1] >= 18  # doc 5 carries the 9-token span twice
+
+
 def test_record_linkage_em_reorders_vs_fixed_weights(spark, sf_dir):
     """The learned EM posterior must REORDER at least one agreement-pattern
     pair relative to the fixed Fellegi-Sunter weights — i.e. EM actually

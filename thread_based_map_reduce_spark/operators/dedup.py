@@ -4182,6 +4182,125 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     return exact_substring_spans_impl(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dup_span_coverage_exact",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL},
+        {_SPAN_CTES_SQL},
+        ivals AS (
+            SELECT doc_a AS doc_id, start_a AS s, start_a + span_len AS e
+            FROM wspans
+            UNION ALL
+            SELECT doc_b, start_b, start_b + span_len FROM wspans
+        ),
+        marked AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1) THEN 1 ELSE 0 END AS new_island
+            FROM ivals
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ),
+        covered AS (
+            SELECT doc_id,
+                   CAST(sum(ce - cs) AS BIGINT) AS covered_tokens
+            FROM (
+                SELECT doc_id, island, min(s) AS cs, max(e) AS ce
+                FROM islands GROUP BY doc_id, island
+            ) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               coalesce(c.covered_tokens, 0) AS covered_tokens,
+               round(coalesce(c.covered_tokens, 0)
+                     / nullif(CAST(len(t.w) AS DOUBLE), 0), 6) AS dup_fraction
+        FROM documents d
+        JOIN toks t ON t.doc_id = d.doc_id
+        LEFT JOIN covered c ON c.doc_id = d.doc_id
+    """,
+    doc="Per-document EXACT duplicated-span coverage (the statistic Lee et "
+    "al. 2022 act on — what fraction of each document is a verbatim "
+    f">= {_SPAN_MIN_TOKENS}-token copy of some other document): the "
+    "seed-and-extend maximal spans from dedup_exact_substring_spans, "
+    "taken from BOTH occurrence sides, merged per document by the "
+    "classic interval-union (gaps-and-islands over (start, end) with a "
+    "running-max window — doc_id-partitioned, never global), coverage = "
+    "|union| / n_tokens. This is the exact-span replacement for "
+    "dup_span_fraction's n-gram approximation: a curation run drops or "
+    "trims documents above a coverage threshold. 100 TB shape: "
+    "everything downstream of the (sparse) span table is doc_id-local "
+    "window work plus one narrow join back to documents; span discovery "
+    "itself is the df-capped bucketed seed join",
+    tags=("dedup", "text", "fingerprint", "curation"),
+)
+def q_dup_span_coverage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_coverage_impl(load_table(spark, sf_dir, "documents"))
+
+
+def span_coverage_impl(docs: DataFrame) -> DataFrame:
+    spans = exact_substring_spans_impl(docs)
+    ivals = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_len")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len")).alias("e"),
+        )
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("s", "e")
+    pmax = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    marked = ivals.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(pmax, F.lit(-1)), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    islands = marked.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("ce") - F.col("cs")).cast("bigint").alias("covered_tokens"))
+    )
+    ntok = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    return (
+        ntok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0).cast("bigint")).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0).cast("bigint"))
+                / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # -- blocking-family recall/precision eval (round 9) --------------------------
 
 

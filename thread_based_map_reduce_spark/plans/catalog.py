@@ -266,6 +266,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # relational tail.
 _PINNED_FIRST = (
     "dedup_exact_substring_spans",
+    "dup_span_coverage_exact",
     "record_linkage_em_weights",
     "group_kfold_cv",
     "hilbert_pruning_stats",
@@ -314,7 +315,6 @@ _PINNED_FIRST = (
     "tpch_q14_promo_share",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
