@@ -176,6 +176,32 @@ def test_group_kfold_cv_leak_free_by_construction(spark, sf_dir):
     assert all(r.n_train + r.n_test == n_docs for r in rows)
 
 
+def test_record_linkage_em_pairs_disagree_with_fixed_rule(spark, sf_dir):
+    """The learned decision rule must actually CHANGE decisions: at least
+    one pair kept by the EM posterior is rejected by the fixed-weight
+    rule (record_linkage_customer), and every EM-kept pair is a blocked
+    candidate (the EM never invents pairs)."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    em = {
+        (r.cust_a, r.cust_b)
+        for r in CATALOG["record_linkage_em_pairs"].fn(spark, sf_dir).collect()
+    }
+    fixed = {
+        (r.cust_a, r.cust_b)
+        for r in CATALOG["record_linkage_customer"].fn(spark, sf_dir).collect()
+    }
+    assert em, "EM rule keeps at least one pair on the fixture"
+    assert em - fixed, "EM decisions must differ from the fixed-weight rule"
+    from thread_based_map_reduce_spark.operators.dedup import _rl_agreement_flags
+
+    cand = {
+        (r.cust_a, r.cust_b) for r in _rl_agreement_flags(spark, sf_dir).collect()
+    }
+    assert em <= cand
+
+
 def test_rl_em_python_reference_fixed_point():
     """The integer EM recurrence on a hand-built pattern table: a clearly
     separated mixture must drive m above u for the separating field and

@@ -272,18 +272,26 @@ def test_dedup_blocking_recall_eval_invariants(spark):
 
     sf = "/root/testdata/sf0.001"
     rows = {r["method"]: r for r in q_dedup_blocking_recall_eval(spark, sf).collect()}
+    # round 10 added the exact_substring family and the matched-budget
+    # columns (VERDICT r9 #7) — the invariants extend accordingly
     assert set(rows) == {
         "minhash_lsh",
         "simhash_ham3",
         "sorted_neighborhood",
         "winnowing",
+        "exact_substring",
     }
+    budget = min(r["n_pairs"] for r in rows.values())
     for r in rows.values():
         assert 0 <= r["n_hit"] <= min(r["n_pairs"], r["n_truth"])
         if r["n_truth"]:
             assert r["recall"] == round(r["n_hit"] / r["n_truth"], 6)
         if r["n_pairs"]:
             assert r["prec"] == round(r["n_hit"] / r["n_pairs"], 6)
+        assert r["n_budget"] == budget
+        assert 0 <= r["hit_at_budget"] <= budget
+        assert r["hit_at_budget"] <= r["n_hit"]  # top-budget is a subset
+        assert r["prec_at_budget"] == round(r["hit_at_budget"] / budget, 6)
     con = duck_connection(sf)
     q = CATALOG["dedup_blocking_recall_eval"]
     res = compare_query(spark, con, q.name, q.fn, q.oracle, sf)

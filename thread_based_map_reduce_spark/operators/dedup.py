@@ -3633,12 +3633,12 @@ def _rl_em_sql() -> str:
     return ",\n        ".join(ctes)
 
 
-@register(
-    "record_linkage_em_weights",
-    oracle=f"""
-        WITH {_RL_CAND_SQL},
-        agree AS (
-            SELECT CASE WHEN na.c_mktsegment = nb.c_mktsegment
+# Agreement-vector CTE over the blocked candidates (carries the pair ids
+# so the pair-decision entry can reuse it; the pattern aggregation just
+# ignores them) — shared by both EM oracles.
+_RL_AGREE_SQL = f"""agree AS (
+            SELECT c.cust_a, c.cust_b,
+                   CASE WHEN na.c_mktsegment = nb.c_mktsegment
                         THEN 1 ELSE 0 END AS g1,
                    CASE WHEN abs(na.bal_cents - nb.bal_cents)
                              <= {RL_BAL_CLOSE_CENTS} THEN 1 ELSE 0 END AS g2,
@@ -3647,7 +3647,60 @@ def _rl_em_sql() -> str:
             FROM cand c
             JOIN norm na ON na.c_custkey = c.cust_a
             JOIN norm nb ON nb.c_custkey = c.cust_b
-        ),
+        )"""
+
+
+def _rl_agreement_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cust_a, cust_b, g1, g2, g3): every blocked candidate pair with its
+    field-agreement vector — the shared front half of both EM entries."""
+    norm, _tri, cand = _rl_blocked_candidates(spark, sf_dir)
+    na = norm.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_cents").alias("bal_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nb = norm.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_cents").alias("bal_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    return (
+        cand.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).alias("g1"),
+            F.when(
+                F.abs(F.col("bal_a") - F.col("bal_b")) <= RL_BAL_CLOSE_CENTS, 1
+            )
+            .otherwise(0)
+            .alias("g2"),
+            F.when(F.col("nat_a") == F.col("nat_b"), 1).otherwise(0).alias("g3"),
+        )
+    )
+
+
+def _rl_em_learned_params(spark: SparkSession, sf_dir: str) -> tuple:
+    """(p, m[3], u[3]) milli-units: aggregate the agreement patterns and
+    run the integer EM on the <= 8-row model table (driver-side, the
+    centroid-seed precedent)."""
+    pat = (
+        _rl_agreement_flags(spark, sf_dir)
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rows = [(r.g1, r.g2, r.g3, r.n) for r in pat.collect()]
+    return pat, _rl_em_python(rows)
+
+
+@register(
+    "record_linkage_em_weights",
+    oracle=f"""
+        WITH {_RL_CAND_SQL},
+        {_RL_AGREE_SQL},
         pat AS (
             SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
             FROM agree GROUP BY 1, 2, 3
@@ -3699,31 +3752,8 @@ def _rl_em_sql() -> str:
     tags=("dedup", "linkage", "curation", "ml"),
 )
 def q_record_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norm, _tri, cand = _rl_blocked_candidates(spark, sf_dir)
-    na = norm.select(
-        F.col("c_custkey").alias("cust_a"),
-        F.col("c_mktsegment").alias("seg_a"),
-        F.col("bal_cents").alias("bal_a"),
-        F.col("c_nationkey").alias("nat_a"),
-    )
-    nb = norm.select(
-        F.col("c_custkey").alias("cust_b"),
-        F.col("c_mktsegment").alias("seg_b"),
-        F.col("bal_cents").alias("bal_b"),
-        F.col("c_nationkey").alias("nat_b"),
-    )
     pat = (
-        cand.join(na, "cust_a")
-        .join(nb, "cust_b")
-        .select(
-            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).alias("g1"),
-            F.when(
-                F.abs(F.col("bal_a") - F.col("bal_b")) <= RL_BAL_CLOSE_CENTS, 1
-            )
-            .otherwise(0)
-            .alias("g2"),
-            F.when(F.col("nat_a") == F.col("nat_b"), 1).otherwise(0).alias("g3"),
-        )
+        _rl_agreement_flags(spark, sf_dir)
         .groupBy("g1", "g2", "g3")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -3763,6 +3793,94 @@ def q_record_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("fixed_score_micro"),
+        )
+    )
+
+
+RL_EM_MATCH_MICRO = 500_000  # posterior majority: P(match | pattern) >= 0.5
+
+
+@register(
+    "record_linkage_em_pairs",
+    oracle=f"""
+        WITH {_RL_CAND_SQL},
+        {_RL_AGREE_SQL},
+        pat AS (
+            SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+            FROM agree GROUP BY 1, 2, 3
+        ),
+        {_rl_em_sql()}
+        SELECT a.cust_a, a.cust_b,
+               CAST(a.g1 AS BIGINT) AS same_segment,
+               CAST(a.g2 AS BIGINT) AS balance_close,
+               CAST(a.g3 AS BIGINT) AS same_nation,
+               CAST(((CAST(e.p AS BIGINT)
+                          * CASE WHEN a.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                          * CASE WHEN a.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                          * CASE WHEN a.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                     * 1000000)
+                    // ((CAST(e.p AS BIGINT)
+                             * CASE WHEN a.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                             * CASE WHEN a.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                             * CASE WHEN a.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                        + (CAST(1000 - e.p AS BIGINT)
+                             * CASE WHEN a.g1 = 1 THEN e.u1 ELSE 1000 - e.u1 END
+                             * CASE WHEN a.g2 = 1 THEN e.u2 ELSE 1000 - e.u2 END
+                             * CASE WHEN a.g3 = 1 THEN e.u3 ELSE 1000 - e.u3 END))
+                    AS BIGINT) AS posterior_micro
+        FROM agree a, em{_RL_EM_ITERS} e
+        WHERE ((CAST(e.p AS BIGINT)
+                    * CASE WHEN a.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                    * CASE WHEN a.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                    * CASE WHEN a.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+               * 1000000)
+              // ((CAST(e.p AS BIGINT)
+                       * CASE WHEN a.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                       * CASE WHEN a.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                       * CASE WHEN a.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                  + (CAST(1000 - e.p AS BIGINT)
+                       * CASE WHEN a.g1 = 1 THEN e.u1 ELSE 1000 - e.u1 END
+                       * CASE WHEN a.g2 = 1 THEN e.u2 ELSE 1000 - e.u2 END
+                       * CASE WHEN a.g3 = 1 THEN e.u3 ELSE 1000 - e.u3 END))
+              >= {RL_EM_MATCH_MICRO}
+    """,
+    doc="Per-pair match DECISIONS under the LEARNED Fellegi-Sunter "
+    "weights — the deliverable the EM estimation exists for: every "
+    "blocked candidate pair scored with its agreement pattern's EM "
+    f"posterior and kept at P(match) >= 0.5 ({RL_EM_MATCH_MICRO} "
+    "micro-units). Compare record_linkage_customer, which keeps pairs by "
+    "the hand-set fixed weights: the learned rule keeps balance-agreeing "
+    "patterns the fixed weights reject and drops segment-coincidence "
+    "patterns the fixed weights over-trust (the reorders the EM test "
+    "pins). 100 TB shape: identical to the blocked-candidate pipeline — "
+    "the posterior is a pure column expression from the driver-side "
+    "8-row EM state; no new shuffle, no new join.",
+    tags=("dedup", "linkage", "curation", "ml"),
+)
+def q_record_linkage_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = _rl_agreement_flags(spark, sf_dir)
+    _pat, (p, m, u) = _rl_em_learned_params(spark, sf_dir)
+    num = F.lit(p).cast("bigint")
+    den = F.lit(1000 - p).cast("bigint")
+    for k, gk in enumerate(("g1", "g2", "g3")):
+        num = num * F.when(F.col(gk) == 1, m[k]).otherwise(1000 - m[k])
+        den = den * F.when(F.col(gk) == 1, u[k]).otherwise(1000 - u[k])
+    posterior = F.expr(
+        "(CAST(_num AS BIGINT) * 1000000) div "
+        "(CAST(_num AS BIGINT) + CAST(_den AS BIGINT))"
+    )
+    return (
+        flags.withColumn("_num", num.cast("bigint"))
+        .withColumn("_den", den.cast("bigint"))
+        .withColumn("posterior_micro", posterior.cast("bigint"))
+        .where(F.col("posterior_micro") >= RL_EM_MATCH_MICRO)
+        .select(
+            "cust_a",
+            "cust_b",
+            F.col("g1").cast("bigint").alias("same_segment"),
+            F.col("g2").cast("bigint").alias("balance_close"),
+            F.col("g3").cast("bigint").alias("same_nation"),
+            "posterior_micro",
         )
     )
 

@@ -268,6 +268,7 @@ _PINNED_FIRST = (
     "dedup_exact_substring_spans",
     "dup_span_coverage_exact",
     "record_linkage_em_weights",
+    "record_linkage_em_pairs",
     "group_kfold_cv",
     "hilbert_pruning_stats",
     "record_linkage_customer",
@@ -314,7 +315,6 @@ _PINNED_FIRST = (
     "tpch_q12_shipmode",
     "tpch_q14_promo_share",
     "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
