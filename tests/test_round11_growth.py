@@ -139,3 +139,95 @@ def test_decontam_exact_substring_matches_bruteforce(spark):
     assert not got[3][2]  # sub-threshold copy invisible
     assert not got[4][2] and not got[5][2]  # train-train dup is NOT contam
     assert not got[6][2]  # clean doc
+
+
+# -- gopher_repetition_rules (VERDICT r10 #3) ---------------------------------
+
+
+def _gopher_ref(text: str) -> dict:
+    """Independent Python reference for the Gopher statistics, with the
+    same pinned conventions (whitespace-normalized chars; beyond-first
+    duplicate char mass; longest-gram tie break; interval-union overlap
+    handling)."""
+    toks = [t for t in text.split(" ") if t]
+    joined = " ".join(toks)
+    total = len(joined)
+    out = {}
+    for name, sep in (("dup_line", "\n"), ("dup_para", "\n\n")):
+        units = [u for u in text.split(sep) if u]
+        from collections import Counter
+
+        c = Counter(units)
+        n = len(units)
+        out[f"{name}_frac"] = (n - len(c)) / n if n else 0.0
+        tot = sum(len(u) for u in units)
+        dup = sum((k - 1) * len(u) for u, k in c.items() if k > 1)
+        out[f"{name}_char_frac"] = dup / tot if tot else 0.0
+    from collections import Counter
+
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not total:
+            out[f"top{n}gram_char_frac"] = 0.0
+            continue
+        c = Counter(grams)
+        mc = max(c.values())
+        toplen = max(len(g) for g, k in c.items() if k == mc)
+        out[f"top{n}gram_char_frac"] = mc * toplen / total
+    # token char offsets in the joined string
+    offs, o = [], 0
+    for t in toks:
+        offs.append((o, o + len(t)))
+        o += len(t) + 1
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        ivals = sorted(
+            (offs[i][0], offs[i + n - 1][1])
+            for i, g in enumerate(grams)
+            if c[g] >= 2
+        )
+        cov, last = 0, -1
+        for s, e in ivals:
+            s = max(s, last)
+            if e > s:
+                cov += e - s
+            last = max(last, e)
+        out[f"dup{n}gram_char_frac"] = cov / total if total else 0.0
+    return out
+
+
+def test_gopher_rules_match_reference(spark):
+    from thread_based_map_reduce_spark.operators.text import (
+        gopher_repetition_impl,
+    )
+
+    span5 = " ".join(f"r{i}" for i in range(5))
+    docs_map = {
+        1: "l1\nl2\nl1\nl3",  # duplicate lines
+        2: "pA xx\n\npB yy\n\npA xx",  # duplicate paragraphs (and lines)
+        3: "a b a b a b a b",  # dominant 2-gram
+        4: f"{span5} {span5} {span5}",  # overlapping dup 5..10-grams
+        5: " ".join(f"u{i}" for i in range(30)),  # clean
+        6: "one",  # single token: no grams at all
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in docs_map.items()], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.asDict() for r in gopher_repetition_impl(docs).collect()}
+    for d, text in docs_map.items():
+        want = _gopher_ref(text)
+        got = rows[d]
+        for k, v in want.items():
+            assert abs(got[k] - round(v, 6)) < 1e-9, (d, k, got[k], v)
+    # the interval union counts overlapping duplicated grams ONCE:
+    # doc 4 is wall-to-wall duplicated 5-grams -> exactly 1.0, never ~3x
+    assert rows[4]["dup5gram_char_frac"] == 1.0
+    assert rows[4]["dup10gram_char_frac"] == 1.0
+    assert not rows[4]["passes_gopher_repetition"]
+    assert rows[5]["passes_gopher_repetition"]
+    assert rows[1]["dup_line_frac"] == 0.25
+    assert rows[2]["dup_para_frac"] == round(1 / 3, 6) or abs(
+        rows[2]["dup_para_frac"] - 0.333333
+    ) < 1e-9
+    assert not rows[1]["passes_gopher_repetition"]  # 0.25 > 0.20 char frac

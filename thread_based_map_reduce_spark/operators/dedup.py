@@ -4385,17 +4385,19 @@ def q_dup_span_coverage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_coverage_impl(load_table(spark, sf_dir, "documents"))
 
 
-def _interval_union_coverage(ivals: DataFrame) -> DataFrame:
-    """Gaps-and-islands interval union: DISTINCT (doc_id, s, e) intervals
-    -> (doc_id, covered_tokens). The caller must pass DISTINCT intervals
+def _interval_union_coverage(
+    ivals: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Gaps-and-islands interval union: DISTINCT (*keys, s, e) intervals
+    -> (*keys, covered_tokens). The caller must pass DISTINCT intervals
     — with duplicates, (s, e) is a non-unique window order and the two
     window passes below may disagree on tie order, splitting duplicate
     rows across islands and double-counting (the r10 judge-caught flake).
-    All windows are doc_id-partitioned, never global."""
-    w_ord = W.partitionBy("doc_id").orderBy("s", "e")
+    All windows are key-partitioned, never global."""
+    w_ord = W.partitionBy(*keys).orderBy("s", "e")
     pmax = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
     marked = ivals.select(
-        "doc_id",
+        *keys,
         "s",
         "e",
         F.when(F.col("s") > F.coalesce(pmax, F.lit(-1)), 1).otherwise(0).alias(
@@ -4403,7 +4405,7 @@ def _interval_union_coverage(ivals: DataFrame) -> DataFrame:
         ),
     )
     islands = marked.select(
-        "doc_id",
+        *keys,
         "s",
         "e",
         F.sum("new_island")
@@ -4411,9 +4413,9 @@ def _interval_union_coverage(ivals: DataFrame) -> DataFrame:
         .alias("island"),
     )
     return (
-        islands.groupBy("doc_id", "island")
+        islands.groupBy(*keys, "island")
         .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
-        .groupBy("doc_id")
+        .groupBy(*keys)
         .agg(F.sum(F.col("ce") - F.col("cs")).cast("bigint").alias("covered_tokens"))
     )
 

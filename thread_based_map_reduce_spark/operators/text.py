@@ -2539,3 +2539,360 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_microunits").desc(), "word")
         .limit(TEXTRANK_TOPK)
     )
+
+
+# -- Gopher / MassiveText repetition quality rules (round 11) ------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", Table A1) define
+# the most-cited repetition filter in LLM-data papers: per-document
+# duplicate line / paragraph fractions, duplicate line / paragraph
+# CHARACTER fractions, top-{2,3,4}-gram character fractions, and duplicated
+# {5..10}-gram character fractions, each with a published threshold; a doc
+# passes the filter iff every statistic is at or under its threshold.
+# Conventions pinned here (the paper leaves them open; both engines mirror
+# them exactly):
+#   - "characters" = the single-space-rejoined token string (whitespace-
+#     normalized, so multi-space noise can't split the engines);
+#   - duplicate char fractions count occurrences BEYOND the first of each
+#     duplicated line/paragraph (the removable mass);
+#   - top-n-gram fraction = (count of the most frequent n-gram) x (its
+#     char length) / total chars, ties on count broken by the LONGEST
+#     gram (deterministic, monotone in the statistic being thresholded);
+#   - duplicated-n-gram fractions count each character ONCE even under
+#     overlapping duplicated grams (the paper's "taking care not to count
+#     characters multiple times") via the interval-union machinery shared
+#     with the exact-substring dedup family.
+
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_FRAC_MAX = 0.30
+GOPHER_DUP_PARA_FRAC_MAX = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC_MAX = 0.20
+GOPHER_DUP_PARA_CHAR_FRAC_MAX = 0.20
+
+
+def _dup_unit_stats(docs: DataFrame, sep: str, prefix: str) -> DataFrame:
+    """Per-doc duplicate-unit stats for lines (sep='\\n') or paragraphs
+    (sep='\\n\\n'): (doc_id, {prefix}_frac, {prefix}_char_frac). Empty
+    units are dropped; a doc with <= 1 unit scores 0 on both."""
+    units = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", sep), lambda u: u != F.lit(""))
+        ).alias("u"),
+    )
+    grp = units.groupBy("doc_id", "u").agg(
+        F.count("*").alias("cnt"), F.length("u").alias("ln")
+    )
+    frac = (F.col("n_units") - F.col("n_distinct")) / F.nullif(
+        F.col("n_units").cast("double"), F.lit(0.0)
+    )
+    cfrac = F.col("dup_chars") / F.nullif(
+        F.col("tot_chars").cast("double"), F.lit(0.0)
+    )
+    return (
+        grp.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_units"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("ln")).alias("tot_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.col("ln"))
+                .otherwise(0)
+            ).alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(frac, F.lit(0.0)).alias(f"{prefix}_frac"),
+            F.coalesce(cfrac, F.lit(0.0)).alias(f"{prefix}_char_frac"),
+        )
+    )
+
+
+def gopher_repetition_impl(docs: DataFrame) -> DataFrame:
+    """All Gopher repetition statistics in one per-doc row. 100 TB shape:
+    every stage is doc_id-local (explode -> doc-keyed aggregate or
+    doc-partitioned window); the n-gram branches re-read one compact
+    checkpointed token table rather than re-scanning the corpus; the
+    final assembly is narrow doc_id equi-joins. No cross-doc work at all
+    — the filter streams over any corpus partitioning."""
+    toked = reliable_checkpoint(docs.select("doc_id", tokens("text").alias("tk")))
+    base = toked.select(
+        "doc_id",
+        F.length(F.array_join("tk", " ")).cast("bigint").alias("total_chars"),
+    )
+    lstat = _dup_unit_stats(docs, "\n", "dup_line")
+    pstat = _dup_unit_stats(docs, "\n\n", "dup_para")
+
+    # top-{2,3,4}-gram char mass: count of the most frequent gram x its
+    # char length (ties on count -> longest gram, deterministic)
+    tops = []
+    for n in GOPHER_TOP_NGRAM_MAX:
+        g = (
+            toked.select(
+                "doc_id", F.explode(ngrams_of_tokens(F.col("tk"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+        )
+        mc = g.groupBy("doc_id").agg(F.max("cnt").alias("mc"))
+        tops.append(
+            g.join(mc, "doc_id")
+            .where(F.col("cnt") == F.col("mc"))
+            .groupBy("doc_id", "mc")
+            .agg(F.max(F.length("g")).alias("toplen"))
+            .select(
+                "doc_id",
+                (F.col("mc") * F.col("toplen"))
+                .cast("bigint")
+                .alias(f"top{n}_chars"),
+            )
+        )
+
+    # duplicated-{5..10}-gram coverage: char intervals of every occurrence
+    # of a within-doc duplicated gram, unioned so overlaps count once
+    tokp = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    tokoff = tokp.select(
+        "doc_id",
+        "pos",
+        F.coalesce(
+            F.sum(F.length("tok") + 1).over(
+                w_doc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+        F.length("tok").alias("ln"),
+    ).select(
+        "doc_id", "pos", "off", (F.col("off") + F.col("ln")).alias("end_off")
+    )
+    dup_ivals = None
+    for n in GOPHER_DUP_NGRAM_MAX:
+        gp = toked.select(
+            "doc_id",
+            F.posexplode(ngrams_of_tokens(F.col("tk"), n)).alias("pos", "g"),
+        )
+        dup = (
+            gp.select(
+                "doc_id",
+                "pos",
+                F.count("*").over(W.partitionBy("doc_id", "g")).alias("cnt"),
+            )
+            .where(F.col("cnt") >= 2)
+            .select("doc_id", "pos", F.lit(n).alias("n"))
+        )
+        iv = (
+            dup.join(tokoff.select("doc_id", "pos", "off"), ["doc_id", "pos"])
+            .join(
+                tokoff.select(
+                    "doc_id",
+                    (F.col("pos") - (n - 1)).alias("pos"),
+                    F.col("end_off").alias("e"),
+                ),
+                ["doc_id", "pos"],
+            )
+            .select("doc_id", "n", F.col("off").alias("s"), "e")
+        )
+        dup_ivals = iv if dup_ivals is None else dup_ivals.unionAll(iv)
+    from .dedup import _interval_union_coverage
+
+    dcov = _interval_union_coverage(
+        dup_ivals.distinct(), keys=("doc_id", "n")
+    )
+    dpiv = dcov.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("covered_tokens")))
+            .cast("bigint")
+            .alias(f"dup{n}_chars")
+            for n in GOPHER_DUP_NGRAM_MAX
+        ]
+    )
+
+    out = base.join(lstat, "doc_id", "left").join(pstat, "doc_id", "left")
+    for t in tops:
+        out = out.join(t, "doc_id", "left")
+    out = out.join(dpiv, "doc_id", "left")
+
+    tc = F.nullif(F.col("total_chars").cast("double"), F.lit(0.0))
+    cols = [F.col("doc_id")]
+    gates = []
+    for name, mx in (
+        ("dup_line_frac", GOPHER_DUP_LINE_FRAC_MAX),
+        ("dup_line_char_frac", GOPHER_DUP_LINE_CHAR_FRAC_MAX),
+        ("dup_para_frac", GOPHER_DUP_PARA_FRAC_MAX),
+        ("dup_para_char_frac", GOPHER_DUP_PARA_CHAR_FRAC_MAX),
+    ):
+        v = F.coalesce(F.col(name), F.lit(0.0))
+        cols.append(F.round(v, 6).alias(name))
+        gates.append(v <= mx)
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        v = F.coalesce(F.coalesce(F.col(f"top{n}_chars"), F.lit(0)) / tc, F.lit(0.0))
+        cols.append(F.round(v, 6).alias(f"top{n}gram_char_frac"))
+        gates.append(v <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        v = F.coalesce(F.coalesce(F.col(f"dup{n}_chars"), F.lit(0)) / tc, F.lit(0.0))
+        cols.append(F.round(v, 6).alias(f"dup{n}gram_char_frac"))
+        gates.append(v <= mx)
+    passes = gates[0]
+    for g in gates[1:]:
+        passes = passes & g
+    cols.append(passes.alias("passes_gopher_repetition"))
+    return out.select(*cols)
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB mirror of gopher_repetition_impl, generated per-n."""
+    np_grams = (
+        "[{{'pos': CAST(i - 1 AS BIGINT), "
+        "'gram': array_to_string(w[i:i+{m}], ' ')}} "
+        "for i in range(1, greatest(len(w) - {m}, 0) + 1)]"
+    )
+    parts = [
+        "toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t <> '') AS w "
+        "FROM documents)",
+        "base AS (SELECT doc_id, CAST(length(array_to_string(w, ' ')) "
+        "AS BIGINT) AS total_chars FROM toks)",
+    ]
+    for prefix, sep in (("l", "chr(10)"), ("p", "chr(10) || chr(10)")):
+        parts.append(
+            f"{prefix}units AS (SELECT doc_id, "
+            f"unnest(list_filter(string_split(text, {sep}), u -> u <> ''))"
+            f" AS u FROM documents)"
+        )
+        parts.append(
+            f"{prefix}grp AS (SELECT doc_id, u, count(*) AS cnt, "
+            f"length(u) AS ln FROM {prefix}units GROUP BY doc_id, u)"
+        )
+        parts.append(
+            f"{prefix}stat AS (SELECT doc_id, "
+            f"coalesce((sum(cnt) - count(*)) "
+            f"/ nullif(CAST(sum(cnt) AS DOUBLE), 0), 0) AS frac, "
+            f"coalesce(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * ln ELSE 0 END) "
+            f"/ nullif(CAST(sum(cnt * ln) AS DOUBLE), 0), 0) AS cfrac "
+            f"FROM {prefix}grp GROUP BY doc_id)"
+        )
+    for n in GOPHER_TOP_NGRAM_MAX:
+        glist = np_grams.format(m=n - 1)
+        parts.append(
+            f"g{n} AS (SELECT doc_id, g.gram AS g, count(*) AS cnt "
+            f"FROM (SELECT doc_id, unnest({glist}) AS g FROM toks) "
+            f"GROUP BY doc_id, g.gram)"
+        )
+        parts.append(
+            f"m{n} AS (SELECT doc_id, max(cnt) AS mc FROM g{n} GROUP BY doc_id)"
+        )
+        parts.append(
+            f"t{n} AS (SELECT m.doc_id, m.mc * max(length(g.g)) AS chars "
+            f"FROM g{n} g JOIN m{n} m ON g.doc_id = m.doc_id AND g.cnt = m.mc "
+            f"GROUP BY m.doc_id, m.mc)"
+        )
+    parts.append(
+        "tokoff AS (SELECT doc_id, pos, off, off + ln AS end_off FROM ("
+        "SELECT doc_id, t.pos AS pos, length(t.tok) AS ln, "
+        "coalesce(sum(length(t.tok) + 1) OVER (PARTITION BY doc_id "
+        "ORDER BY t.pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS off FROM (SELECT doc_id, "
+        "unnest([{'pos': CAST(i - 1 AS BIGINT), 'tok': w[i]} "
+        "for i in range(1, len(w) + 1)]) AS t FROM toks)))"
+    )
+    ivs = []
+    for n in GOPHER_DUP_NGRAM_MAX:
+        glist = np_grams.format(m=n - 1)
+        parts.append(
+            f"gp{n} AS (SELECT doc_id, g.pos AS pos, g.gram AS gram "
+            f"FROM (SELECT doc_id, unnest({glist}) AS g FROM toks))"
+        )
+        parts.append(
+            f"dup{n} AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+            f"count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM gp{n}) "
+            f"WHERE cnt >= 2)"
+        )
+        ivs.append(
+            f"SELECT d.doc_id, CAST({n} AS BIGINT) AS n, a.off AS s, "
+            f"b.end_off AS e FROM dup{n} d "
+            f"JOIN tokoff a ON a.doc_id = d.doc_id AND a.pos = d.pos "
+            f"JOIN tokoff b ON b.doc_id = d.doc_id AND b.pos = d.pos + {n - 1}"
+        )
+    parts.append(
+        "divals AS (SELECT DISTINCT * FROM ("
+        + " UNION ALL ".join(ivs)
+        + "))"
+    )
+    parts.append(
+        "dmarked AS (SELECT doc_id, n, s, e, CASE WHEN s > coalesce(max(e) "
+        "OVER (PARTITION BY doc_id, n ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island "
+        "FROM divals)"
+    )
+    parts.append(
+        "dislands AS (SELECT doc_id, n, s, e, sum(new_island) OVER ("
+        "PARTITION BY doc_id, n ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS island FROM dmarked)"
+    )
+    parts.append(
+        "dcov AS (SELECT doc_id, n, CAST(sum(ce - cs) AS BIGINT) AS covered "
+        "FROM (SELECT doc_id, n, island, min(s) AS cs, max(e) AS ce "
+        "FROM dislands GROUP BY doc_id, n, island) GROUP BY doc_id, n)"
+    )
+    dpiv_cols = ", ".join(
+        f"sum(CASE WHEN n = {n} THEN covered END) AS c{n}"
+        for n in GOPHER_DUP_NGRAM_MAX
+    )
+    parts.append(f"dpiv AS (SELECT doc_id, {dpiv_cols} FROM dcov GROUP BY doc_id)")
+    sel = ["b.doc_id"]
+    gates = []
+    for src, alias, mx in (
+        ("ls.frac", "dup_line_frac", GOPHER_DUP_LINE_FRAC_MAX),
+        ("ls.cfrac", "dup_line_char_frac", GOPHER_DUP_LINE_CHAR_FRAC_MAX),
+        ("ps.frac", "dup_para_frac", GOPHER_DUP_PARA_FRAC_MAX),
+        ("ps.cfrac", "dup_para_char_frac", GOPHER_DUP_PARA_CHAR_FRAC_MAX),
+    ):
+        sel.append(f"round(coalesce({src}, 0), 6) AS {alias}")
+        gates.append(f"coalesce({src}, 0) <= {mx}")
+    tc = "nullif(CAST(b.total_chars AS DOUBLE), 0)"
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        v = f"coalesce(coalesce(t{n}.chars, 0) / {tc}, 0)"
+        sel.append(f"round({v}, 6) AS top{n}gram_char_frac")
+        gates.append(f"{v} <= {mx}")
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        v = f"coalesce(coalesce(dpiv.c{n}, 0) / {tc}, 0)"
+        sel.append(f"round({v}, 6) AS dup{n}gram_char_frac")
+        gates.append(f"{v} <= {mx}")
+    sel.append("(" + " AND ".join(gates) + ") AS passes_gopher_repetition")
+    joins = [
+        "FROM base b",
+        "LEFT JOIN lstat ls ON ls.doc_id = b.doc_id",
+        "LEFT JOIN pstat ps ON ps.doc_id = b.doc_id",
+    ]
+    for n in GOPHER_TOP_NGRAM_MAX:
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id")
+    joins.append("LEFT JOIN dpiv ON dpiv.doc_id = b.doc_id")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT "
+        + ", ".join(sel)
+        + "\n"
+        + " ".join(joins)
+    )
+
+
+@register(
+    "gopher_repetition_rules",
+    oracle=_gopher_oracle_sql(),
+    doc="Gopher / MassiveText repetition quality rules (Rae et al. 2021 "
+    "Table A1 — the most-cited repetition filter in LLM-data papers): "
+    "per-doc duplicate line/paragraph fractions and char fractions, "
+    "top-{2,3,4}-gram char fractions, duplicated-{5..10}-gram char "
+    "fractions (overlaps counted ONCE via the interval-union machinery "
+    "shared with the exact-substring dedup family), each against its "
+    "published threshold; passes_gopher_repetition = all gates hold. "
+    "100 TB shape: entirely doc_id-local — explodes, doc-keyed "
+    "aggregates, and doc-partitioned windows over one compact "
+    "checkpointed token table; the filter streams over any corpus "
+    "partitioning with no cross-doc shuffle",
+    tags=("text", "curation"),
+)
+def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition_impl(load_table(spark, sf_dir, "documents"))
