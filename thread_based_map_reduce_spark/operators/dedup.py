@@ -3472,7 +3472,12 @@ def _rl_blocked_candidates(
     "cap^2/2 per key — never a table self-join; scoring touches "
     "candidates only, via narrow equi-joins on custkey. The cap is the "
     "documented recall knob: production runs add passes with different "
-    "keys (the sorted-neighborhood entry is one) rather than uncapping.",
+    "keys (the sorted-neighborhood entry is one) rather than uncapping. "
+    "NOTE (r11): this fixed-weight rule is the BASELINE scorer; the "
+    "recommended decision path is record_linkage_em_pairs (learned EM "
+    "posteriors over the same candidates — pytest-proven to reorder "
+    "patterns the fixed weights get wrong), with "
+    "record_linkage_threshold_sweep as the operating-point table.",
     tags=("dedup", "linkage", "curation"),
 )
 def q_record_linkage_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3882,6 +3887,119 @@ def q_record_linkage_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g3").cast("bigint").alias("same_nation"),
             "posterior_micro",
         )
+    )
+
+
+# Operating-point sweep grid: EM posteriors live in [0, 1e6] micro-units;
+# the fixed rule's max score is RL_W_SEGMENT+RL_W_BALANCE+RL_W_NATION =
+# 600k micro, so the shared grid shows where the fixed rule saturates.
+RL_SWEEP_THRESHOLDS = tuple(range(100_000, 1_000_000, 100_000))
+
+_RL_POST_SQL = """(CAST(e.p AS BIGINT)
+                      * CASE WHEN p.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                      * CASE WHEN p.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                      * CASE WHEN p.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END
+                   ) * 1000000
+                  // ((CAST(e.p AS BIGINT)
+                      * CASE WHEN p.g1 = 1 THEN e.m1 ELSE 1000 - e.m1 END
+                      * CASE WHEN p.g2 = 1 THEN e.m2 ELSE 1000 - e.m2 END
+                      * CASE WHEN p.g3 = 1 THEN e.m3 ELSE 1000 - e.m3 END)
+                     + (CAST(1000 - e.p AS BIGINT)
+                      * CASE WHEN p.g1 = 1 THEN e.u1 ELSE 1000 - e.u1 END
+                      * CASE WHEN p.g2 = 1 THEN e.u2 ELSE 1000 - e.u2 END
+                      * CASE WHEN p.g3 = 1 THEN e.u3 ELSE 1000 - e.u3 END))"""
+
+
+@register(
+    "record_linkage_threshold_sweep",
+    oracle=f"""
+        WITH {_RL_CAND_SQL},
+        {_RL_AGREE_SQL},
+        pat AS (
+            SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+            FROM agree GROUP BY 1, 2, 3
+        ),
+        {_rl_em_sql()},
+        post AS (
+            SELECT p.n,
+                   CAST({_RL_POST_SQL} AS BIGINT) AS post,
+                   CAST({RL_W_SEGMENT} * p.g1 + {RL_W_BALANCE} * p.g2
+                        + {RL_W_NATION} * p.g3 AS BIGINT) AS fixed
+            FROM pat p, em{_RL_EM_ITERS} e
+        ),
+        sw AS (
+            SELECT t.thr AS thr_micro, p.n, p.post, p.fixed
+            FROM (SELECT unnest([{", ".join(str(t) for t in RL_SWEEP_THRESHOLDS)}]) AS thr) t
+            CROSS JOIN post p
+        )
+        SELECT CAST(thr_micro AS BIGINT) AS thr_micro,
+               CAST(coalesce(sum(CASE WHEN post >= thr_micro THEN n END), 0)
+                    AS BIGINT) AS em_pairs_kept,
+               round(coalesce(sum(CASE WHEN post >= thr_micro THEN n END), 0)
+                     / nullif(CAST(sum(n) AS DOUBLE), 0), 6) AS em_match_rate,
+               CAST(coalesce(sum(CASE WHEN fixed >= thr_micro THEN n END), 0)
+                    AS BIGINT) AS fixed_pairs_kept,
+               round(coalesce(sum(CASE WHEN fixed >= thr_micro THEN n END), 0)
+                     / nullif(CAST(sum(n) AS DOUBLE), 0), 6) AS fixed_match_rate
+        FROM sw GROUP BY thr_micro
+    """,
+    doc="Record-linkage operating-point sweep — the table a deployment "
+    "reads to pick its match threshold: for each posterior threshold on "
+    "the shared micro-unit grid, how many blocked candidate pairs the "
+    "RECOMMENDED path (learned Fellegi-Sunter EM posteriors, "
+    "record_linkage_em_pairs) keeps versus the fixed hand-set rule "
+    "(record_linkage_customer), with match rates over the same candidate "
+    "set. The fixed rule saturates at 600k micro (its max score) and "
+    "cannot separate patterns beyond its 3 weights; the EM posterior "
+    "orders all 8 patterns. 100 TB shape: the sweep runs entirely on the "
+    "<= 8-row pattern table crossed with 9 literal thresholds — constant "
+    "work after the one blocked-candidate aggregation",
+    tags=("dedup", "linkage", "curation", "ml"),
+)
+def q_record_linkage_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pat, (p, m, u) = _rl_em_learned_params(spark, sf_dir)
+    num = F.lit(p).cast("bigint")
+    den = F.lit(1000 - p).cast("bigint")
+    for k, gk in enumerate(("g1", "g2", "g3")):
+        num = num * F.when(F.col(gk) == 1, m[k]).otherwise(1000 - m[k])
+        den = den * F.when(F.col(gk) == 1, u[k]).otherwise(1000 - u[k])
+    post = (
+        pat.withColumn("_num", num.cast("bigint"))
+        .withColumn("_den", den.cast("bigint"))
+        .select(
+            "n",
+            F.expr(
+                "(CAST(_num AS BIGINT) * 1000000) div "
+                "(CAST(_num AS BIGINT) + CAST(_den AS BIGINT))"
+            ).cast("bigint").alias("post"),
+            (
+                F.lit(RL_W_SEGMENT) * F.col("g1")
+                + F.lit(RL_W_BALANCE) * F.col("g2")
+                + F.lit(RL_W_NATION) * F.col("g3")
+            ).cast("bigint").alias("fixed"),
+        )
+    )
+    # explode the literal grid per pattern row (<= 8 x 9 rows total) —
+    # no crossJoin node, no new shuffle
+    sw = post.select(
+        "n",
+        "post",
+        "fixed",
+        F.explode(
+            F.array(*[F.lit(t) for t in RL_SWEEP_THRESHOLDS])
+        ).alias("thr_micro"),
+    )
+    kept = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col(c) >= F.col("thr_micro"), F.col("n"))), F.lit(0)
+    ).cast("bigint")
+    total = F.nullif(F.sum("n").cast("double"), F.lit(0.0))
+    return sw.groupBy(F.col("thr_micro").cast("bigint").alias("thr_micro")).agg(
+        kept("post").alias("em_pairs_kept"),
+        F.round(kept("post") / total, 6).alias("em_match_rate"),
+        kept("fixed").alias("fixed_pairs_kept"),
+        F.round(kept("fixed") / total, 6).alias("fixed_match_rate"),
     )
 
 
@@ -4308,6 +4426,7 @@ _SPAN_CTES_SQL = f"""wseed AS (
     "seed — no all-pairs stage, no corpus broadcast, no suffix array to "
     "build or hold in memory",
     tags=("dedup", "text", "fingerprint", "join"),
+    bench=True,  # r11: heaviest recommended-path operator, guard its perf
 )
 def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans_impl(load_table(spark, sf_dir, "documents"))
