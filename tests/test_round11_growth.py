@@ -231,3 +231,130 @@ def test_gopher_rules_match_reference(spark):
         rows[2]["dup_para_frac"] - 0.333333
     ) < 1e-9
     assert not rows[1]["passes_gopher_repetition"]  # 0.25 > 0.20 char frac
+
+
+# -- c4_filters + gopher_quality_rules (round-11 growth) ----------------------
+
+
+def test_c4_filters_planted(spark):
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    fn = CATALOG["c4_filters"].fn
+    import tempfile, os
+
+    docs_map = {
+        # 3 kept lines (terminal punct + >=5 words), 3 sentences -> passes
+        1: "this line has five good words.\n"
+        "another line with enough words here!\n"
+        "a third full line ends properly?",
+        # kept lines but only 2 sentences -> fails the sentence gate
+        2: "this line has five good words.\nanother line with enough words!",
+        # short lines (4 words) are dropped -> 0 sentences
+        3: "only four words here.\nagain four words only!",
+        # no terminal punctuation -> no kept lines
+        4: "plenty of words but no punctuation at all on this line",
+        # page gates
+        5: "this line has five good words. and lorem ipsum lurks here.",
+        6: "this line has five good words. but it contains a { brace.",
+        7: "this line has five good words. sadly badword2 appears here.",
+        # quoted-speech terminal
+        8: 'he said five words exactly "fine."\n'
+        "second line with enough words.\nthird line with enough words.",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.doc_id: r for r in fn(spark, td).collect()}
+    assert rows[1].passes_c4 and rows[1].n_kept_lines == 3
+    assert rows[1].n_sentences == 3
+    assert not rows[2].passes_c4 and rows[2].n_sentences == 2
+    assert rows[3].n_kept_lines == 0 and not rows[3].passes_c4
+    assert rows[4].n_kept_lines == 0
+    assert rows[5].has_lorem_ipsum and not rows[5].passes_c4
+    assert rows[6].has_brace and not rows[6].passes_c4
+    assert rows[7].has_bad_word and not rows[7].passes_c4
+    assert rows[8].n_kept_lines == 3 and rows[8].passes_c4
+
+
+def test_gopher_quality_rules_planted(spark):
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    fn = CATALOG["gopher_quality_rules"].fn
+    import tempfile, os
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i:02d}" for i in range(60)]
+    )  # 64 words, mean len ~6, 4 stop words, all alphabetic
+    docs_map = {
+        1: good,
+        2: "too few words " + " ".join(["the", "of"]),  # < 50 words
+        3: good + " " + " ".join(["####"] * 20),  # symbol ratio blows up
+        4: "\n".join(["• bullet"] * 10),  # 100% bullet lines (and short)
+        5: good.replace("the", "zzz").replace("be", "yyy")
+        .replace("to", "xxx").replace("of", "www"),  # no stop words
+        6: " ".join(["123"] * 60),  # no alphabetic words
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.doc_id: r for r in fn(spark, td).collect()}
+    assert rows[1].passes_gopher_quality
+    assert rows[1].stop_word_hits == 4
+    assert not rows[2].passes_gopher_quality  # word-count gate
+    assert rows[3].symbol_word_ratio > 0.1
+    assert not rows[3].passes_gopher_quality
+    assert rows[4].bullet_line_frac == 1.0
+    assert not rows[4].passes_gopher_quality
+    assert rows[5].stop_word_hits == 0
+    assert not rows[5].passes_gopher_quality
+    assert rows[6].alpha_word_frac == 0.0
+    assert not rows[6].passes_gopher_quality
+
+
+def test_curation_funnel_monotone_and_planted(spark):
+    """The funnel must be monotone non-increasing in both docs and
+    tokens, and a planted corpus must show a NON-degenerate funnel:
+    every stage drops something yet survivors remain."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    fn = CATALOG["curation_funnel_stats"].fn
+    import tempfile, os
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i:02d}" for i in range(60)]
+    )
+    rep = " ".join(["loop the be to of words again"] * 12)  # repetitious
+    docs_map = {
+        1: good,  # survives everything
+        2: good,  # exact duplicate of 1 -> dropped at exact_dedup
+        3: rep,  # passes dedup, fails repetition (dup n-grams)
+        # 60 distinct words, passes repetition, but NO Gopher stop words
+        # -> fails only at the quality stage
+        4: " ".join(f"nostop{i:02d}" for i in range(60)),
+        5: good + " extra tail of words",  # survives everything
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.stage: r for r in fn(spark, td).collect()}
+    assert [rows[i].stage_name for i in range(4)] == [
+        "raw", "exact_dedup", "gopher_repetition", "gopher_quality",
+    ]
+    docs = [rows[i].docs_surviving for i in range(4)]
+    toks = [rows[i].tokens_surviving for i in range(4)]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == 5
+    assert docs[1] == 4  # doc 2 dropped as an exact duplicate
+    assert docs[2] == 3  # doc 3 dropped by repetition rules
+    assert docs[3] == 2  # doc 4 dropped by quality rules
+    assert toks[3] > 0

@@ -1425,3 +1425,268 @@ def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_tokens",
     )
+
+
+# -- C4 cleaning filters (round 11) --------------------------------------------
+#
+# Raffel et al. 2020 (T5 / C4): the line- and page-level heuristics that
+# produced the C4 corpus. Conventions pinned for engine parity: lines =
+# newline splits; a KEPT line ends in terminal punctuation (. ! ? ")
+# AND has >= 5 whitespace words; sentences = terminal-mark count over
+# the kept lines; the bad-word list is a deterministic 3-entry stand-in
+# for the published (very large) blocklist — the mechanism, not the
+# list, is the operator. Page gates: >= 3 sentences, no "lorem ipsum",
+# no '{', no bad word. The corpus-wide three-sentence-span dedup C4 also
+# runs is the dedup family's job (dedup_exact / exact-substring spans).
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_BAD_WORDS = ("badword1", "badword2", "badword3")
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+@register(
+    "c4_filters",
+    oracle=f"""
+        WITH lined AS (
+            SELECT doc_id, lower(text) AS lo,
+                   list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, lo, len(ls) AS n_lines,
+                   list_filter(ls, l ->
+                       ({" OR ".join("l LIKE '%' || '" + (t if t != "'" else "''") + "'" for t in _C4_TERMINAL)})
+                       AND len(list_filter(string_split(l, ' '), w -> w <> ''))
+                           >= {C4_MIN_LINE_WORDS}) AS kl
+            FROM lined
+        ),
+        stat AS (
+            SELECT doc_id, n_lines, len(kl) AS n_kept_lines,
+                   CAST(list_sum(list_transform(kl, l ->
+                       (length(l) - length(replace(l, '.', '')))
+                       + (length(l) - length(replace(l, '!', '')))
+                       + (length(l) - length(replace(l, '?', ''))))) AS BIGINT)
+                       AS n_sentences,
+                   contains(lo, 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(lo, '{{') AS has_brace,
+                   ({" OR ".join("contains(lo, '" + b + "')" for b in C4_BAD_WORDS)})
+                       AS has_bad_word
+            FROM kept
+        )
+        SELECT doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+               coalesce(n_sentences, 0) AS n_sentences,
+               has_lorem_ipsum, has_brace, has_bad_word,
+               (coalesce(n_sentences, 0) >= {C4_MIN_SENTENCES}
+                AND NOT has_lorem_ipsum AND NOT has_brace
+                AND NOT has_bad_word) AS passes_c4
+        FROM stat
+    """,
+    doc="C4 cleaning filters (Raffel et al. 2020): per-doc line retention "
+    f"(terminal punctuation + >= {C4_MIN_LINE_WORDS} words), sentence "
+    f"count over kept lines with the >= {C4_MIN_SENTENCES}-sentence page "
+    "gate, and the lorem-ipsum / curly-brace / bad-word page gates "
+    "(deterministic stand-in blocklist — the mechanism is the operator; "
+    "a deployment broadcasts its real list). The synthetic corpus has no "
+    "punctuation or newlines, so testdata rows are all-zero by "
+    "construction; tests/test_round11_growth.py proves the filter on a "
+    "planted multi-line fixture. C4's corpus-wide three-sentence-span "
+    "dedup is the dedup family's job. 100 TB shape: pure per-row column "
+    "expressions, map-only at any scale",
+    tags=("text", "curation", "quality"),
+)
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.lower("text").alias("lo"),
+        F.filter(F.split("text", "\n"), lambda l: l != F.lit("")).alias("ls"),
+    )
+    is_kept = lambda l: (  # noqa: E731
+        l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+    ) & (
+        F.size(F.filter(F.split(l, " "), lambda w: w != F.lit("")))
+        >= C4_MIN_LINE_WORDS
+    )
+    k = d.select(
+        "doc_id",
+        "lo",
+        F.size("ls").alias("n_lines"),
+        F.filter("ls", is_kept).alias("kl"),
+    )
+    term_count = lambda l: (  # noqa: E731
+        (F.length(l) - F.length(F.replace(l, F.lit("."))))
+        + (F.length(l) - F.length(F.replace(l, F.lit("!"))))
+        + (F.length(l) - F.length(F.replace(l, F.lit("?"))))
+    )
+    n_sent = F.coalesce(
+        F.aggregate(
+            F.transform("kl", term_count), F.lit(0), lambda a, x: a + x
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    has_bad = F.col("lo").contains(C4_BAD_WORDS[0])
+    for b in C4_BAD_WORDS[1:]:
+        has_bad = has_bad | F.col("lo").contains(b)
+    s = k.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.size("kl").cast("bigint").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        F.col("lo").contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col("lo").contains("{").alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+    )
+    return s.select(
+        "*",
+        (
+            (F.col("n_sentences") >= C4_MIN_SENTENCES)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & ~F.col("has_bad_word")
+        ).alias("passes_c4"),
+    )
+
+
+# -- end-to-end curation funnel (round 11) -------------------------------------
+
+from ..operators.text import (  # noqa: E402  (placed with its consumer)
+    _GQ_PASS_SQL,
+    _GQ_STAT_SQL,
+    _gopher_oracle_parts,
+    gopher_quality_impl,
+    gopher_repetition_impl,
+)
+
+_FUNNEL_REP_PARTS, _FUNNEL_REP_SELECT = _gopher_oracle_parts()
+_FUNNEL_REP_CTES = ",\n        ".join(_FUNNEL_REP_PARTS)
+
+
+@register(
+    "curation_funnel_stats",
+    oracle=f"""
+        WITH {_FUNNEL_REP_CTES},
+        grep AS ({_FUNNEL_REP_SELECT}),
+        gqstat AS ({_GQ_STAT_SQL}),
+        gqual AS (SELECT doc_id, {_GQ_PASS_SQL} AS ok FROM gqstat),
+        canon AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS BIGINT) AS ntok,
+                   doc_id = min(doc_id) OVER (
+                       PARTITION BY {portable_hash64_sql('text')}) AS s1
+            FROM documents
+        ),
+        flags AS (
+            SELECT c.doc_id, c.ntok, c.s1,
+                   c.s1 AND r.passes_gopher_repetition AS s2,
+                   c.s1 AND r.passes_gopher_repetition AND q.ok AS s3
+            FROM canon c
+            JOIN grep r ON r.doc_id = c.doc_id
+            JOIN gqual q ON q.doc_id = c.doc_id
+        ),
+        st AS (
+            SELECT 0 AS stage, 'raw' AS stage_name, true AS alive, ntok
+            FROM flags
+            UNION ALL SELECT 1, 'exact_dedup', s1, ntok FROM flags
+            UNION ALL SELECT 2, 'gopher_repetition', s2, ntok FROM flags
+            UNION ALL SELECT 3, 'gopher_quality', s3, ntok FROM flags
+        )
+        SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+               CAST(coalesce(sum(CASE WHEN alive THEN 1 END), 0) AS BIGINT)
+                   AS docs_surviving,
+               CAST(coalesce(sum(CASE WHEN alive THEN ntok END), 0) AS BIGINT)
+                   AS tokens_surviving
+        FROM st GROUP BY stage, stage_name
+    """,
+    doc="End-to-end curation funnel — the one-table answer to 'where does "
+    "my training data go': documents and tokens surviving each "
+    "SEQUENTIAL stage of the standard pipeline (raw -> exact dedup "
+    "[min-doc_id canonical per 60-bit text hash, dedup_exact's rule] -> "
+    "Gopher repetition rules -> Gopher quality rules), composing the "
+    "catalog's own filter implementations, not re-derivations. The "
+    "funnel is what a 100 TB run reviews before committing GPU budget: "
+    "every stage's retention rate in docs AND tokens (they differ — "
+    "filters are length-biased). 100 TB shape: one pass per filter "
+    "family (each doc-local, see their entries), one narrow doc_id "
+    "join-up, and a 4-stage conditional aggregate; the funnel adds no "
+    "shuffle beyond its constituents. Note: on the synthetic corpus the "
+    "quality stage retains 0 docs — the ~30-word vocabulary lacks "
+    "Gopher's stop words and most docs sit under the 50-word minimum; "
+    "the gates are the published ones, deliberately not tuned to "
+    "testdata (the planted pytest shows a non-degenerate funnel)",
+    tags=("curation", "text", "dedup", "quality"),
+)
+def q_curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = gopher_repetition_impl(docs).select(
+        "doc_id", "passes_gopher_repetition"
+    )
+    qual = gopher_quality_impl(docs).select("doc_id", "passes_gopher_quality")
+    wh = W.partitionBy("h")
+    canon = (
+        docs.select(
+            "doc_id",
+            portable_hash64(F.col("text")).alias("h"),
+            F.size(tokens("text")).cast("bigint").alias("ntok"),
+        )
+        .select(
+            "doc_id",
+            "ntok",
+            (F.col("doc_id") == F.min("doc_id").over(wh)).alias("s1"),
+        )
+    )
+    flags = (
+        canon.join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "ntok",
+            "s1",
+            (F.col("s1") & F.col("passes_gopher_repetition")).alias("s2"),
+            (
+                F.col("s1")
+                & F.col("passes_gopher_repetition")
+                & F.col("passes_gopher_quality")
+            ).alias("s3"),
+        )
+    )
+    st = flags.select(
+        "ntok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stage"),
+                    F.lit("raw").alias("stage_name"),
+                    F.lit(True).alias("alive"),
+                ),
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("exact_dedup").alias("stage_name"),
+                    F.col("s1").alias("alive"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("gopher_repetition").alias("stage_name"),
+                    F.col("s2").alias("alive"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("gopher_quality").alias("stage_name"),
+                    F.col("s3").alias("alive"),
+                ),
+            )
+        ).alias("st"),
+    )
+    return st.groupBy(
+        F.col("st.stage").cast("bigint").alias("stage"),
+        F.col("st.stage_name").alias("stage_name"),
+    ).agg(
+        F.coalesce(F.sum(F.when(F.col("st.alive"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("docs_surviving"),
+        F.coalesce(F.sum(F.when(F.col("st.alive"), F.col("ntok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_surviving"),
+    )

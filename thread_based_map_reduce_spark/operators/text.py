@@ -2740,8 +2740,10 @@ def gopher_repetition_impl(docs: DataFrame) -> DataFrame:
     return out.select(*cols)
 
 
-def _gopher_oracle_sql() -> str:
-    """DuckDB mirror of gopher_repetition_impl, generated per-n."""
+def _gopher_oracle_parts() -> tuple:
+    """(CTE parts, final SELECT) of the gopher_repetition_impl mirror —
+    split out so curation_funnel_stats can embed the whole chain as a
+    derived CTE."""
     np_grams = (
         "[{{'pos': CAST(i - 1 AS BIGINT), "
         "'gram': array_to_string(w[i:i+{m}], ' ')}} "
@@ -2868,14 +2870,13 @@ def _gopher_oracle_sql() -> str:
     for n in GOPHER_TOP_NGRAM_MAX:
         joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id")
     joins.append("LEFT JOIN dpiv ON dpiv.doc_id = b.doc_id")
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + "\nSELECT "
-        + ", ".join(sel)
-        + "\n"
-        + " ".join(joins)
-    )
+    return parts, "SELECT " + ", ".join(sel) + "\n" + " ".join(joins)
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB mirror of gopher_repetition_impl, generated per-n."""
+    parts, select = _gopher_oracle_parts()
+    return "WITH " + ",\n".join(parts) + "\n" + select
 
 
 @register(
@@ -2896,3 +2897,173 @@ def _gopher_oracle_sql() -> str:
 )
 def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_impl(load_table(spark, sf_dir, "documents"))
+
+
+# -- Gopher quality rules: the non-repetition half (round 11) ------------------
+#
+# Rae et al. 2021 Table A1's OTHER half — document-shape quality gates.
+# Conventions pinned (both engines mirror them): words = whitespace
+# tokens; symbols = '#' plus non-overlapping '...' and U+2026 ellipsis
+# occurrences (replace-based counting); bullet lines start with '•', '-'
+# or '*'; ellipsis lines end with '...' or U+2026; alphabetic words
+# contain >= 1 ASCII letter; the stop-word gate needs >= 2 DISTINCT
+# members of Gopher's 8-word list present.
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _occurrences(col, needle: str, width: int):
+    """Non-overlapping occurrence count via replace (same semantics in
+    Spark and DuckDB)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / width
+
+
+# Self-contained stat subquery + gate expression, shared by the
+# gopher_quality_rules oracle and the curation_funnel_stats oracle.
+_GQ_STAT_SQL = f"""SELECT doc_id,
+                   len(w) AS n_words,
+                   list_sum(list_transform(w, t -> length(t)))
+                       / nullif(CAST(len(w) AS DOUBLE), 0) AS mean_wlen,
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    + (length(text) - length(replace(text, '…', ''))))
+                       / nullif(CAST(len(w) AS DOUBLE), 0) AS sym_ratio,
+                   len(list_filter(ls, l -> l LIKE '•%'
+                           OR l LIKE '-%' OR l LIKE '*%'))
+                       / nullif(CAST(len(ls) AS DOUBLE), 0) AS bullet_frac,
+                   len(list_filter(ls, l -> l LIKE '%...'
+                           OR l LIKE '%…'))
+                       / nullif(CAST(len(ls) AS DOUBLE), 0) AS ellipsis_frac,
+                   len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                       / nullif(CAST(len(w) AS DOUBLE), 0) AS alpha_frac,
+                   len(list_intersect(list_distinct(w),
+                       [{", ".join("'" + s + "'" for s in GOPHER_STOP_WORDS)}]))
+                       AS stop_hits
+            FROM (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS w,
+                       list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+                FROM documents
+            )"""
+
+_GQ_PASS_SQL = f"""(n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND coalesce(mean_wlen, 0) >= {GOPHER_MIN_MEAN_WLEN}
+                AND coalesce(mean_wlen, 0) <= {GOPHER_MAX_MEAN_WLEN}
+                AND coalesce(sym_ratio, 0) <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND coalesce(bullet_frac, 0) <= {GOPHER_MAX_BULLET_FRAC}
+                AND coalesce(ellipsis_frac, 0) <= {GOPHER_MAX_ELLIPSIS_FRAC}
+                AND coalesce(alpha_frac, 0) >= {GOPHER_MIN_ALPHA_FRAC}
+                AND stop_hits >= {GOPHER_MIN_STOP_HITS})"""
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+        WITH stat AS (
+            {_GQ_STAT_SQL}
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(coalesce(mean_wlen, 0), 6) AS mean_word_len,
+               round(coalesce(sym_ratio, 0), 6) AS symbol_word_ratio,
+               round(coalesce(bullet_frac, 0), 6) AS bullet_line_frac,
+               round(coalesce(ellipsis_frac, 0), 6) AS ellipsis_line_frac,
+               round(coalesce(alpha_frac, 0), 6) AS alpha_word_frac,
+               CAST(stop_hits AS BIGINT) AS stop_word_hits,
+               {_GQ_PASS_SQL}
+                   AS passes_gopher_quality
+        FROM stat
+    """,
+    doc="Gopher quality rules, the non-repetition half (Rae et al. 2021 "
+    "Table A1): per-doc word count bounds, mean word length bounds, "
+    "symbol-to-word ratio ('#' and ellipses), bullet-start and "
+    "ellipsis-end line fractions, alphabetic-word fraction, and the "
+    ">= 2-distinct-stop-words gate, each with its published threshold; "
+    "passes_gopher_quality = all gates hold. Completes the Gopher "
+    "filter alongside gopher_repetition_rules. 100 TB shape: pure "
+    "per-row column expressions (transform/filter/list_intersect over "
+    "the token and line arrays) — zero shuffles, zero joins; the filter "
+    "is a map-only pass at any scale",
+    tags=("text", "curation", "quality"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_impl(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_quality_impl(docs: DataFrame) -> DataFrame:
+    d = docs.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("w"),
+        F.filter(F.split("text", "\n"), lambda l: l != F.lit("")).alias("ls"),
+    )
+    n_words = F.size("w")
+    nwd = F.nullif(n_words.cast("double"), F.lit(0.0))
+    nld = F.nullif(F.size("ls").cast("double"), F.lit(0.0))
+    mean_wlen = F.aggregate(
+        F.transform("w", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ) / nwd
+    sym_ratio = (
+        _occurrences(F.col("text"), "#", 1)
+        + _occurrences(F.col("text"), "...", 3)
+        + _occurrences(F.col("text"), "…", 1)
+    ) / nwd
+    bullet_frac = (
+        F.size(
+            F.filter(
+                "ls",
+                lambda l: l.startswith("•")
+                | l.startswith("-")
+                | l.startswith("*"),
+            )
+        )
+        / nld
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                "ls", lambda l: l.endswith("...") | l.endswith("…")
+            )
+        )
+        / nld
+    )
+    alpha_frac = (
+        F.size(F.filter("w", lambda t: t.rlike("[A-Za-z]"))) / nwd
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    )
+    z = lambda c: F.coalesce(c, F.lit(0.0))  # noqa: E731
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (z(mean_wlen) >= GOPHER_MIN_MEAN_WLEN)
+        & (z(mean_wlen) <= GOPHER_MAX_MEAN_WLEN)
+        & (z(sym_ratio) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (z(bullet_frac) <= GOPHER_MAX_BULLET_FRAC)
+        & (z(ellipsis_frac) <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (z(alpha_frac) >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(z(mean_wlen), 6).alias("mean_word_len"),
+        F.round(z(sym_ratio), 6).alias("symbol_word_ratio"),
+        F.round(z(bullet_frac), 6).alias("bullet_line_frac"),
+        F.round(z(ellipsis_frac), 6).alias("ellipsis_line_frac"),
+        F.round(z(alpha_frac), 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_word_hits"),
+        passes.alias("passes_gopher_quality"),
+    )
