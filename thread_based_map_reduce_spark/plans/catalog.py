@@ -141,39 +141,39 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "decision_stump_train", "decontam_eval_overlap",
     "dedup_blocking_recall_eval", "dedup_canonical_map", "dedup_clusters",
     "dedup_clusters_twostar", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_graph_triangles",
-    "dedup_incremental_e2e", "dedup_incremental_pairs",
-    "dedup_jaccard_blocked", "dedup_keep_best", "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures", "dedup_normalized",
-    "dedup_prefix_filter_pairs", "dedup_simhash",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_exact_substring_spans",
+    "dedup_graph_triangles", "dedup_incremental_e2e",
+    "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
+    "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
+    "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
     "dedup_simhash_hamming_pairs", "dedup_sorted_neighborhood",
     "dedup_winnow_pairs", "detok_fidelity_stats", "discount_effect_by_band",
     "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
     "doc_fingerprint", "domain_mix_weights", "dq_audit_stats",
     "dsir_importance_select", "dup_graph_bfs_hops",
     "dup_graph_degree_stats", "dup_graph_link_prediction",
-    "dup_graph_pagerank", "dup_pairs_edit_distance", "dup_span_fraction",
-    "embedding_covariance", "embedding_norm_stats",
-    "embedding_quantize_stats", "embeddings_dim_stats",
-    "emd_price_urgent_binned", "event_transition_entropy",
-    "event_type_transitions", "events_anomaly_trailing_z",
-    "events_autocorr_lag1", "events_cusum_changepoint",
-    "events_decayed_trend", "events_dow_hour_heatmap",
-    "events_error_rate_hourly", "events_interarrival_stats",
-    "events_rollup_day_from_hour", "events_sliding_2h",
-    "events_tumbling_hour", "exists_correlated",
+    "dup_graph_pagerank", "dup_pairs_edit_distance",
+    "dup_span_coverage_exact", "dup_span_fraction", "embedding_covariance",
+    "embedding_norm_stats", "embedding_quantize_stats",
+    "embeddings_dim_stats", "emd_price_urgent_binned",
+    "event_transition_entropy", "event_type_transitions",
+    "events_anomaly_trailing_z", "events_autocorr_lag1",
+    "events_cusum_changepoint", "events_decayed_trend",
+    "events_dow_hour_heatmap", "events_error_rate_hourly",
+    "events_interarrival_stats", "events_rollup_day_from_hour",
+    "events_sliding_2h", "events_tumbling_hour", "exists_correlated",
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
     "functional_dependency_audit", "funnel_attribution_last_touch",
-    "funnel_signup_purchase", "grouping_sets", "hapax_rate_per_lang",
-    "hard_negative_mining", "having_filter", "heldout_backoff_nll",
-    "hll_distinct_estimate", "inline_struct_explode",
-    "inverted_index_stats", "ivf_kmeans_assignments", "ivf_search",
-    "ivf_search_nprobe2", "join_anti", "join_cardinality_eval",
-    "join_full_outer", "join_hint_shuffle_hash", "join_left_outer",
-    "join_right_outer", "join_salted_skew", "join_semi",
-    "join_star_revenue", "json_extract", "json_map_explode",
-    "json_struct_parse", "k_anonymity_stats", "key_skew_report",
-    "kll_quantile_sketch", "km_survival_signup_purchase",
+    "funnel_signup_purchase", "group_kfold_cv", "grouping_sets",
+    "hapax_rate_per_lang", "hard_negative_mining", "having_filter",
+    "heldout_backoff_nll", "hilbert_pruning_stats", "hll_distinct_estimate",
+    "inline_struct_explode", "inverted_index_stats",
+    "ivf_kmeans_assignments", "ivf_search", "ivf_search_nprobe2",
+    "join_anti", "join_cardinality_eval", "join_full_outer",
+    "join_hint_shuffle_hash", "join_left_outer", "join_right_outer",
+    "join_salted_skew", "join_semi", "join_star_revenue", "json_extract",
+    "json_map_explode", "json_struct_parse", "k_anonymity_stats",
+    "key_skew_report", "kll_quantile_sketch", "km_survival_signup_purchase",
     "kmv_distinct_estimate", "l_diversity_stats", "langid_confusion_matrix",
     "langid_heuristic", "lateral_topk_per_nation", "latest_event_per_user",
     "leakage_safe_split", "limit_offset_page", "longest_streak_per_user",
@@ -201,7 +201,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "pq_recall_eval", "pq_train_stats", "price_histogram",
     "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
     "range_join_clicks", "range_partition_balance", "ratio_to_report",
-    "record_linkage_customer", "recursive_month_spine", "regex_functions",
+    "record_linkage_customer", "record_linkage_em_pairs",
+    "record_linkage_em_weights", "recursive_month_spine", "regex_functions",
     "reservoir_sample_per_key", "retention_weekly", "returns_rate_by_month",
     "revenue_gini_by_nation", "rfm_segments", "rolling_reach_7d",
     "rollup_qty", "sample_hash_deterministic", "sample_per_group",
@@ -247,74 +248,77 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Round-10 driver window, in priority order (VERDICT r9 #8): (1) ALL
-# new r10 catalog entries first (exact-substring spans, EM weights,
-# group k-fold CV, Hilbert layout); (2) the changed-after-green
-# re-proves — the record-linkage candidate refactor, the winnow-helper
-# signature change and the span-CTE oracle recomposition, the 5-family
-# matched-budget eval rewrite, and the round-10 BUCKETED SIGNATURE
-# TABLE (zero-exchange verify joins), which re-planned every consumer
-# of _lsh_verified_pairs / _signature_combined (pairs, clusters x2,
-# the five dup-graph entries, edit-distance, leakage split, keep-best,
-# canonical-map, curation stats, minhash-estimate, band-tuning,
-# semantic-dedup, the incremental/sigstore paths), plus the BMP
-# dimension-validation and bucket-guard ADVICE fixes; (3) the
-# oldest-green rotation with the names round 9 displaced. Exactly 50
+# Round-11 driver window, in priority order (VERDICT r10 #8): (1) ALL
+# six new r11 catalog entries first (exact-substring decontamination,
+# the Gopher repetition + quality rule halves, the C4 filters, the
+# curation funnel, the linkage threshold sweep); (2) the
+# changed-after-green re-proves — dup_span_coverage_exact carries the
+# r11 interval-union DISTINCT fix (VERDICT r10 #1, the judge-caught tie
+# flake) and must re-earn its hash-green row; dedup_exact_substring_
+# spans was refactored onto the shared _extend_seed_batches helper and
+# promoted into the headline bench set; the record-linkage family
+# gained the EM-recommended-path decision and the customer entry's
+# docstring note; decontam_eval_overlap is both the decontam sibling
+# and an r3-stale green; (3) the rotation leads VERDICT r10 named
+# (dedup_incremental_pairs, dedup_simhash_hamming_pairs,
+# zorder_pruning_stats) plus hilbert_pruning_stats (the order-8 curve
+# work touched its machinery's neighborhood); (4) the oldest-green
+# rotation — every remaining name last proved in r2/r3. Exactly 50
 # names (the driver's sample size). Hash-green but not re-proved this
-# round (lead the r11 rotation): dedup_incremental_pairs,
-# dedup_simhash_hamming_pairs, zorder_pruning_stats, and the remaining
-# relational tail.
+# round (lead the r12 rotation): vector_arithmetic, vocab_oov_coverage,
+# and the r4-vintage relational tail (argmax_aggregates, array_setops,
+# basket_part_pairs, best_day_per_month, ...).
 _PINNED_FIRST = (
-    "dedup_exact_substring_spans",
+"decontam_exact_substring",
+    "gopher_repetition_rules",
+    "gopher_quality_rules",
+    "c4_filters",
+    "curation_funnel_stats",
+    "record_linkage_threshold_sweep",
     "dup_span_coverage_exact",
-    "record_linkage_em_weights",
-    "record_linkage_em_pairs",
-    "group_kfold_cv",
-    "hilbert_pruning_stats",
+    "dedup_exact_substring_spans",
     "record_linkage_customer",
-    "winnowing_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_blocking_recall_eval",
-    "leakage_safe_split",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "dedup_graph_triangles",
-    "dup_graph_degree_stats",
-    "dup_graph_pagerank",
-    "dup_pairs_edit_distance",
-    "dup_graph_bfs_hops",
-    "dup_graph_link_prediction",
-    "dedup_incremental_e2e",
-    "sigstore_append_compact",
-    "dedup_keep_best",
-    "dedup_canonical_map",
-    "minhash_estimate_eval",
-    "lsh_band_tuning_curve",
-    "semantic_dedup_stats",
-    "corpus_curation_stats",
-    "multimodal_bmp_decode",
-    "bucketed_join_revenue",
-    "dedup_sorted_neighborhood",
-    "pandas_udf_token_count",
-    "pii_scrub_stats",
-    "regex_functions",
-    "session_window_agg",
-    "string_functions_2",
-    "text_quality_score",
-    "text_token_stats",
-    "udtf_tokenize",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_pgm_decode",
-    "multimodal_wav_decode",
-    "multimodal_y4m_decode",
-    "tpch_q4_priority_check",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_customers",
-    "tpch_q12_shipmode",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_quantity",
+    "record_linkage_em_pairs",
+    "record_linkage_em_weights",
+    "decontam_eval_overlap",
+    "dedup_incremental_pairs",
+    "dedup_simhash_hamming_pairs",
+    "zorder_pruning_stats",
+    "hilbert_pruning_stats",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "agg_salted_skew",
+    "centroid_per_label",
+    "compaction_plan_stats",
+    "doc_char_entropy",
+    "domain_mix_weights",
+    "embedding_norm_stats",
+    "embeddings_dim_stats",
+    "funnel_signup_purchase",
+    "hapax_rate_per_lang",
+    "key_skew_report",
+    "mix_quota_sample",
+    "multimodal_decode_stats",
+    "multimodal_resize_thumbs",
+    "multimodal_wav_features",
+    "multimodal_y4m_motion",
+    "pack_sequences_stats",
+    "profile_documents",
+    "rag_chunk_stats",
+    "setop_all_variants",
+    "shard_assignment_stats",
+    "source_lang_quality_matrix",
+    "stratified_token_quantiles",
+    "token_regex_count",
+    "top_bigrams_per_lang",
+    "tpch_q11_value_concentration",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "unpivot_part_metrics",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
