@@ -358,3 +358,49 @@ def test_curation_funnel_monotone_and_planted(spark):
     assert docs[2] == 3  # doc 3 dropped by repetition rules
     assert docs[3] == 2  # doc 4 dropped by quality rules
     assert toks[3] > 0
+
+
+def test_filter_ablation_invariants(spark):
+    """Marginal counts are bounded by independent counts, and a doc that
+    uniquely fails one filter shows up in exactly that filter's marginal
+    set."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    fn = CATALOG["curation_filter_ablation"].fn
+    import tempfile, os
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i:02d}" for i in range(60)]
+    )
+    rep = " ".join(["loop the be to of words again"] * 12)
+    docs_map = {
+        1: good,
+        2: good,  # exact dup of 1 -> fails exact_dedup AND span coverage
+        3: rep + " " + good,  # repetitious but passes quality: check marginals
+        5: good + " extra tail of words",
+        # 60 distinct words, no stop words -> uniquely fails quality
+        6: " ".join(f"nostop{i:02d}" for i in range(60)),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r.filter_name: r for r in fn(spark, td).collect()}
+    assert set(rows) == {
+        "exact_dedup", "gopher_repetition", "gopher_quality",
+        "span_coverage", "decontam_overlap",
+    }
+    for r in rows.values():
+        assert r.marginal_docs <= r.docs_failing
+        assert r.marginal_tokens <= r.tokens_failing
+    # doc 2 fails exact_dedup, but its MARGINAL contribution is zero: an
+    # exact duplicate is always also fully span-covered (dup_fraction
+    # 1.0) — exactly the redundancy insight the ablation exists to show
+    assert rows["exact_dedup"].docs_failing == 1
+    assert rows["exact_dedup"].marginal_docs == 0
+    assert rows["span_coverage"].docs_failing >= 2  # docs 1 and 2 at least
+    # doc 6 uniquely fails quality (no stop words, passes everything else)
+    assert rows["gopher_quality"].docs_failing == 1
+    assert rows["gopher_quality"].marginal_docs == 1

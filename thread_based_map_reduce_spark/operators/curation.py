@@ -1690,3 +1690,188 @@ def q_curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_surviving"),
     )
+
+
+# -- per-filter ablation (round 11, FineWeb methodology) ------------------------
+#
+# The funnel above answers "what survives the pipeline"; the ablation
+# answers the design question behind it — "what does EACH filter
+# uniquely contribute": per filter, the documents/tokens it fails
+# INDEPENDENTLY, and the MARGINAL set it alone rejects (fails this
+# filter, passes all the others) — the filter's unique contribution,
+# the number FineWeb-style dataset papers ablate before keeping a rule.
+# Five filters: exact-dedup canonicality, Gopher repetition, Gopher
+# quality, exact-span duplicate coverage (> 0.5), and eval-overlap
+# decontamination. Oracles compose by NESTING the registered oracles'
+# WITH-chains as derived CTEs (SQL scoping shadows their inner names).
+
+ABLATION_MAX_DUP_FRACTION = 0.5
+
+
+def _ablation_oracle() -> str:
+    from .dedup import span_coverage_impl  # noqa: F401  (ensures registration)
+    from ..plans.catalog import CATALOG
+
+    cov = CATALOG["dup_span_coverage_exact"].oracle
+    dec = CATALOG["decontam_eval_overlap"].oracle
+    others = {
+        "dedup": "NOT x_rep AND NOT x_qual AND NOT x_span AND NOT x_dec",
+        "rep": "NOT x_dedup AND NOT x_qual AND NOT x_span AND NOT x_dec",
+        "qual": "NOT x_dedup AND NOT x_rep AND NOT x_span AND NOT x_dec",
+        "span": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_dec",
+        "dec": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_span",
+    }
+    names = {
+        "dedup": "exact_dedup",
+        "rep": "gopher_repetition",
+        "qual": "gopher_quality",
+        "span": "span_coverage",
+        "dec": "decontam_overlap",
+    }
+    branches = " UNION ALL ".join(
+        f"SELECT '{names[k]}' AS filter_name, x_{k} AS fail, "
+        f"x_{k} AND {others[k]} AS marginal, ntok FROM flags"
+        for k in names
+    )
+    return f"""
+        WITH {_FUNNEL_REP_CTES},
+        grep AS ({_FUNNEL_REP_SELECT}),
+        gqstat AS ({_GQ_STAT_SQL}),
+        gqual AS (SELECT doc_id, {_GQ_PASS_SQL} AS ok FROM gqstat),
+        cov AS ({cov}),
+        dec AS ({dec}),
+        canon AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS BIGINT) AS ntok,
+                   doc_id = min(doc_id) OVER (
+                       PARTITION BY {portable_hash64_sql('text')}) AS s1
+            FROM documents
+        ),
+        flags AS (
+            SELECT c.doc_id, c.ntok,
+                   NOT c.s1 AS x_dedup,
+                   NOT r.passes_gopher_repetition AS x_rep,
+                   NOT q.ok AS x_qual,
+                   coalesce(v.dup_fraction, 0) > {ABLATION_MAX_DUP_FRACTION}
+                       AS x_span,
+                   coalesce(d.contaminated, false) AS x_dec
+            FROM canon c
+            JOIN grep r ON r.doc_id = c.doc_id
+            JOIN gqual q ON q.doc_id = c.doc_id
+            LEFT JOIN cov v ON v.doc_id = c.doc_id
+            LEFT JOIN dec d ON d.doc_id = c.doc_id
+        ),
+        st AS ({branches})
+        SELECT filter_name,
+               CAST(coalesce(sum(CASE WHEN fail THEN 1 END), 0) AS BIGINT)
+                   AS docs_failing,
+               CAST(coalesce(sum(CASE WHEN fail THEN ntok END), 0) AS BIGINT)
+                   AS tokens_failing,
+               CAST(coalesce(sum(CASE WHEN marginal THEN 1 END), 0) AS BIGINT)
+                   AS marginal_docs,
+               CAST(coalesce(sum(CASE WHEN marginal THEN ntok END), 0)
+                    AS BIGINT) AS marginal_tokens
+        FROM st GROUP BY filter_name
+    """
+
+
+@register(
+    "curation_filter_ablation",
+    oracle=_ablation_oracle(),
+    doc="Per-filter ablation (the FineWeb methodology): for each of five "
+    "curation filters — exact-dedup canonicality, Gopher repetition, "
+    "Gopher quality, exact-span duplicate coverage > "
+    f"{ABLATION_MAX_DUP_FRACTION}, eval-overlap decontamination — the "
+    "docs/tokens it fails INDEPENDENTLY and the MARGINAL set it alone "
+    "rejects (fails this filter, passes all others): the filter's unique "
+    "contribution, the number a dataset paper ablates before keeping a "
+    "rule. Oracle composes the registered oracles' WITH-chains as nested "
+    "derived CTEs (SQL scoping shadows inner names) — the same SQL the "
+    "individual entries hash against, not a re-derivation. 100 TB shape: "
+    "the union of the constituent filters' shapes (each documented at "
+    "its entry) plus narrow doc_id left-joins and one conditional "
+    "aggregate; marginality is pure column logic over the joined flags",
+    tags=("curation", "dedup", "text", "quality"),
+)
+def q_curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import span_coverage_impl
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = gopher_repetition_impl(docs).select(
+        "doc_id", (~F.col("passes_gopher_repetition")).alias("x_rep")
+    )
+    qual = gopher_quality_impl(docs).select(
+        "doc_id", (~F.col("passes_gopher_quality")).alias("x_qual")
+    )
+    cov = span_coverage_impl(docs).select(
+        "doc_id",
+        (
+            F.coalesce(F.col("dup_fraction"), F.lit(0.0))
+            > ABLATION_MAX_DUP_FRACTION
+        ).alias("x_span"),
+    )
+    dec = q_decontam_eval_overlap(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("x_dec")
+    )
+    wh = W.partitionBy("h")
+    canon = docs.select(
+        "doc_id",
+        portable_hash64(F.col("text")).alias("h"),
+        F.size(tokens("text")).cast("bigint").alias("ntok"),
+    ).select(
+        "doc_id",
+        "ntok",
+        (~(F.col("doc_id") == F.min("doc_id").over(wh))).alias("x_dedup"),
+    )
+    flags = (
+        canon.join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .join(cov, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "ntok",
+            "x_dedup",
+            "x_rep",
+            "x_qual",
+            F.coalesce("x_span", F.lit(False)).alias("x_span"),
+            F.coalesce("x_dec", F.lit(False)).alias("x_dec"),
+        )
+    )
+    keys = ("x_dedup", "x_rep", "x_qual", "x_span", "x_dec")
+    names = {
+        "x_dedup": "exact_dedup",
+        "x_rep": "gopher_repetition",
+        "x_qual": "gopher_quality",
+        "x_span": "span_coverage",
+        "x_dec": "decontam_overlap",
+    }
+    structs = []
+    for k in keys:
+        marg = F.col(k)
+        for o in keys:
+            if o != k:
+                marg = marg & ~F.col(o)
+        structs.append(
+            F.struct(
+                F.lit(names[k]).alias("filter_name"),
+                F.col(k).alias("fail"),
+                marg.alias("marginal"),
+            )
+        )
+    st = flags.select("ntok", F.explode(F.array(*structs)).alias("st"))
+    z = F.lit(0).cast("bigint")
+    return st.groupBy(F.col("st.filter_name").alias("filter_name")).agg(
+        F.coalesce(F.sum(F.when(F.col("st.fail"), 1)), z)
+        .cast("bigint")
+        .alias("docs_failing"),
+        F.coalesce(F.sum(F.when(F.col("st.fail"), F.col("ntok"))), z)
+        .cast("bigint")
+        .alias("tokens_failing"),
+        F.coalesce(F.sum(F.when(F.col("st.marginal"), 1)), z)
+        .cast("bigint")
+        .alias("marginal_docs"),
+        F.coalesce(F.sum(F.when(F.col("st.marginal"), F.col("ntok"))), z)
+        .cast("bigint")
+        .alias("marginal_tokens"),
+    )

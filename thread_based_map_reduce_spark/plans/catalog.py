@@ -249,7 +249,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 
 # Round-11 driver window, in priority order (VERDICT r10 #8): (1) ALL
-# six new r11 catalog entries first (exact-substring decontamination,
+# seven new r11 catalog entries first (exact-substring decontamination,
 # the Gopher repetition + quality rule halves, the C4 filters, the
 # curation funnel, the linkage threshold sweep); (2) the
 # changed-after-green re-proves — dup_span_coverage_exact carries the
@@ -265,7 +265,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # work touched its machinery's neighborhood); (4) the oldest-green
 # rotation — every remaining name last proved in r2/r3. Exactly 50
 # names (the driver's sample size). Hash-green but not re-proved this
-# round (lead the r12 rotation): vector_arithmetic, vocab_oov_coverage,
+# round (lead the r12 rotation): unpivot_part_metrics,
+# vector_arithmetic, vocab_oov_coverage,
 # and the r4-vintage relational tail (argmax_aggregates, array_setops,
 # basket_part_pairs, best_day_per_month, ...).
 _PINNED_FIRST = (
@@ -275,6 +276,7 @@ _PINNED_FIRST = (
     "c4_filters",
     "curation_funnel_stats",
     "record_linkage_threshold_sweep",
+    "curation_filter_ablation",
     "dup_span_coverage_exact",
     "dedup_exact_substring_spans",
     "record_linkage_customer",
@@ -318,7 +320,6 @@ _PINNED_FIRST = (
     "tpch_q20_dominant_suppliers",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "unpivot_part_metrics",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
