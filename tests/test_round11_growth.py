@@ -404,3 +404,51 @@ def test_filter_ablation_invariants(spark):
     # doc 6 uniquely fails quality (no stop words, passes everything else)
     assert rows["gopher_quality"].docs_failing == 1
     assert rows["gopher_quality"].marginal_docs == 1
+
+
+def test_decontam_scrub_text_planted(spark):
+    """The scrub must cut exactly the contaminated token ranges and
+    rejoin the rest in order — including the overlap case (two spans
+    covering one token remove it once) and the fully-contaminated doc."""
+    from thread_based_map_reduce_spark.operators.dedup import (
+        decontam_train_ivals,
+        _interval_union_coverage,  # noqa: F401
+    )
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    docs_map = _planted_decontam_docs()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in docs_map.items()], "doc_id long, text string"
+    )
+    train, ivals = decontam_train_ivals(docs, 41)
+    iv = {}
+    for r in ivals.collect():
+        iv.setdefault(r.doc_id, []).append((r.s, r.e))
+    # python reference scrub
+    want = {}
+    for d, text in docs_map.items():
+        if d % 41 == 0:
+            continue
+        toks = text.split()
+        covered = set()
+        for s, e in iv.get(d, []):
+            covered.update(range(s, e))
+        keep = [t for i, t in enumerate(toks) if i not in covered]
+        want[d] = (len(toks), len(covered), " ".join(keep))
+    # drive the registered query through a parquet round-trip fixture
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+            for r in CATALOG["decontam_scrub_text"].fn(spark, td).collect()
+        }
+    assert got == want
+    assert got[1] == (12, 12, "")  # fully contaminated -> empty
+    assert got[2][1] == 12 and got[2][2] == "a1 a2 a3"  # interior cut
+    assert got[6][1] == 0 and got[6][2] == docs_map[6]  # clean untouched

@@ -4597,17 +4597,22 @@ def span_coverage_impl(docs: DataFrame) -> DataFrame:
 from .curation import EVAL_MOD as _DECONTAM_EVAL_MOD  # noqa: E402
 
 
-def decontam_exact_spans_impl(docs: DataFrame, eval_mod: int) -> DataFrame:
-    """Per-TRAIN-doc exact contaminated-span coverage against the eval
-    split. Winnowing is doc-local, so winnowing the two splits separately
-    equals winnowing the corpus and splitting (the oracle does the
-    latter). 100 TB shape: the eval side is benchmark-sized by definition
-    — its winnowed fingerprints AND its token arrays broadcast; the only
-    corpus-sized work is one winnow pass over train, the df-capped
-    broadcast seed probe, and a doc_id-local interval union. The df cap
-    is applied on the TRAIN side (the corpus-sized hazard — eval-side
-    fan-out is bounded by the eval set itself); a production run would
-    log the capped fingerprint mass as in dedup_winnow_pairs."""
+def decontam_train_ivals(
+    docs: DataFrame, eval_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    """(train docs, DISTINCT contaminated (doc_id, s, e) token intervals
+    per train doc) — the shared front half of the coverage statistic
+    (decontam_exact_substring) and the span-cutting scrub
+    (decontam_scrub_text). Winnowing is doc-local, so winnowing the two
+    splits separately equals winnowing the corpus and splitting (the
+    oracles do the latter). 100 TB shape: the eval side is
+    benchmark-sized by definition — its winnowed fingerprints AND its
+    token arrays broadcast; the only corpus-sized work is one winnow
+    pass over train, the df-capped broadcast seed probe, and doc-local
+    post-processing. The df cap is applied on the TRAIN side (the
+    corpus-sized hazard — eval-side fan-out is bounded by the eval set
+    itself); a production run would log the capped fingerprint mass as
+    in dedup_winnow_pairs."""
     is_eval = F.col("doc_id") % eval_mod == 0
     train = docs.where(~is_eval)
     evald = docs.where(is_eval)
@@ -4649,6 +4654,13 @@ def decontam_exact_spans_impl(docs: DataFrame, eval_mod: int) -> DataFrame:
         F.col("start_a").alias("s"),
         (F.col("start_a") + F.col("span_len")).alias("e"),
     ).distinct()
+    return train, ivals
+
+
+def decontam_exact_spans_impl(docs: DataFrame, eval_mod: int) -> DataFrame:
+    """Per-TRAIN-doc exact contaminated-span coverage against the eval
+    split (see decontam_train_ivals for the machinery and scale shape)."""
+    train, ivals = decontam_train_ivals(docs, eval_mod)
     covered = _interval_union_coverage(ivals)
     ntok = train.select(
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
@@ -4782,6 +4794,97 @@ def q_decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decontam_exact_spans_impl(
         load_table(spark, sf_dir, "documents"), EVAL_MOD
+    )
+
+
+@register(
+    "decontam_scrub_text",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        {_DECONTAM_SPAN_CTES_SQL},
+        cpos AS (
+            SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos FROM divals
+        ),
+        ttok AS (
+            SELECT doc_id, t.pos AS pos, t.tok AS tok
+            FROM (
+                SELECT doc_id,
+                       unnest([{{'pos': CAST(i - 1 AS BIGINT), 'tok': w[i]}}
+                               for i in range(1, len(w) + 1)]) AS t
+                FROM toks WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+            )
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM ttok t
+            LEFT JOIN cpos c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+        ),
+        rem AS (SELECT doc_id, count(*) AS removed FROM cpos GROUP BY doc_id),
+        cln AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(tk.w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.removed, 0) AS BIGINT) AS removed_tokens,
+               coalesce(c.clean_text, '') AS clean_text
+        FROM documents d
+        JOIN toks tk ON tk.doc_id = d.doc_id
+        LEFT JOIN rem r ON r.doc_id = d.doc_id
+        LEFT JOIN cln c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % {_DECONTAM_EVAL_MOD} <> 0
+    """,
+    doc="Decontamination SCRUB — the acting half of "
+    "decontam_exact_substring (Lee et al. cut duplicated spans rather "
+    "than drop documents): every train doc is rewritten with its "
+    "eval-contaminated token spans REMOVED (clean_text = the kept "
+    "tokens rejoined single-spaced, whitespace-normalized by "
+    "definition), alongside n_tokens and removed_tokens. Overlapping "
+    "spans remove each token once (DISTINCT covered positions). 100 TB "
+    "shape: the span discovery is the broadcast-eval pass of "
+    "decontam_train_ivals; the rewrite is doc-local — covered positions "
+    "explode from the (sparse) interval table, one anti-join on "
+    "(doc_id, pos), and a doc-keyed ordered re-aggregation",
+    tags=("dedup", "text", "curation", "fingerprint"),
+)
+def q_decontam_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train, ivals = decontam_train_ivals(docs, _DECONTAM_EVAL_MOD)
+    cpos = ivals.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos"),
+    ).distinct()
+    ttok = train.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    kept = ttok.join(cpos, ["doc_id", "pos"], "left_anti")
+    cln = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    rem = cpos.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("removed")
+    )
+    ntok = train.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        ntok.join(rem, "doc_id", "left")
+        .join(cln, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("removed", F.lit(0).cast("bigint")).alias(
+                "removed_tokens"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 

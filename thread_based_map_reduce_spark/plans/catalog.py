@@ -115,8 +115,8 @@ def _load_all() -> None:
 # made ordering environment-dependent). Set
 # SPARK_GRAFT_CATALOG_ORDER=registration to disable rotation entirely and
 # get plain registration order.
-# Regenerated after CORRECTNESS_r09.json (325 hash-green names across
-# r1-r9 — the full r9 catalog; zero mismatches ever).
+# Regenerated after CORRECTNESS_r10.json (331 hash-green names across
+# r1-r10 — the full r10 catalog; zero mismatches ever).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
     "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
     "ams_f2_sketch_estimate", "ann_bruteforce_topk", "ann_lsh_bucketed",
@@ -249,7 +249,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 
 # Round-11 driver window, in priority order (VERDICT r10 #8): (1) ALL
-# seven new r11 catalog entries first (exact-substring decontamination,
+# eight new r11 catalog entries first (exact-substring decontamination,
 # the Gopher repetition + quality rule halves, the C4 filters, the
 # curation funnel, the linkage threshold sweep); (2) the
 # changed-after-green re-proves — dup_span_coverage_exact carries the
@@ -265,7 +265,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # work touched its machinery's neighborhood); (4) the oldest-green
 # rotation — every remaining name last proved in r2/r3. Exactly 50
 # names (the driver's sample size). Hash-green but not re-proved this
-# round (lead the r12 rotation): unpivot_part_metrics,
+# round (lead the r12 rotation): tpch_q9_product_profit,
+# unpivot_part_metrics,
 # vector_arithmetic, vocab_oov_coverage,
 # and the r4-vintage relational tail (argmax_aggregates, array_setops,
 # basket_part_pairs, best_day_per_month, ...).
@@ -277,6 +278,7 @@ _PINNED_FIRST = (
     "curation_funnel_stats",
     "record_linkage_threshold_sweep",
     "curation_filter_ablation",
+    "decontam_scrub_text",
     "dup_span_coverage_exact",
     "dedup_exact_substring_spans",
     "record_linkage_customer",
@@ -319,7 +321,6 @@ _PINNED_FIRST = (
     "tpch_q16_supplier_variety",
     "tpch_q20_dominant_suppliers",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
