@@ -452,3 +452,32 @@ def test_decontam_scrub_text_planted(spark):
     assert got[1] == (12, 12, "")  # fully contaminated -> empty
     assert got[2][1] == 12 and got[2][2] == "a1 a2 a3"  # interior cut
     assert got[6][1] == 0 and got[6][2] == docs_map[6]  # clean untouched
+
+
+# -- plan gates for the r11 entries --------------------------------------------
+
+
+def test_map_only_filters_have_zero_exchange(spark, sf_dir):
+    """gopher_quality_rules and c4_filters claim 'map-only at any scale'
+    — freeze it: their plans must carry no Exchange, no join, no window."""
+    from test_plans import count_nodes, plan_of
+
+    for name in ("gopher_quality_rules", "c4_filters"):
+        plan = plan_of(spark, sf_dir, name)
+        for node in ("Exchange", "Join", "Window", "CartesianProduct"):
+            assert count_nodes(plan, node) == 0, (name, node, plan)
+
+
+def test_decontam_broadcasts_only_the_eval_side(spark, sf_dir):
+    """decontam_exact_substring's corpus side must never be a broadcast
+    build: no CartesianProduct / BroadcastNestedLoopJoin, and the span
+    extension joins on the train token table stay shuffle-pinned."""
+    from test_plans import count_nodes, plan_of
+
+    plan = plan_of(spark, sf_dir, "decontam_exact_substring")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # the train-side token join is pinned SHUFFLE_HASH -> at least one
+    # ShuffledHashJoin must survive planning (it would vanish if the
+    # corpus-sized checkpoint scan ever became the broadcast candidate)
+    assert count_nodes(plan, "ShuffledHashJoin") >= 1, plan
