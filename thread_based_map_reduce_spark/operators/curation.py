@@ -1638,9 +1638,12 @@ def q_curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.min("doc_id").over(wh)).alias("s1"),
         )
     )
+    # corpus-sized flag tables: shuffle_hash pins (see
+    # gopher_repetition_impl's assembly note — the unpinned composition
+    # OOMed the 24g local JVM at the 500k-doc fixture)
     flags = (
-        canon.join(rep, "doc_id")
-        .join(qual, "doc_id")
+        canon.join(rep.hint("shuffle_hash"), "doc_id")
+        .join(qual.hint("shuffle_hash"), "doc_id")
         .select(
             "ntok",
             "s1",
@@ -1825,10 +1828,10 @@ def q_curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~(F.col("doc_id") == F.min("doc_id").over(wh))).alias("x_dedup"),
     )
     flags = (
-        canon.join(rep, "doc_id")
-        .join(qual, "doc_id")
-        .join(cov, "doc_id", "left")
-        .join(dec, "doc_id", "left")
+        canon.join(rep.hint("shuffle_hash"), "doc_id")
+        .join(qual.hint("shuffle_hash"), "doc_id")
+        .join(cov.hint("shuffle_hash"), "doc_id", "left")
+        .join(dec.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "ntok",
             "x_dedup",

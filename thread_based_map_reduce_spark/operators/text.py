@@ -2708,10 +2708,18 @@ def gopher_repetition_impl(docs: DataFrame) -> DataFrame:
         ]
     )
 
-    out = base.join(lstat, "doc_id", "left").join(pstat, "doc_id", "left")
+    # every assembly input is a CORPUS-SIZED per-doc table — pin the
+    # joins SHUFFLE_HASH so no flag/stat table ever becomes a broadcast
+    # build (measured r11: the unpinned funnel composition OOMed the
+    # 24g local JVM at the 500k-doc fixture when AQE broadcast several
+    # of these at once; doc_id-bucketed shuffle joins are the scale
+    # shape anyway)
+    out = base.join(lstat.hint("shuffle_hash"), "doc_id", "left").join(
+        pstat.hint("shuffle_hash"), "doc_id", "left"
+    )
     for t in tops:
-        out = out.join(t, "doc_id", "left")
-    out = out.join(dpiv, "doc_id", "left")
+        out = out.join(t.hint("shuffle_hash"), "doc_id", "left")
+    out = out.join(dpiv.hint("shuffle_hash"), "doc_id", "left")
 
     tc = F.nullif(F.col("total_chars").cast("double"), F.lit(0.0))
     cols = [F.col("doc_id")]
