@@ -103,6 +103,22 @@ def main() -> int:
 
     _calib_pass("/root/testdata/sf0.001")  # plan-shape warmup, untimed
     calib = [_calib_pass(sf_dir), _calib_pass(sf_dir)]
+    # CPU-bound companion probe: a fixed 64M-row hash-agg pipeline with
+    # no IO at all. The page-cache probe above cannot see host CPU
+    # steal/frequency dips (observed r11: a quiet-stamped run with the
+    # FASTEST warm scan timed the query set 1.5x slow, uniformly across
+    # trivial queries — the r6 'uniform shift = host, not code'
+    # signature). Quiet-box reference for this probe is in BASELINE.md.
+    materialize(  # untimed shape warmup
+        spark.range(1_000_000).selectExpr("bit_xor(xxhash64(id)) AS h")
+    )
+    t0 = time.perf_counter()
+    materialize(
+        spark.range(64_000_000).selectExpr(
+            "bit_xor(xxhash64(id, id + 1, id + 2)) AS h", "count(*) AS n"
+        )
+    )
+    calib_cpu = round(time.perf_counter() - t0, 3)
     cold_cache = calib[1] > 0 and calib[0] / calib[1] > 2.0
     if cold_cache:
         print(
@@ -177,6 +193,7 @@ def main() -> int:
                 "query_minmax": spread,
                 "total_r10_set": total_r10_set,
                 "calibration_sec": calib,
+                "calibration_cpu_sec": calib_cpu,
                 "cold_cache": cold_cache,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
