@@ -481,3 +481,34 @@ def test_decontam_broadcasts_only_the_eval_side(spark, sf_dir):
     # ShuffledHashJoin must survive planning (it would vanish if the
     # corpus-sized checkpoint scan ever became the broadcast candidate)
     assert count_nodes(plan, "ShuffledHashJoin") >= 1, plan
+
+
+def test_dedup_scrub_spans_keep_first(spark):
+    """Keep-first semantics: the earliest occurrence of a duplicated
+    span survives; later docs have it cut; a doc whose span matches TWO
+    earlier docs is cut exactly once."""
+    from thread_based_map_reduce_spark.plans.catalog import CATALOG, _load_all
+
+    _load_all()
+    span = " ".join(f"s{i}" for i in range(9))
+    docs_map = {
+        1: f"a1 a2 {span} a3",  # earliest occurrence: kept intact
+        2: f"b1 {span} b2",  # later: span cut
+        3: span,  # later + matches docs 1 AND 2: cut once -> empty
+        4: "u1 u2 u3 u4 u5 u6 u7 u8",  # unrelated: untouched
+    }
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in docs_map.items()],
+            "doc_id long, text string, lang string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+            for r in CATALOG["dedup_scrub_spans"].fn(spark, td).collect()
+        }
+    assert got[1] == (12, 0, docs_map[1])  # first occurrence untouched
+    assert got[2] == (11, 9, "b1 b2")
+    assert got[3] == (9, 9, "")
+    assert got[4] == (8, 0, docs_map[4])

@@ -4851,11 +4851,20 @@ def q_decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontam_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train, ivals = decontam_train_ivals(docs, _DECONTAM_EVAL_MOD)
+    return scrub_rewrite_impl(train, ivals)
+
+
+def scrub_rewrite_impl(base: DataFrame, ivals: DataFrame) -> DataFrame:
+    """Rewrite each doc of ``base`` with the token ranges in ``ivals``
+    (doc_id, s, e) removed — shared by the decontamination scrub and
+    the corpus-internal span scrub. Doc-local throughout: covered
+    positions explode from the sparse interval table, one (doc_id, pos)
+    anti-join, ordered doc-keyed re-aggregation."""
     cpos = ivals.select(
         "doc_id",
         F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos"),
     ).distinct()
-    ttok = train.select(
+    ttok = base.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
     kept = ttok.join(cpos, ["doc_id", "pos"], "left_anti")
@@ -4871,12 +4880,12 @@ def q_decontam_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = cpos.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("removed")
     )
-    ntok = train.select(
+    ntok = base.select(
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
     )
     return (
-        ntok.join(rem, "doc_id", "left")
-        .join(cln, "doc_id", "left")
+        ntok.join(rem.hint("shuffle_hash"), "doc_id", "left")
+        .join(cln.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -4886,6 +4895,84 @@ def q_decontam_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# The scrub back-half as SQL: covered positions from an ``<iv>`` CTE of
+# (doc_id, s, e), anti-joined against per-doc token positions of the
+# docs selected by ``<where>``, re-aggregated in order.
+def _scrub_sql(iv_cte: str, where: str) -> str:
+    return f"""cpos AS (
+            SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos FROM {iv_cte}
+        ),
+        ttok AS (
+            SELECT doc_id, t.pos AS pos, t.tok AS tok
+            FROM (
+                SELECT doc_id,
+                       unnest([{{'pos': CAST(i - 1 AS BIGINT), 'tok': w[i]}}
+                               for i in range(1, len(w) + 1)]) AS t
+                FROM toks {where}
+            )
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM ttok t
+            LEFT JOIN cpos c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+        ),
+        rem AS (SELECT doc_id, count(*) AS removed FROM cpos GROUP BY doc_id),
+        cln AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )"""
+
+
+@register(
+    "dedup_scrub_spans",
+    oracle=f"""
+        WITH {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL},
+        {_SPAN_CTES_SQL},
+        sivals AS (
+            -- keep-first rule: every duplicated span keeps its earliest
+            -- occurrence; wspans carries doc_a < doc_b, so the doc_b-side
+            -- interval is always the one with an earlier twin
+            SELECT DISTINCT doc_b AS doc_id,
+                   start_b AS s, start_b + span_len AS e
+            FROM wspans
+        ),
+        {_scrub_sql('sivals', '')}
+        SELECT d.doc_id,
+               CAST(len(tk.w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.removed, 0) AS BIGINT) AS removed_tokens,
+               coalesce(c.clean_text, '') AS clean_text
+        FROM documents d
+        JOIN toks tk ON tk.doc_id = d.doc_id
+        LEFT JOIN rem r ON r.doc_id = d.doc_id
+        LEFT JOIN cln c ON c.doc_id = d.doc_id
+    """,
+    doc="Corpus-internal exact-substring dedup SCRUB — the acting half of "
+    "dedup_exact_substring_spans, with Lee et al.'s keep-first rule: "
+    "every maximal duplicated span keeps its earliest occurrence "
+    "(lowest doc_id) and later occurrences are cut; each doc is "
+    "rewritten with its cut ranges removed (clean_text = kept tokens "
+    "rejoined single-spaced). The pairwise span table gives the rule "
+    "directly: doc_a < doc_b on every row, so exactly the doc_b-side "
+    "intervals are removable — and a doc whose span also appears in two "
+    "earlier docs is cut once (DISTINCT covered positions). 100 TB "
+    "shape: span discovery is the df-capped bucketed seed join; the "
+    "rewrite is doc-local (sparse interval explode, one (doc_id, pos) "
+    "anti-join, ordered doc-keyed re-aggregation)",
+    tags=("dedup", "text", "fingerprint", "curation"),
+)
+def q_dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = exact_substring_spans_impl(docs)
+    sivals = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len")).alias("e"),
+    ).distinct()
+    return scrub_rewrite_impl(docs, sivals)
 
 
 # -- blocking-family recall/precision eval (round 9) --------------------------
