@@ -311,6 +311,12 @@ def q_streaming_stream_join_runtime(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _gq_oracle() -> str:
+    from .text import GQ_ORACLE_SQL
+
+    return GQ_ORACLE_SQL
+
+
 def _distinct_sig_oracle() -> str:
     from .dedup import _HASHED_SQL, _SHINGLES_SQL, _minhash_sig_sql
 
@@ -483,4 +489,33 @@ def q_streaming_outer_join_runtime(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("s_us").isNotNull(), 1).otherwise(0).cast("int")
             .alias("matched"),
         )
+    )
+
+
+@register(
+    "streaming_quality_filter_runtime",
+    oracle=_gq_oracle(),
+    doc="Gopher quality rules executed IN-STREAM, end-to-end (the 12th "
+    "runtime entry): the identical per-row expression tree of "
+    "gopher_quality_rules (word-count/mean-length bounds, symbol ratio, "
+    "bullet/ellipsis line fractions, alpha-word fraction, stop-word "
+    "gate) over a maxFilesPerTrigger=1 micro-batch stream of the "
+    "documents table, append mode. The filter is STATELESS — no "
+    "aggregation, no state store, no watermark (nothing can be late for "
+    "a map) — so the emitted rows are exactly the batch twin's, proving "
+    "the curation family's 'streams over any corpus partitioning' claim "
+    "in the real Structured Streaming runtime: production ingest scores "
+    "quality at arrival time. Oracle is the SAME SQL the batch entry "
+    "hashes against.",
+    tags=("streaming", "runtime", "text", "curation", "quality"),
+)
+def q_streaming_quality_filter_runtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import quality_filter_stream
+
+    return run_stream_to_memory(
+        quality_filter_stream(spark, sf_dir),
+        "tbmr_streaming_quality_filter_runtime",
+        "append",
     )

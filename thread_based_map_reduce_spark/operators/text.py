@@ -2972,9 +2972,9 @@ _GQ_PASS_SQL = f"""(n_words >= {GOPHER_MIN_WORDS}
                 AND stop_hits >= {GOPHER_MIN_STOP_HITS})"""
 
 
-@register(
-    "gopher_quality_rules",
-    oracle=f"""
+# Full quality oracle, shared with the streaming-runtime twin (the
+# filter is per-row column math, so the stream emits the batch result).
+GQ_ORACLE_SQL = f"""
         WITH stat AS (
             {_GQ_STAT_SQL}
         )
@@ -2989,7 +2989,12 @@ _GQ_PASS_SQL = f"""(n_words >= {GOPHER_MIN_WORDS}
                {_GQ_PASS_SQL}
                    AS passes_gopher_quality
         FROM stat
-    """,
+    """
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=GQ_ORACLE_SQL,
     doc="Gopher quality rules, the non-repetition half (Rae et al. 2021 "
     "Table A1): per-doc word count bounds, mean word length bounds, "
     "symbol-to-word ratio ('#' and ellipses), bullet-start and "

@@ -249,7 +249,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 
 # Round-11 driver window, in priority order (VERDICT r10 #8): (1) ALL
-# nine new r11 catalog entries first (exact-substring decontamination,
+# ten new r11 catalog entries first (exact-substring decontamination,
 # the Gopher repetition + quality rule halves, the C4 filters, the
 # curation funnel, the linkage threshold sweep); (2) the
 # changed-after-green re-proves — dup_span_coverage_exact carries the
@@ -265,7 +265,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # work touched its machinery's neighborhood); (4) the oldest-green
 # rotation — every remaining name last proved in r2/r3. Exactly 50
 # names (the driver's sample size). Hash-green but not re-proved this
-# round (lead the r12 rotation): tpch_q8_market_share,
+# round (lead the r12 rotation): tpch_q20_dominant_suppliers,
+# tpch_q8_market_share,
 # tpch_q9_product_profit,
 # unpivot_part_metrics,
 # vector_arithmetic, vocab_oov_coverage,
@@ -281,6 +282,7 @@ _PINNED_FIRST = (
     "curation_filter_ablation",
     "decontam_scrub_text",
     "dedup_scrub_spans",
+    "streaming_quality_filter_runtime",
     "dup_span_coverage_exact",
     "dedup_exact_substring_spans",
     "record_linkage_customer",
@@ -321,7 +323,6 @@ _PINNED_FIRST = (
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_variety",
-    "tpch_q20_dominant_suppliers",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 

@@ -504,3 +504,25 @@ def purchase_signup_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFr
             F.unix_micros("s_ts").alias("s_us"),
         )
     )
+
+
+def quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules applied IN-STREAM (the 12th runtime): the
+    filter is pure per-row column math (tokens/lines arrays,
+    transform/filter/list-intersect — zero aggregation, zero state), so
+    the identical `gopher_quality_impl` expression tree runs unchanged
+    on the micro-batch stream and the append-mode emission is exactly
+    the batch result per arriving file. This makes the curation family's
+    'streams over any corpus partitioning' claim literal: a production
+    ingest pipeline scores quality at arrival time with no state store
+    and no watermark (nothing can be late for a stateless map)."""
+    from ..operators.text import gopher_quality_impl
+
+    stage = _staging_dir(sf_dir, "documents")
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return gopher_quality_impl(raw)
