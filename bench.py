@@ -44,6 +44,9 @@ _R10_SET = frozenset((
     "decontam_eval_overlap", "dup_span_fraction", "ann_bruteforce_topk",
     "text_token_stats", "zorder_pruning_stats",
 ))
+# The 22-query set BENCH_r11 timed (gopher_repetition_rules joined in
+# round 12, VERDICT r11 #5) — same continuity rule.
+_R11_SET = _R10_SET | {"dedup_exact_substring_spans"}
 
 
 def main() -> int:
@@ -64,11 +67,27 @@ def main() -> int:
     spark = get_spark("tbmr-bench")
 
     # warmup: spin up executors, codegen, and the parquet reader path on the
-    # smallest scale factor so first-query timings aren't JVM startup
+    # smallest scale factor so first-query timings aren't JVM startup.
+    # The warmup dir is derived from sf_dir's PARENT (ADVICE r11: a
+    # hardcoded /root/testdata/sf0.001 silently no-ops when that fixture
+    # tree is absent, and calibration pass 1 then absorbs plan-compile
+    # time); fall back to sf_dir itself when no sibling sf0.001 exists.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(warm_dir, "*.parquet")):
+        print(
+            f"WARNING: warmup dir {warm_dir} matches no parquet files; "
+            "codegen warmup is skipped and calibration pass 1 will absorb "
+            "plan-compile time.",
+            file=sys.stderr,
+        )
     materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
     try:
         warm = CATALOG["charcount"].fn
-        materialize(warm(spark, "/root/testdata/sf0.001"))
+        materialize(warm(spark, warm_dir))
     except Exception:
         pass
 
@@ -85,8 +104,6 @@ def main() -> int:
     # pass1/pass2 ratio > 2 marks the artifact cold_cache=true. A plan-
     # shape warmup on the tiny sf0.001 dir precedes the timed passes so
     # codegen lands in neither (measured ~0.3 s otherwise).
-    import glob as _glob
-
     def _calib_pass(d: str) -> float:
         # xxhash64(*) over every column defeats column pruning (a bare
         # count(*) would read only footers and warm nothing); load_table
@@ -101,7 +118,7 @@ def main() -> int:
             )
         return round(time.perf_counter() - t0, 3)
 
-    _calib_pass("/root/testdata/sf0.001")  # plan-shape warmup, untimed
+    _calib_pass(warm_dir)  # plan-shape warmup, untimed
     calib = [_calib_pass(sf_dir), _calib_pass(sf_dir)]
     # CPU-bound companion probe: a fixed 64M-row hash-agg pipeline with
     # no IO at all. The page-cache probe above cannot see host CPU
@@ -119,6 +136,44 @@ def main() -> int:
         )
     )
     calib_cpu = round(time.perf_counter() - t0, 3)
+    # Write-path probe (VERDICT r11 #1): BENCH_r11 read 4-14x inflation
+    # concentrated in shuffle/checkpoint-heavy queries while the scan
+    # probe, the CPU probe, AND loadavg all stamped healthy — the one
+    # resource every probe above is blind to is the WRITE path of the
+    # directory Spark spills shuffle and checkpoint blocks into. Probe =
+    # write + fsync ~100 MB of incompressible parquet into the actual
+    # spark.local.dir (the same filesystem those blocks hit), via the
+    # same Spark parquet writer the engine uses; plan shape pre-warmed so
+    # codegen lands outside the timing. Quiet-box reference in
+    # BASELINE.md.
+    import shutil
+
+    local_dir = spark.sparkContext.getConf().get(
+        "spark.local.dir", "/tmp"
+    ).split(",")[0]
+    probe_dir = os.path.join(local_dir, "tbmr-bench-write-probe")
+
+    def _write_probe(n_rows: int) -> float:
+        # xxhash64 values are incompressible, so parquet size ~= 16 B/row
+        df = spark.range(n_rows).selectExpr(
+            "xxhash64(id) AS a", "xxhash64(id + 1) AS b"
+        )
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(probe_dir)
+        for root, _dirs, files in os.walk(probe_dir):
+            for fn in files:
+                fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        _write_probe(100_000)  # untimed shape warmup (~1.6 MB)
+        calib_write = _write_probe(6_500_000)  # ~104 MB
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
     cold_cache = calib[1] > 0 and calib[0] / calib[1] > 2.0
     if cold_cache:
         print(
@@ -155,27 +210,42 @@ def main() -> int:
     total_r10_set = round(
         sum(t for n, t in timings.items() if n in _R10_SET), 3
     )
+    total_r11_set = round(
+        sum(t for n, t in timings.items() if n in _R11_SET), 3
+    )
 
-    # Environment stamps: host load (1m/5m/15m) before and after the run.
-    # The r4/r6 drift investigations both traced disjoint-spread timing
-    # moves to host iowait, not code — recording the load in the artifact
-    # itself makes that call possible from the JSON alone. r6 closed the
-    # loop the hard way (BENCH_r06: start load 1.90 on a box whose quiet
-    # baseline is 0.03, +0.4-0.7 s uniform inflation on untouched trivial
-    # queries); now the artifact SAYS so instead of requiring forensics:
-    # a pre-run 1-minute load above the threshold marks the JSON
-    # contended=true and warns on stderr. Read a contended artifact
-    # against BASELINE.md's quiet-box record, not at face value.
-    contended_threshold = float(
+    # Environment stamps. VERDICT r11 #1: the 1-minute loadavg both
+    # over-fires (stale average from a just-finished suite stamped the
+    # judge's quiet 23.7 s run contended) and under-fires (r11's 79.7 s
+    # write-contended artifact stamped healthy on every signal), so the
+    # `contended` verdict is now derived from the three MEASURED probes —
+    # warm scan (read path), calib_cpu (CPU steal/frequency), calib_write
+    # (shuffle/checkpoint write path) — each against its quiet-box
+    # reference from BASELINE.md. Loadavg is still recorded (and exposed
+    # as contended_loadavg) for history, but no longer decides.
+    cpu_ref = float(os.environ.get("SPARK_GRAFT_BENCH_CPU_REF", "0.45"))
+    write_ref = float(os.environ.get("SPARK_GRAFT_BENCH_WRITE_REF", "0.6"))
+    scan_ref = float(os.environ.get("SPARK_GRAFT_BENCH_SCAN_REF", "3.5"))
+    probe_verdicts = {
+        # warm-scan ref is sf0.1-specific (it scales with data volume);
+        # at other scale factors the read-path signal abstains
+        "scan": (sf == 0.1 and calib[1] > 2.0 * scan_ref),
+        "cpu": calib_cpu > 1.5 * cpu_ref,
+        "write": calib_write > 3.0 * write_ref,
+    }
+    contended = any(probe_verdicts.values())
+    contended_loadavg = load_start[0] > float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "0.5")
     )
-    contended = load_start[0] > contended_threshold
     if contended:
+        fired = ", ".join(k for k, v in probe_verdicts.items() if v)
         print(
-            f"WARNING: bench started on a contended box (1m load "
-            f"{load_start[0]} > {contended_threshold}); timings will be "
-            "inflated by external load — artifact marked contended=true. "
-            "See BASELINE.md 'Reading a contended artifact'.",
+            f"WARNING: calibration probes ({fired}) read far above the "
+            f"quiet-box references (scan {calib[1]}/{scan_ref} s, cpu "
+            f"{calib_cpu}/{cpu_ref} s, write {calib_write}/{write_ref} s); "
+            "timings will be inflated by external load — artifact marked "
+            "contended=true. See BASELINE.md 'Reading a contended "
+            "artifact'.",
             file=sys.stderr,
         )
     load_end = [round(x, 2) for x in os.getloadavg()]
@@ -192,12 +262,16 @@ def main() -> int:
                 "reps": reps,
                 "query_minmax": spread,
                 "total_r10_set": total_r10_set,
+                "total_r11_set": total_r11_set,
                 "calibration_sec": calib,
                 "calibration_cpu_sec": calib_cpu,
+                "calibration_write_sec": calib_write,
                 "cold_cache": cold_cache,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
                 "contended": contended,
+                "contended_probes": probe_verdicts,
+                "contended_loadavg": contended_loadavg,
             }
         )
     )

@@ -2902,6 +2902,10 @@ def _gopher_oracle_sql() -> str:
     "checkpointed token table; the filter streams over any corpus "
     "partitioning with no cross-doc shuffle",
     tags=("text", "curation"),
+    # VERDICT r11 #5: at ~8 s (sf0.1) this is the heaviest recommended-path
+    # operator — promoted into the headline set so the driver's bench
+    # artifact guards it round-over-round.
+    bench=True,
 )
 def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_impl(load_table(spark, sf_dir, "documents"))

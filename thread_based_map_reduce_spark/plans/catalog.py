@@ -117,6 +117,7 @@ def _load_all() -> None:
 # get plain registration order.
 # Regenerated after CORRECTNESS_r10.json (331 hash-green names across
 # r1-r10 — the full r10 catalog; zero mismatches ever).
+# 341 driver-verified names
 DRIVER_VERIFIED: frozenset[str] = frozenset({
     "ab_test_zstat", "acf_hourly_correlogram", "agg_salted_skew",
     "ams_f2_sketch_estimate", "ann_bruteforce_topk", "ann_lsh_bucketed",
@@ -127,27 +128,30 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "best_day_per_month", "bigram_nll_quality", "bitwise_ops",
     "bloom_filter_join_stats", "bm25_retrieval_topk", "bpe_apply_encode",
     "bpe_pair_merge_topk", "bpe_train_merges", "bucketed_join_revenue",
-    "case_banding", "ccnet_perplexity_buckets", "cdc_chunk_stats",
-    "cdc_merge_apply", "centroid_per_label", "char_trigram_profile",
-    "charcount", "chi2_lang_source_independence", "churn_label_stats",
-    "cluster_quality_db_index", "cogroup_user_activity",
-    "cohort_retention_matrix", "collect_sorted", "compaction_plan_stats",
-    "conditional_aggregates", "consistent_hash_rebalance",
-    "corpus_curation_stats", "correlated_min_subquery",
-    "countmin_topk_estimate", "cross_join_bounded", "cube_counts",
-    "cumulative_revenue_share", "curation_pipeline_v2",
-    "curriculum_manifest", "customer_ltv_deciles",
+    "c4_filters", "case_banding", "ccnet_perplexity_buckets",
+    "cdc_chunk_stats", "cdc_merge_apply", "centroid_per_label",
+    "char_trigram_profile", "charcount", "chi2_lang_source_independence",
+    "churn_label_stats", "cluster_quality_db_index",
+    "cogroup_user_activity", "cohort_retention_matrix", "collect_sorted",
+    "compaction_plan_stats", "conditional_aggregates",
+    "consistent_hash_rebalance", "corpus_curation_stats",
+    "correlated_min_subquery", "countmin_topk_estimate",
+    "cross_join_bounded", "cube_counts", "cumulative_revenue_share",
+    "curation_filter_ablation", "curation_funnel_stats",
+    "curation_pipeline_v2", "curriculum_manifest", "customer_ltv_deciles",
     "date_interval_arithmetic", "dbscan_lsh_clusters",
     "decision_stump_train", "decontam_eval_overlap",
+    "decontam_exact_substring", "decontam_scrub_text",
     "dedup_blocking_recall_eval", "dedup_canonical_map", "dedup_clusters",
     "dedup_clusters_twostar", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_exact", "dedup_exact_substring_spans",
     "dedup_graph_triangles", "dedup_incremental_e2e",
     "dedup_incremental_pairs", "dedup_jaccard_blocked", "dedup_keep_best",
     "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_simhash",
-    "dedup_simhash_hamming_pairs", "dedup_sorted_neighborhood",
-    "dedup_winnow_pairs", "detok_fidelity_stats", "discount_effect_by_band",
+    "dedup_normalized", "dedup_prefix_filter_pairs", "dedup_scrub_spans",
+    "dedup_simhash", "dedup_simhash_hamming_pairs",
+    "dedup_sorted_neighborhood", "dedup_winnow_pairs",
+    "detok_fidelity_stats", "discount_effect_by_band",
     "distinct_counts_exact", "distinct_pairs", "doc_char_entropy",
     "doc_fingerprint", "domain_mix_weights", "dq_audit_stats",
     "dsir_importance_select", "dup_graph_bfs_hops",
@@ -164,7 +168,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "events_sliding_2h", "events_tumbling_hour", "exists_correlated",
     "explode_outer_rare_tokens", "filter_pushdown", "forward_fill_values",
     "functional_dependency_audit", "funnel_attribution_last_touch",
-    "funnel_signup_purchase", "group_kfold_cv", "grouping_sets",
+    "funnel_signup_purchase", "gopher_quality_rules",
+    "gopher_repetition_rules", "group_kfold_cv", "grouping_sets",
     "hapax_rate_per_lang", "hard_negative_mining", "having_filter",
     "heldout_backoff_nll", "hilbert_pruning_stats", "hll_distinct_estimate",
     "inline_struct_explode", "inverted_index_stats",
@@ -202,38 +207,38 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "profile_documents", "projection", "psi_drift_stats", "rag_chunk_stats",
     "range_join_clicks", "range_partition_balance", "ratio_to_report",
     "record_linkage_customer", "record_linkage_em_pairs",
-    "record_linkage_em_weights", "recursive_month_spine", "regex_functions",
-    "reservoir_sample_per_key", "retention_weekly", "returns_rate_by_month",
-    "revenue_gini_by_nation", "rfm_segments", "rolling_reach_7d",
-    "rollup_qty", "sample_hash_deterministic", "sample_per_group",
-    "scalar_date", "scalar_math", "scalar_string", "scd_intervals",
-    "seasonal_hod_profile", "segmented_trend_breakpoint",
-    "semantic_dedup_stats", "session_window_agg", "sessionize",
-    "set_except", "set_intersect", "set_union_distinct",
-    "setop_all_variants", "shard_assignment_stats",
+    "record_linkage_em_weights", "record_linkage_threshold_sweep",
+    "recursive_month_spine", "regex_functions", "reservoir_sample_per_key",
+    "retention_weekly", "returns_rate_by_month", "revenue_gini_by_nation",
+    "rfm_segments", "rolling_reach_7d", "rollup_qty",
+    "sample_hash_deterministic", "sample_per_group", "scalar_date",
+    "scalar_math", "scalar_string", "scd_intervals", "seasonal_hod_profile",
+    "segmented_trend_breakpoint", "semantic_dedup_stats",
+    "session_window_agg", "sessionize", "set_except", "set_intersect",
+    "set_union_distinct", "setop_all_variants", "shard_assignment_stats",
     "sigstore_append_compact", "skyline_pareto_parts", "source_lang_kl",
     "source_lang_quality_matrix", "stats_agg", "stratified_token_quantiles",
     "streaming_dedup_runtime", "streaming_minhash_dedup_runtime",
-    "streaming_outer_join_runtime", "streaming_session_runtime",
-    "streaming_sliding_runtime", "streaming_stateful_runtime",
-    "streaming_static_join_runtime", "streaming_stream_join_runtime",
-    "streaming_timer_ttl_runtime", "streaming_tumbling_runtime",
-    "streaming_upsert_runtime", "string_functions_2", "subquery_scalar",
-    "temperature_mix_allocation", "text_embedding_alignment",
-    "text_quality_score", "text_repetition_ratio", "text_token_stats",
-    "textrank_keywords", "tfidf_top_terms", "theil_sen_trend",
-    "theta_sketch_setops", "timeseries_gap_fill", "token_pmi_pairs",
-    "token_regex_count", "tokenizer_fertility_by_lang",
-    "top_bigrams_per_lang", "topk_global", "topk_with_ties", "tpch_q1",
-    "tpch_q10_returned_customers", "tpch_q11_value_concentration",
-    "tpch_q12_shipmode", "tpch_q13_order_distribution",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q20_dominant_suppliers", "tpch_q21_waiting_orders",
-    "tpch_q22_idle_customers", "tpch_q3_toporders",
-    "tpch_q4_priority_check", "tpch_q5_region_revenue", "tpch_q6_revenue",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "streaming_outer_join_runtime", "streaming_quality_filter_runtime",
+    "streaming_session_runtime", "streaming_sliding_runtime",
+    "streaming_stateful_runtime", "streaming_static_join_runtime",
+    "streaming_stream_join_runtime", "streaming_timer_ttl_runtime",
+    "streaming_tumbling_runtime", "streaming_upsert_runtime",
+    "string_functions_2", "subquery_scalar", "temperature_mix_allocation",
+    "text_embedding_alignment", "text_quality_score",
+    "text_repetition_ratio", "text_token_stats", "textrank_keywords",
+    "tfidf_top_terms", "theil_sen_trend", "theta_sketch_setops",
+    "timeseries_gap_fill", "token_pmi_pairs", "token_regex_count",
+    "tokenizer_fertility_by_lang", "top_bigrams_per_lang", "topk_global",
+    "topk_with_ties", "tpch_q1", "tpch_q10_returned_customers",
+    "tpch_q11_value_concentration", "tpch_q12_shipmode",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_orders", "tpch_q22_idle_customers",
+    "tpch_q3_toporders", "tpch_q4_priority_check", "tpch_q5_region_revenue",
+    "tpch_q6_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_product_profit", "train_val_test_split_stats",
     "trend_slope_per_type", "trending_per_hour", "udtf_tokenize",
     "unigram_nll_quality", "union_all_tagged", "union_by_name_missing",
@@ -273,7 +278,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # and the r4-vintage relational tail (argmax_aggregates, array_setops,
 # basket_part_pairs, best_day_per_month, ...).
 _PINNED_FIRST = (
-"decontam_exact_substring",
+    "decontam_exact_substring",
     "gopher_repetition_rules",
     "gopher_quality_rules",
     "c4_filters",
