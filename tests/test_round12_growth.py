@@ -1,0 +1,277 @@
+"""Round-12 growth tests.
+
+1. dedup_removal_sweep (VERDICT r11 #2): on a planted corpus the three
+   dedup recipes' removal sets must MEASURABLY DISAGREE — exact-hash
+   removes only the identical copy; exact-substring spans additionally
+   removes the long-shared-span doc the overall-similarity methods
+   cannot see (pair jaccard < 0.5); MinHash-LSH additionally removes
+   the block-permuted doc whose shared runs are all shorter than the
+   span threshold. The matched-budget columns must agree across
+   methods on this fixture (budget = 1 pair, and every method's
+   top-scored pair is the identical-copy pair).
+
+2. c4_sentence_span_dedup (VERDICT r11 #3): parity against an
+   independent pure-Python reference on a planted punctuated corpus,
+   including a WITHIN-doc repeated span and overlapping removed spans.
+
+3. curation_doc_flags (VERDICT r11 #4): the five-flag table is computed
+   once per (session, sf_dir) — repeated calls return the same
+   checkpointed frame, and funnel + ablation both run off it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from thread_based_map_reduce_spark.operators.curation import (
+    c4_sentence_span_dedup_impl,
+    curation_doc_flags,
+)
+from thread_based_map_reduce_spark.operators.dedup import (
+    _SPAN_MIN_TOKENS,
+    JACCARD_THRESHOLD,
+)
+from thread_based_map_reduce_spark.plans.catalog import CATALOG, queries
+
+queries()  # populate CATALOG
+
+
+# -- 1. dedup_removal_sweep ---------------------------------------------------
+
+_SHARED_SPAN = " ".join(f"s{i}" for i in range(8))  # 8 tokens >= threshold
+
+
+def _sweep_corpus() -> dict[int, str]:
+    a = " ".join(f"a{i}" for i in range(12))
+    b_mid = _SHARED_SPAN
+    b1 = " ".join(f"u{i}" for i in range(12)) + f" {b_mid} " + " ".join(
+        f"v{i}" for i in range(12)
+    )
+    b2 = " ".join(f"x{i}" for i in range(12)) + f" {b_mid} " + " ".join(
+        f"y{i}" for i in range(12)
+    )
+    # C2 = C1 with 6-token blocks pairwise swapped: every shared
+    # contiguous run is <= 6 tokens (< _SPAN_MIN_TOKENS = 7) so the span
+    # method is blind, while interior trigram shingles keep jaccard
+    # 16/28 ~ 0.571 >= 0.5 so LSH verify fires. Token names are chosen
+    # (offline search over the real md5/minhash pipeline) so at least
+    # one LSH band actually collides at jaccard 0.571 — banding is
+    # probabilistic per fixture even though it is deterministic per run.
+    blocks = [[f"c0x{j}" for j in range(i * 6, i * 6 + 6)] for i in range(4)]
+    c1 = " ".join(t for blk in blocks for t in blk)
+    c2 = " ".join(
+        t for blk in (blocks[1], blocks[0], blocks[3], blocks[2]) for t in blk
+    )
+    return {
+        1: a,
+        2: a,  # exact copy -> every method finds it
+        3: b1,
+        4: b2,  # shared 8-token span, jaccard << 0.5 -> spans only
+        5: c1,
+        6: c2,  # jaccard >= 0.5, runs <= 6 -> minhash only
+        7: " ".join(f"n{i}" for i in range(15)),  # singleton noise
+    }
+
+
+@pytest.fixture(scope="module")
+def sweep_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sweep_sf"))
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in _sweep_corpus().items()], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_sweep_fixture_geometry():
+    """The fixture's similarity geometry must actually hold, or the
+    method-disagreement assertions below test nothing."""
+    corpus = _sweep_corpus()
+
+    def trigrams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jac(x, y):
+        a, b = trigrams(x), trigrams(y)
+        return len(a & b) / len(a | b)
+
+    def max_shared_run(x, y):
+        wx, wy = x.split(), y.split()
+        best = 0
+        for i in range(len(wx)):
+            for j in range(len(wy)):
+                k = 0
+                while (
+                    i + k < len(wx) and j + k < len(wy) and wx[i + k] == wy[j + k]
+                ):
+                    k += 1
+                best = max(best, k)
+        return best
+
+    assert jac(corpus[3], corpus[4]) < JACCARD_THRESHOLD
+    assert max_shared_run(corpus[3], corpus[4]) >= _SPAN_MIN_TOKENS
+    assert jac(corpus[5], corpus[6]) >= JACCARD_THRESHOLD
+    assert max_shared_run(corpus[5], corpus[6]) < _SPAN_MIN_TOKENS
+
+
+def test_sweep_methods_disagree(spark, sweep_dir):
+    rows = {
+        r.method: r
+        for r in CATALOG["dedup_removal_sweep"].fn(spark, sweep_dir).collect()
+    }
+    assert set(rows) == {"exact_hash", "exact_substring", "minhash_lsh"}
+    ex, xs, mh = (
+        rows["exact_hash"],
+        rows["exact_substring"],
+        rows["minhash_lsh"],
+    )
+    # exact: only the identical copy (doc 2, 12 tokens)
+    assert (ex.n_pairs, ex.docs_removed, ex.tokens_removed) == (1, 1, 12)
+    # spans: identical copy + the shared-span doc (doc 4, 32 tokens)
+    assert (xs.n_pairs, xs.docs_removed, xs.tokens_removed) == (2, 2, 44)
+    # minhash: identical copy + the block-permuted doc (doc 6, 24 tokens)
+    assert (mh.n_pairs, mh.docs_removed, mh.tokens_removed) == (2, 2, 36)
+    # three pairwise-different removal footprints
+    assert len({(r.docs_removed, r.tokens_removed) for r in rows.values()}) == 3
+    # matched budget = 1 (exact's spend); every method's top-scored pair
+    # is the identical-copy pair, so at-budget removal converges
+    for r in rows.values():
+        assert r.n_budget == 1
+        assert (r.docs_removed_at_budget, r.tokens_removed_at_budget) == (1, 12)
+
+
+# -- 2. c4_sentence_span_dedup ------------------------------------------------
+
+
+def _c4_corpus() -> dict[int, str]:
+    return {
+        1: "Alpha one two three four. Beta two! Gamma three? Delta four. Epsilon five.",
+        # shares the (Beta two, Gamma three, Delta four) span with doc 1
+        2: "Intro line. Beta two! Gamma three? Delta four. Outro line.",
+        # WITHIN-doc duplicate: the 3-sentence block repeats, so the
+        # second occurrence's positions {3,4,5} are removed
+        3: "S one. S two. S three. S one. S two. S three.",
+        4: "No terminal punctuation here at all",
+        5: "Short. Too short.",
+        6: "",
+    }
+
+
+def _c4_reference(corpus: dict[int, str]):
+    """Independent pure-Python keep-first reference."""
+    spans: dict[str, list[tuple[int, int]]] = {}
+    sent_map: dict[int, list[str]] = {}
+    for d, t in corpus.items():
+        sl = [s.strip() for s in re.split(r"[.!?]+", t)]
+        sl = [s for s in sl if s]
+        sent_map[d] = sl
+        for i in range(len(sl) - 2):
+            spans.setdefault(" ".join(sl[i : i + 3]), []).append((d, i))
+    dup = {d: 0 for d in corpus}
+    removed = {d: set() for d in corpus}
+    for occs in spans.values():
+        occs.sort()
+        for d, i in occs[1:]:
+            dup[d] += 1
+            removed[d].update((i, i + 1, i + 2))
+    return {
+        d: (
+            len(sent_map[d]),
+            max(len(sent_map[d]) - 2, 0),
+            dup[d],
+            len(removed[d]),
+            len(sent_map[d]) - len(removed[d]),
+        )
+        for d in corpus
+    }
+
+
+def test_c4_span_dedup_parity_with_python_reference(spark):
+    corpus = _c4_corpus()
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_sentences,
+            r.n_spans,
+            r.n_dup_span_occurrences,
+            r.n_sentences_removed,
+            r.n_sentences_remaining,
+        )
+        for r in c4_sentence_span_dedup_impl(docs).collect()
+    }
+    assert got == _c4_reference(corpus)
+    # spot-check the planted structure so the reference itself is honest:
+    # doc 2's span (pos 1) loses to doc 1's (keep-first by doc_id), so
+    # doc 2 drops sentences {1,2,3}; doc 3's repeat drops {3,4,5}
+    assert got[2][3] == 3
+    assert got[3] == (6, 4, 1, 3, 3)
+    assert got[1][3] == 0  # first occurrence everywhere -> nothing removed
+    assert got[4] == (1, 0, 0, 0, 1)
+    assert got[6] == (0, 0, 0, 0, 0)
+
+
+def test_c4_span_dedup_overlapping_removals_count_once(spark):
+    """Two removed occurrences whose 3-sentence windows OVERLAP within
+    one doc must union their positions, not double-count."""
+    base = "A aa. B bb. C cc. D dd."
+    corpus = {
+        1: base,  # keeper of both spans
+        # doc 2 repeats doc 1's sentence stream, so spans at pos 0 and
+        # pos 1 are BOTH duplicates; their windows {0,1,2} and {1,2,3}
+        # overlap -> removed = 4 positions, not 6
+        2: base,
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in c4_sentence_span_dedup_impl(docs).collect()}
+    assert got[1].n_sentences_removed == 0
+    assert got[2].n_dup_span_occurrences == 2
+    assert got[2].n_sentences_removed == 4
+    assert got[2].n_sentences_remaining == 0
+
+
+# -- 3. curation_doc_flags shared materialization -----------------------------
+
+
+def test_doc_flags_computed_once_and_feed_both_reports(spark, sf_dir):
+    f1 = curation_doc_flags(spark, sf_dir)
+    f2 = curation_doc_flags(spark, sf_dir)
+    assert f1 is f2, "flag table must be memoized per (session, sf_dir)"
+    assert set(f1.columns) == {
+        "doc_id",
+        "ntok",
+        "x_dedup",
+        "x_rep",
+        "x_qual",
+        "x_span",
+        "x_dec",
+    }
+    funnel = {
+        r.stage_name: r
+        for r in CATALOG["curation_funnel_stats"].fn(spark, sf_dir).collect()
+    }
+    ablation = {
+        r.filter_name: r
+        for r in CATALOG["curation_filter_ablation"].fn(spark, sf_dir).collect()
+    }
+    n_docs = f1.count()
+    assert funnel["raw"].docs_surviving == n_docs
+    # funnel stages are monotone non-increasing
+    by_stage = sorted(funnel.values(), key=lambda r: r.stage)
+    for prev, cur in zip(by_stage, by_stage[1:]):
+        assert cur.docs_surviving <= prev.docs_surviving
+        assert cur.tokens_surviving <= prev.tokens_surviving
+    # ablation's independent-fail counts agree with the flag table
+    fails = f1.groupBy().sum("ntok").collect()  # force materialization path
+    assert fails is not None
+    import pyspark.sql.functions as F
+
+    x_dedup_docs = f1.where(F.col("x_dedup")).count()
+    assert ablation["exact_dedup"].docs_failing == x_dedup_docs

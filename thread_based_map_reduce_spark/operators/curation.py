@@ -1433,7 +1433,12 @@ def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # produced the C4 corpus. Conventions pinned for engine parity: lines =
 # newline splits; a KEPT line ends in terminal punctuation (. ! ? ")
 # AND has >= 5 whitespace words; sentences = terminal-mark count over
-# the kept lines; the bad-word list is a deterministic 3-entry stand-in
+# the kept lines — counted as raw '.'/'!'/'?' CHARACTER occurrences, so
+# an ellipsis '...' counts as 3 sentences and a kept line ending only
+# in '"' counts 0 (ADVICE r11: pinned convention, drifting from C4's
+# linguistic sentence segmentation the same way the raw-char choice is
+# pinned; c4_sentence_span_dedup splits on runs instead, the other
+# defensible reading); the bad-word list is a deterministic 3-entry stand-in
 # for the published (very large) blocklist — the mechanism, not the
 # list, is the operator. Page gates: >= 3 sentences, no "lorem ipsum",
 # no '{', no bad word. The corpus-wide three-sentence-span dedup C4 also
@@ -1550,6 +1555,177 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- C4 three-sentence-span corpus dedup (round 12) -----------------------------
+#
+# VERDICT r11 #3 / SURVEY r12 candidate (d): the corpus-wide half of the
+# C4 methodology that c4_filters explicitly delegated — Raffel et al.
+# 2020 §2.2: "we discarded all but one of any three-sentence span
+# occurring more than once in the data set." Conventions pinned for
+# engine parity: sentences = non-empty trimmed segments after splitting
+# text on runs of . ! ? (the same terminal marks c4_filters counts);
+# spans = every consecutive 3-sentence window, space-joined, keyed by the
+# portable 60-bit hash; keep-first = the occurrence with the smallest
+# (doc_id, position) per span key survives, every other occurrence marks
+# its three sentence positions for removal (overlapping removed spans
+# union — a position is removed once).
+
+C4_SPAN_SENTS = 3
+
+
+def c4_sentence_span_dedup_impl(docs: DataFrame) -> DataFrame:
+    """Per-doc C4 span-dedup accounting over any (doc_id, text) frame.
+    100 TB shape: sentence/span construction is doc-local (a doc_id-
+    partitioned window over exploded sentences); the ONLY corpus-wide
+    stage is one shuffle on the 60-bit span hash (exact dedup's
+    single-shuffle shape) for the keep-first ranking; removed-position
+    accounting is doc-local again."""
+    sents = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != F.lit(""),
+        ).alias("sl"),
+    )
+    base = sents.select(
+        "doc_id", F.size("sl").cast("bigint").alias("n_sentences"), "sl"
+    )
+    sent_rows = base.select(
+        "doc_id", F.posexplode("sl").alias("pos", "sent")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        sent_rows.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ",
+                "sent",
+                F.lead("sent", 1).over(wd),
+                F.lead("sent", 2).over(wd),
+            ).alias("span"),
+            F.lead("sent", 2).over(wd).isNotNull().alias("_full"),
+        )
+        .where(F.col("_full"))
+        .select("doc_id", "pos", portable_hash64("span").alias("h"))
+    )
+    # the one corpus-wide stage: keep-first rank per span hash
+    rk = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "pos"))
+    dups = spans.select("doc_id", "pos", rk.alias("rk")).where(F.col("rk") > 1)
+    dupstat = dups.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup")
+    )
+    rem = (
+        dups.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.col("pos"), F.col("pos") + 1, F.col("pos") + 2
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_removed"))
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        base.select("doc_id", "n_sentences")
+        .join(dupstat, "doc_id", "left")
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sentences",
+            F.greatest(F.col("n_sentences") - 2, F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce("n_dup", z).alias("n_dup_span_occurrences"),
+            F.coalesce("n_removed", z).alias("n_sentences_removed"),
+            (F.col("n_sentences") - F.coalesce("n_removed", z))
+            .cast("bigint")
+            .alias("n_sentences_remaining"),
+        )
+    )
+
+
+@register(
+    "c4_sentence_span_dedup",
+    oracle=f"""
+        WITH sents AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                       s -> s <> '') AS sl
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(sl) AS BIGINT) AS n_sentences, sl
+            FROM sents
+        ),
+        spanrows AS (
+            SELECT doc_id,
+                   unnest([{{'pos': CAST(i - 1 AS BIGINT),
+                             'span': array_to_string(sl[i:i+2], ' ')}}
+                           for i in range(1, greatest(len(sl) - 2, 0) + 1)])
+                       AS g
+            FROM base
+        ),
+        sp AS (
+            SELECT doc_id, g.pos AS pos,
+                   {portable_hash64_sql('g.span')} AS h
+            FROM spanrows
+        ),
+        marked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                       AS rk
+            FROM sp
+        ),
+        dups AS (SELECT doc_id, pos FROM marked WHERE rk > 1),
+        dupstat AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM dups GROUP BY doc_id
+        ),
+        rem AS (
+            SELECT DISTINCT doc_id, p
+            FROM dups, LATERAL unnest([pos, pos + 1, pos + 2]) AS t(p)
+        ),
+        remstat AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+            FROM rem GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_sentences,
+               CAST(greatest(b.n_sentences - 2, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(d.n_dup, 0) AS BIGINT)
+                   AS n_dup_span_occurrences,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT)
+                   AS n_sentences_removed,
+               CAST(b.n_sentences - coalesce(r.n_removed, 0) AS BIGINT)
+                   AS n_sentences_remaining
+        FROM base b
+        LEFT JOIN dupstat d ON d.doc_id = b.doc_id
+        LEFT JOIN remstat r ON r.doc_id = b.doc_id
+    """,
+    doc="C4 three-sentence-span corpus dedup (Raffel et al. 2020 §2.2 — "
+    "the corpus-wide half c4_filters delegates): every consecutive "
+    f"{C4_SPAN_SENTS}-sentence span is keyed by the portable 60-bit "
+    "hash; the occurrence with the smallest (doc_id, position) per key "
+    "is kept (keep-first, the Lee et al. convention) and every other "
+    "occurrence marks its three sentence positions for removal, with "
+    "overlapping removed spans counted once per position. Per-doc "
+    "output: sentences, spans, duplicate occurrences, sentences "
+    "removed/remaining. The synthetic corpus has no terminal "
+    "punctuation, so testdata docs are single-sentence (0 spans) by "
+    "construction; tests/test_round12_growth.py proves the operator on "
+    "a planted punctuated corpus against an independent Python "
+    "reference. 100 TB shape: sentence/span construction is doc-local; "
+    "the ONLY corpus-wide stage is one shuffle on the span hash (exact "
+    "dedup's single-shuffle shape); no all-pairs stage, no broadcast",
+    tags=("text", "curation", "dedup"),
+)
+def q_c4_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_sentence_span_dedup_impl(load_table(spark, sf_dir, "documents"))
+
+
 # -- end-to-end curation funnel (round 11) -------------------------------------
 
 from ..operators.text import (  # noqa: E402  (placed with its consumer)
@@ -1609,10 +1785,12 @@ _FUNNEL_REP_CTES = ",\n        ".join(_FUNNEL_REP_PARTS)
     "catalog's own filter implementations, not re-derivations. The "
     "funnel is what a 100 TB run reviews before committing GPU budget: "
     "every stage's retention rate in docs AND tokens (they differ — "
-    "filters are length-biased). 100 TB shape: one pass per filter "
-    "family (each doc-local, see their entries), one narrow doc_id "
-    "join-up, and a 4-stage conditional aggregate; the funnel adds no "
-    "shuffle beyond its constituents. Note: on the synthetic corpus the "
+    "filters are length-biased). 100 TB shape (r12, VERDICT r11 #4): "
+    "reads the ONE checkpointed per-doc flag table curation_doc_flags "
+    "shares with the ablation — the filter machinery (each family "
+    "doc-local, see their entries) is evaluated once per (session, "
+    "sf_dir) and every report is a trivial aggregation over the flags. "
+    "Note: on the synthetic corpus the "
     "quality stage retains 0 docs — the ~30-word vocabulary lacks "
     "Gopher's stop words and most docs sit under the 50-word minimum; "
     "the gates are the published ones, deliberately not tuned to "
@@ -1620,40 +1798,17 @@ _FUNNEL_REP_CTES = ",\n        ".join(_FUNNEL_REP_PARTS)
     tags=("curation", "text", "dedup", "quality"),
 )
 def q_curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    rep = gopher_repetition_impl(docs).select(
-        "doc_id", "passes_gopher_repetition"
-    )
-    qual = gopher_quality_impl(docs).select("doc_id", "passes_gopher_quality")
-    wh = W.partitionBy("h")
-    canon = (
-        docs.select(
-            "doc_id",
-            portable_hash64(F.col("text")).alias("h"),
-            F.size(tokens("text")).cast("bigint").alias("ntok"),
-        )
-        .select(
-            "doc_id",
-            "ntok",
-            (F.col("doc_id") == F.min("doc_id").over(wh)).alias("s1"),
-        )
-    )
-    # corpus-sized flag tables: shuffle_hash pins (see
-    # gopher_repetition_impl's assembly note — the unpinned composition
-    # OOMed the 24g local JVM at the 500k-doc fixture)
-    flags = (
-        canon.join(rep.hint("shuffle_hash"), "doc_id")
-        .join(qual.hint("shuffle_hash"), "doc_id")
-        .select(
-            "ntok",
-            "s1",
-            (F.col("s1") & F.col("passes_gopher_repetition")).alias("s2"),
-            (
-                F.col("s1")
-                & F.col("passes_gopher_repetition")
-                & F.col("passes_gopher_quality")
-            ).alias("s3"),
-        )
+    # VERDICT r11 #4: both this entry and the ablation read the ONE
+    # checkpointed per-doc flag table instead of re-deriving the filter
+    # machinery each; the funnel's sequential stages are pure column
+    # logic over the flags.
+    doc_flags = curation_doc_flags(spark, sf_dir)
+    s1 = ~F.col("x_dedup")
+    flags = doc_flags.select(
+        "ntok",
+        s1.alias("s1"),
+        (s1 & ~F.col("x_rep")).alias("s2"),
+        (s1 & ~F.col("x_rep") & ~F.col("x_qual")).alias("s3"),
     )
     st = flags.select(
         "ntok",
@@ -1709,6 +1864,84 @@ def q_curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WITH-chains as derived CTEs (SQL scoping shadows their inner names).
 
 ABLATION_MAX_DUP_FRACTION = 0.5
+
+# Materialized per-doc flag table, computed ONCE per (session, sf_dir) and
+# checkpointed (VERDICT r11 #4 — the BASELINE-documented production shape):
+# funnel and ablation are both trivial aggregations over the same five
+# flag columns, so a deployment evaluates the filter machinery (including
+# the expensive exact-span coverage) exactly once and feeds every report
+# from the result. Keyed by applicationId so a new session never reads a
+# DataFrame owned by a stopped one; same memoization discipline as the
+# dedup signature store (_SIG_STORE_DIRS).
+import threading  # noqa: E402
+
+_FLAGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_FLAGS_LOCK = threading.Lock()
+
+
+def curation_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ntok, x_dedup, x_rep, x_qual, x_span, x_dec): the five
+    curation filter fail-flags per document, composed from the catalog's
+    own registered implementations, checkpointed, and memoized per
+    (session, sf_dir). 100 TB shape: this IS the production artifact — a
+    one-pass-per-filter evaluation written to the warehouse once, with
+    the funnel, the ablation, and any future report reading the flags
+    instead of re-deriving them (x_span alone costs a full exact-span
+    coverage evaluation)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _FLAGS_LOCK:
+        cached = _FLAGS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        from .dedup import span_coverage_impl
+
+        docs = load_table(spark, sf_dir, "documents")
+        rep = gopher_repetition_impl(docs).select(
+            "doc_id", (~F.col("passes_gopher_repetition")).alias("x_rep")
+        )
+        qual = gopher_quality_impl(docs).select(
+            "doc_id", (~F.col("passes_gopher_quality")).alias("x_qual")
+        )
+        cov = span_coverage_impl(docs).select(
+            "doc_id",
+            (
+                F.coalesce(F.col("dup_fraction"), F.lit(0.0))
+                > ABLATION_MAX_DUP_FRACTION
+            ).alias("x_span"),
+        )
+        dec = q_decontam_eval_overlap(spark, sf_dir).select(
+            "doc_id", F.col("contaminated").alias("x_dec")
+        )
+        wh = W.partitionBy("h")
+        canon = docs.select(
+            "doc_id",
+            portable_hash64(F.col("text")).alias("h"),
+            F.size(tokens("text")).cast("bigint").alias("ntok"),
+        ).select(
+            "doc_id",
+            "ntok",
+            (~(F.col("doc_id") == F.min("doc_id").over(wh))).alias("x_dedup"),
+        )
+        # corpus-sized flag tables: shuffle_hash pins (see
+        # gopher_repetition_impl's assembly note — the unpinned
+        # composition OOMed the 24g local JVM at the 500k-doc fixture)
+        flags = reliable_checkpoint(
+            canon.join(rep.hint("shuffle_hash"), "doc_id")
+            .join(qual.hint("shuffle_hash"), "doc_id")
+            .join(cov.hint("shuffle_hash"), "doc_id", "left")
+            .join(dec.hint("shuffle_hash"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "ntok",
+                "x_dedup",
+                "x_rep",
+                "x_qual",
+                F.coalesce("x_span", F.lit(False)).alias("x_span"),
+                F.coalesce("x_dec", F.lit(False)).alias("x_dec"),
+            )
+        )
+        _FLAGS_CACHE[key] = flags
+        return flags
 
 
 def _ablation_oracle() -> str:
@@ -1791,56 +2024,17 @@ def _ablation_oracle() -> str:
     "contribution, the number a dataset paper ablates before keeping a "
     "rule. Oracle composes the registered oracles' WITH-chains as nested "
     "derived CTEs (SQL scoping shadows inner names) — the same SQL the "
-    "individual entries hash against, not a re-derivation. 100 TB shape: "
-    "the union of the constituent filters' shapes (each documented at "
-    "its entry) plus narrow doc_id left-joins and one conditional "
-    "aggregate; marginality is pure column logic over the joined flags",
+    "individual entries hash against, not a re-derivation. 100 TB shape "
+    "(r12, VERDICT r11 #4): reads the ONE checkpointed per-doc flag "
+    "table curation_doc_flags shares with the funnel — the constituent "
+    "filters (each documented at its entry) are evaluated once per "
+    "(session, sf_dir); marginality is pure column logic over the flags",
     tags=("curation", "dedup", "text", "quality"),
 )
 def q_curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import span_coverage_impl
-
-    docs = load_table(spark, sf_dir, "documents")
-    rep = gopher_repetition_impl(docs).select(
-        "doc_id", (~F.col("passes_gopher_repetition")).alias("x_rep")
-    )
-    qual = gopher_quality_impl(docs).select(
-        "doc_id", (~F.col("passes_gopher_quality")).alias("x_qual")
-    )
-    cov = span_coverage_impl(docs).select(
-        "doc_id",
-        (
-            F.coalesce(F.col("dup_fraction"), F.lit(0.0))
-            > ABLATION_MAX_DUP_FRACTION
-        ).alias("x_span"),
-    )
-    dec = q_decontam_eval_overlap(spark, sf_dir).select(
-        "doc_id", F.col("contaminated").alias("x_dec")
-    )
-    wh = W.partitionBy("h")
-    canon = docs.select(
-        "doc_id",
-        portable_hash64(F.col("text")).alias("h"),
-        F.size(tokens("text")).cast("bigint").alias("ntok"),
-    ).select(
-        "doc_id",
-        "ntok",
-        (~(F.col("doc_id") == F.min("doc_id").over(wh))).alias("x_dedup"),
-    )
-    flags = (
-        canon.join(rep.hint("shuffle_hash"), "doc_id")
-        .join(qual.hint("shuffle_hash"), "doc_id")
-        .join(cov.hint("shuffle_hash"), "doc_id", "left")
-        .join(dec.hint("shuffle_hash"), "doc_id", "left")
-        .select(
-            "ntok",
-            "x_dedup",
-            "x_rep",
-            "x_qual",
-            F.coalesce("x_span", F.lit(False)).alias("x_span"),
-            F.coalesce("x_dec", F.lit(False)).alias("x_dec"),
-        )
-    )
+    # VERDICT r11 #4: reads the ONE checkpointed per-doc flag table
+    # (shared with the funnel) — marginality is pure column logic over it.
+    flags = curation_doc_flags(spark, sf_dir)
     keys = ("x_dedup", "x_rep", "x_qual", "x_span", "x_dec")
     names = {
         "x_dedup": "exact_dedup",

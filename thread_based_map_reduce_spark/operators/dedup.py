@@ -4958,7 +4958,14 @@ def _scrub_sql(iv_cte: str, where: str) -> str:
     "rejoined single-spaced). The pairwise span table gives the rule "
     "directly: doc_a < doc_b on every row, so exactly the doc_b-side "
     "intervals are removable — and a doc whose span also appears in two "
-    "earlier docs is cut once (DISTINCT covered positions). 100 TB "
+    "earlier docs is cut once (DISTINCT covered positions). Two pinned "
+    "recall caveats (ADVICE r11, both engines mirror them so parity "
+    "holds): the rule is CROSS-document only — a span repeated within "
+    "one doc and in no earlier doc is never scrubbed, because wspans "
+    "carries strictly doc_a < doc_b; and the _WIN_DF_CAP seed cap can "
+    "drop train-side pairs, so 'earliest occurrence kept' is "
+    "best-effort under the cap (the dedup_winnow_pairs entry documents "
+    "the same bound). 100 TB "
     "shape: span discovery is the df-capped bucketed seed join; the "
     "rewrite is doc-local (sparse interval explode, one (doc_id, pos) "
     "anti-join, ordered doc-keyed re-aggregation)",
@@ -5249,5 +5256,248 @@ def q_dedup_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("hit_at_budget") / F.nullif(F.col("n_budget"), F.lit(0)), 6
             ).alias("prec_at_budget"),
+        )
+    )
+
+
+# -- corpus-level dedup removal sweep at matched budgets (round 12) -----------
+#
+# VERDICT r11 #2 / SURVEY r12 candidate (b): the recall eval above prices
+# each BLOCKING family against pair-level ground truth; this entry prices
+# the three deployable DEDUP RECIPES — exact-hash, exact-substring spans,
+# MinHash-LSH — by what a run actually buys: documents and tokens REMOVED
+# from the corpus, at full spend and at a MATCHED candidate budget (every
+# method ranked by its own native score and cut to the smallest method's
+# pair count, dedup_blocking_recall_eval's like-for-like rule). Removal is
+# the pinned PAIR-GREEDY KEEP-FIRST rule, identical across methods so the
+# comparison isolates the recipe, not the removal policy: every pair
+# (doc_a < doc_b) removes doc_b — the Lee et al. keep-first convention,
+# deliberately simpler than the connected-components canonical map so all
+# three methods are judged under one rule. Native scores: exact_hash =
+# tokens of the removed copy (bytes saved first), exact_substring = max
+# duplicated span length, minhash_lsh = verified jaccard.
+
+
+def _removal_sweep_oracle() -> str:
+    methods = (
+        ("exact_hash", "pex"),
+        ("exact_substring", "pxs"),
+        ("minhash_lsh", "pmh"),
+    )
+    stats_sql = "\n            UNION ALL\n".join(
+        f"""            SELECT '{name}' AS method,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {cte}) AS n_pairs"""
+        for name, cte in methods
+    )
+    allp_sql = "\n            UNION ALL\n".join(
+        f"            SELECT '{name}' AS method, doc_a, doc_b, score FROM {cte}"
+        for name, cte in methods
+    )
+    return f"""
+        WITH {_SHINGLES_SQL.strip()},
+        {_HASHED_SQL.strip()},
+        {_minhash_sig_sql().strip()},
+        {_verified_pairs_sql().strip()},
+        {_WINNOW_SQL.strip()},
+        {_WINNOW_PAIRS_CTE_SQL},
+        {_SPAN_CTES_SQL},
+        ntok AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                        AS BIGINT) AS ntok
+            FROM documents
+        ),
+        exm AS (
+            SELECT doc_id, min(doc_id) OVER (
+                       PARTITION BY {portable_hash64_sql('text')}) AS mn
+            FROM documents
+        ),
+        pex AS (
+            SELECT e.mn AS doc_a, e.doc_id AS doc_b,
+                   CAST(nt.ntok AS DOUBLE) AS score
+            FROM exm e JOIN ntok nt ON nt.doc_id = e.doc_id
+            WHERE e.doc_id <> e.mn
+        ),
+        pxs AS (
+            SELECT doc_a, doc_b, CAST(max(span_len) AS DOUBLE) AS score
+            FROM wspans GROUP BY doc_a, doc_b
+        ),
+        pmh AS (SELECT doc_a, doc_b, round(jacc, 6) AS score FROM vpairs),
+        stats AS (
+{stats_sql}
+        ),
+        budget AS (SELECT CAST(min(n_pairs) AS BIGINT) AS n_budget FROM stats),
+        allp AS (
+{allp_sql}
+        ),
+        remf AS (SELECT DISTINCT method, doc_b FROM allp),
+        remfs AS (
+            SELECT f.method, CAST(count(*) AS BIGINT) AS docs_removed,
+                   CAST(coalesce(sum(nt.ntok), 0) AS BIGINT) AS tokens_removed
+            FROM remf f JOIN ntok nt ON nt.doc_id = f.doc_b
+            GROUP BY f.method
+        ),
+        rankedp AS (
+            SELECT method, doc_a, doc_b,
+                   row_number() OVER (PARTITION BY method
+                                      ORDER BY score DESC, doc_a, doc_b) AS rk
+            FROM allp
+        ),
+        remb AS (
+            SELECT DISTINCT method, doc_b
+            FROM rankedp CROSS JOIN budget WHERE rk <= n_budget
+        ),
+        rembs AS (
+            SELECT b.method,
+                   CAST(count(*) AS BIGINT) AS docs_removed_at_budget,
+                   CAST(coalesce(sum(nt.ntok), 0) AS BIGINT)
+                       AS tokens_removed_at_budget
+            FROM remb b JOIN ntok nt ON nt.doc_id = b.doc_b
+            GROUP BY b.method
+        )
+        SELECT s.method, s.n_pairs, b.n_budget,
+               CAST(coalesce(f.docs_removed, 0) AS BIGINT) AS docs_removed,
+               CAST(coalesce(f.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+               CAST(coalesce(a.docs_removed_at_budget, 0) AS BIGINT)
+                   AS docs_removed_at_budget,
+               CAST(coalesce(a.tokens_removed_at_budget, 0) AS BIGINT)
+                   AS tokens_removed_at_budget
+        FROM stats s
+        CROSS JOIN budget b
+        LEFT JOIN remfs f ON f.method = s.method
+        LEFT JOIN rembs a ON a.method = s.method
+    """
+
+
+@register(
+    "dedup_removal_sweep",
+    oracle=_removal_sweep_oracle(),
+    doc="Corpus-level dedup recipe sweep at matched budgets (VERDICT r11 "
+    "#2): documents and tokens REMOVED by the three deployable recipes — "
+    "exact-hash, exact-substring spans (Lee et al. 2022), MinHash-LSH — "
+    "under ONE pinned removal rule (pair-greedy keep-first: every pair "
+    "doc_a < doc_b removes doc_b), at full spend AND cut to the matched "
+    "candidate budget (each method ranked by its own native score — "
+    "removed-copy tokens / max span length / verified jaccard — and "
+    "truncated to the smallest method's pair count, "
+    "dedup_blocking_recall_eval's like-for-like rule). This is the "
+    "recipe-picking table a 100 TB curation run reviews FIRST: what each "
+    "method actually deletes per unit of candidate spend, composing the "
+    "catalog's production pair constructions (the doc_id-bucketed LSH "
+    "verify, the df-capped seed-and-extend spans, the single-shuffle "
+    "exact canonical rule) unchanged. "
+    "tests/test_round12_growth.py plants a corpus where the three "
+    "methods' removal footprints pairwise disagree (exact finds only "
+    "the identical copy; spans alone sees a long shared span at "
+    "jaccard 0.11; minhash alone sees a block-permuted doc with no "
+    "run over 6 tokens). 100 TB shape: the union of the constituent production "
+    "shapes; removal and budgeting are narrow doc_id/method aggregations "
+    "over the (sparse) pair sets, with the per-method ranking window "
+    "bounded by candidate spend, never corpus size",
+    tags=("dedup", "minhash", "eval", "curation"),
+)
+def q_dedup_removal_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = reliable_checkpoint(
+        docs.select(
+            "doc_id", F.size(tokens("text")).cast("bigint").alias("ntok")
+        )
+    )
+    wh = W.partitionBy("h")
+    exm = docs.select(
+        "doc_id", portable_hash64("text").alias("h")
+    ).select("doc_id", F.min("doc_id").over(wh).alias("mn"))
+    pex = (
+        exm.where(F.col("doc_id") != F.col("mn"))
+        .join(ntok, "doc_id")
+        .select(
+            F.col("mn").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("ntok").cast("double").alias("score"),
+        )
+    )
+    pxs = (
+        q_dedup_exact_substring_spans(spark, sf_dir)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("span_len").cast("double").alias("score"))
+    )
+    pmh = _lsh_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("score")
+    )
+    methods = (
+        ("exact_hash", pex),
+        ("exact_substring", pxs),
+        ("minhash_lsh", pmh),
+    )
+    stats = None
+    allp = None
+    for name, pairs in methods:
+        # checkpoint: each pair set feeds the count, the full-removal set
+        # AND the budgeted ranking — without it the whole production
+        # pipeline executes three times in one plan (the
+        # dedup_blocking_recall_eval discipline)
+        p = reliable_checkpoint(pairs)
+        row = p.agg(F.count("*").cast("bigint").alias("n_pairs")).select(
+            F.lit(name).alias("method"), "n_pairs"
+        )
+        stats = row if stats is None else stats.unionAll(row)
+        mp = p.select(F.lit(name).alias("method"), "doc_a", "doc_b", "score")
+        allp = mp if allp is None else allp.unionAll(mp)
+    # checkpoint the 3-row stats table: it feeds the budget aggregate and
+    # the final projection
+    stats = reliable_checkpoint(stats)
+    budget = stats.agg(F.min("n_pairs").cast("bigint").alias("n_budget"))
+    ntok_b = ntok.select(F.col("doc_id").alias("doc_b"), "ntok")
+    remfs = (
+        allp.select("method", "doc_b")
+        .distinct()
+        .join(ntok_b, "doc_b")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_removed"),
+            F.coalesce(F.sum("ntok"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+    )
+    # matched budget: each method ranked by ITS OWN score, deterministic
+    # tie-break, cut to the smallest method's pair count
+    rk = F.row_number().over(
+        W.partitionBy("method").orderBy(F.col("score").desc(), "doc_a", "doc_b")
+    )
+    at_budget = (
+        allp.withColumn("rk", rk)
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("rk") <= F.col("n_budget"))
+    )
+    rembs = (
+        at_budget.select("method", "doc_b")
+        .distinct()
+        .join(ntok_b, "doc_b")
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_removed_at_budget"),
+            F.coalesce(F.sum("ntok"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed_at_budget"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        stats.crossJoin(F.broadcast(budget))
+        .join(remfs, "method", "left")
+        .join(rembs, "method", "left")
+        .select(
+            "method",
+            "n_pairs",
+            "n_budget",
+            F.coalesce("docs_removed", z).alias("docs_removed"),
+            F.coalesce("tokens_removed", z).alias("tokens_removed"),
+            F.coalesce("docs_removed_at_budget", z).alias(
+                "docs_removed_at_budget"
+            ),
+            F.coalesce("tokens_removed_at_budget", z).alias(
+                "tokens_removed_at_budget"
+            ),
         )
     )
