@@ -641,6 +641,14 @@ _AUDITED_BNLJ_SITES = {
     "dsir_importance_select": 1,
     "temperature_mix_allocation": 1,
     "leakage_safe_split": 1,
+    # r12 audit (formatted plan verified): both sites are crossJoins
+    # against the broadcast ONE-ROW matched-budget aggregate
+    # (min(n_pairs) over the checkpointed 3-row stats table) — node (8)
+    # the final stats x budget assembly, node (51) the ranked-pairs cut
+    # (the where-clause rk <= n_budget is folded into the join
+    # condition); both BuildRight over a one-row HashAggregate, the
+    # dedup_blocking_recall_eval pattern
+    "dedup_removal_sweep": 2,
     # bpe: per merge round, the one-row argmax broadcast feeding the merge
     # replace AND the one-row (argmax x stats) output row — 2 x 3 rounds,
     # every build side an ungrouped (or LIMIT 1) one-row aggregate

@@ -17,6 +17,14 @@
 3. curation_doc_flags (VERDICT r11 #4): the five-flag table is computed
    once per (session, sf_dir) — repeated calls return the same
    checkpointed frame, and funnel + ablation both run off it.
+
+4. semdedup_embedding_prune: parity against an independent pure-Python
+   mirror of the pinned rule on planted near-dup vectors at the
+   published 0.95 threshold (the catalog entry runs at 0.2 because the
+   synthetic embeddings are near-isotropic).
+
+5. minhash_estimate_error: the estimate column equals the matching-perm
+   fraction of the production signatures, recomputed independently.
 """
 
 from __future__ import annotations
@@ -275,3 +283,131 @@ def test_doc_flags_computed_once_and_feed_both_reports(spark, sf_dir):
 
     x_dedup_docs = f1.where(F.col("x_dedup")).count()
     assert ablation["exact_dedup"].docs_failing == x_dedup_docs
+
+
+# -- 4. semdedup_embedding_prune ----------------------------------------------
+
+
+def _semdedup_reference(vecs, threshold):
+    """Independent pure-Python mirror of the pinned SemDeDup rule:
+    6dp-rounded per-label mean centroids, nearest-centroid assignment
+    (tie -> lowest cell), prototypicality rank (6dp centroid cosine
+    DESC, vec_id ASC), removed iff an earlier cellmate has 6dp pairwise
+    cosine >= threshold."""
+    import math
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cos(a, b):
+        d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        return dot(a, b) / d if d else None
+
+    labels = sorted({l for _, l, _ in vecs})
+    cents = {}
+    for lb in labels:
+        mem = [e for _, l, e in vecs if l == lb]
+        cents[lb] = [
+            round(sum(e[i] for e in mem) / len(mem), 6)
+            for i in range(len(mem[0]))
+        ]
+    assigned = {}
+    for vid, _, e in vecs:
+        best = max(
+            ((cos(e, c), -lb) for lb, c in cents.items()),
+            key=lambda t: (t[0], t[1]),
+        )
+        cell = -best[1]
+        assigned[vid] = (cell, round(cos(e, cents[cell]), 6), e)
+    order = {}
+    for cell in {c for c, _, _ in assigned.values()}:
+        mem = sorted(
+            (v for v in assigned if assigned[v][0] == cell),
+            key=lambda v: (-(assigned[v][1] if assigned[v][1] is not None else -2.0), v),
+        )
+        for rn, v in enumerate(mem):
+            order[v] = (cell, rn, mem)
+    removed = {}
+    for v, (cell, rn, mem) in order.items():
+        removed[v] = any(
+            round(cos(assigned[u][2], assigned[v][2]), 6) >= threshold
+            for u in mem[:rn]
+        )
+    return {v: (assigned[v][0], assigned[v][1], removed[v]) for v in assigned}
+
+
+def _semdedup_vectors():
+    """Two well-separated 4-dim label clusters with planted near-dups at
+    a realistic 0.95 threshold: v11 ~ v10 (cosine ~0.999, removed), v20
+    orthogonal-ish (kept); label 1: v31 = 1.5*v30 (cosine 1.0, removed)."""
+    return [
+        (10, 0, [1.0, 0.05, 0.0, 0.0]),
+        (11, 0, [1.0, 0.06, 0.01, 0.0]),  # near-dup of v10
+        (20, 0, [0.7, 0.7, 0.0, 0.0]),  # same cluster, below threshold
+        (30, 1, [0.0, 0.0, 1.0, -0.05]),
+        (31, 1, [0.0, 0.0, 1.5, -0.075]),  # exact direction dup of v30
+        (40, 1, [0.0, 0.1, 0.7, 0.7]),
+    ]
+
+
+def test_semdedup_planted_near_dups_at_realistic_threshold(spark):
+    from thread_based_map_reduce_spark.operators.similarity import (
+        semdedup_prune_impl,
+    )
+
+    vecs = _semdedup_vectors()
+    emb = spark.createDataFrame(
+        [(v, l, e) for v, l, e in vecs],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cell, r.ccos, r.removed)
+        for r in semdedup_prune_impl(emb, threshold=0.95).collect()
+    }
+    # float32 storage: compare against the reference computed on the
+    # same float32-rounded inputs
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    ref = _semdedup_reference(
+        [(v, l, [f32(x) for x in e]) for v, l, e in vecs], 0.95
+    )
+    assert {v: r[2] for v, r in got.items()} == {
+        v: r[2] for v, r in ref.items()
+    }
+    # the planted structure: each near-dup group loses exactly its
+    # less-prototypical member — one of {10, 11} (11 sits closer to the
+    # centroid, so 10 goes) and 31 (tie on centroid cosine, vec_id 30
+    # kept first) — everything else is kept
+    assert sum(1 for r in got.values() if r[2]) == 2
+    assert got[10][2] != got[11][2]
+    assert got[31][2]
+    assert not any(got[v][2] for v in (20, 30, 40))
+    assert {v: r[0] for v, r in got.items()} == {
+        v: r[0] for v, r in ref.items()
+    }
+
+
+# -- 5. minhash_estimate_error ------------------------------------------------
+
+
+def test_minhash_estimate_error_matches_signature_agreement(spark, sf_dir):
+    """The estimate column must equal the matching-perm fraction of the
+    SAME signatures the production pair query uses, and abs_err must be
+    |exact - est| — cross-checked by recomputing from the signatures
+    entry itself."""
+    from pyspark.sql import functions as F
+
+    rows = CATALOG["minhash_estimate_error"].fn(spark, sf_dir).collect()
+    assert rows, "sf0.001 fixture has verified near-dup pairs"
+    sig = {
+        r.doc_id: [r[f"mh{i}"] for i in range(8)]
+        for r in CATALOG["dedup_minhash_signatures"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        est = sum(
+            1 for a, b in zip(sig[r.doc_a], sig[r.doc_b]) if a == b
+        ) / 8.0
+        assert abs(r.jacc_est - round(est, 6)) < 1e-9
+        assert abs(r.abs_err - round(abs(r.jacc_exact - r.jacc_est), 6)) < 1e-9
+        assert 0.0 <= r.jacc_est <= 1.0

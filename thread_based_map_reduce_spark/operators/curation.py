@@ -1450,9 +1450,11 @@ C4_BAD_WORDS = ("badword1", "badword2", "badword3")
 _C4_TERMINAL = (".", "!", "?", '"')
 
 
-@register(
-    "c4_filters",
-    oracle=f"""
+# ONE oracle string shared by the batch entry and the 13th streaming
+# runtime (streaming_c4_filter_runtime): the stream must land on exactly
+# the batch answer, so both hash against the same SQL (the
+# streaming_quality_filter_runtime convention).
+_C4_ORACLE = f"""
         WITH lined AS (
             SELECT doc_id, lower(text) AS lo,
                    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
@@ -1488,22 +1490,13 @@ _C4_TERMINAL = (".", "!", "?", '"')
                 AND NOT has_lorem_ipsum AND NOT has_brace
                 AND NOT has_bad_word) AS passes_c4
         FROM stat
-    """,
-    doc="C4 cleaning filters (Raffel et al. 2020): per-doc line retention "
-    f"(terminal punctuation + >= {C4_MIN_LINE_WORDS} words), sentence "
-    f"count over kept lines with the >= {C4_MIN_SENTENCES}-sentence page "
-    "gate, and the lorem-ipsum / curly-brace / bad-word page gates "
-    "(deterministic stand-in blocklist — the mechanism is the operator; "
-    "a deployment broadcasts its real list). The synthetic corpus has no "
-    "punctuation or newlines, so testdata rows are all-zero by "
-    "construction; tests/test_round11_growth.py proves the filter on a "
-    "planted multi-line fixture. C4's corpus-wide three-sentence-span "
-    "dedup is the dedup family's job. 100 TB shape: pure per-row column "
-    "expressions, map-only at any scale",
-    tags=("text", "curation", "quality"),
-)
-def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """
+
+
+def c4_filters_impl(docs: DataFrame) -> DataFrame:
+    """C4 page/line gates over any (doc_id, text) frame — pure per-row
+    column expressions (map-only, zero Exchange, plan-gated), shared by
+    the batch entry and the in-stream runtime."""
     d = docs.select(
         "doc_id",
         F.lower("text").alias("lo"),
@@ -1555,6 +1548,26 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c4_filters",
+    oracle=_C4_ORACLE,
+    doc="C4 cleaning filters (Raffel et al. 2020): per-doc line retention "
+    f"(terminal punctuation + >= {C4_MIN_LINE_WORDS} words), sentence "
+    f"count over kept lines with the >= {C4_MIN_SENTENCES}-sentence page "
+    "gate, and the lorem-ipsum / curly-brace / bad-word page gates "
+    "(deterministic stand-in blocklist — the mechanism is the operator; "
+    "a deployment broadcasts its real list). The synthetic corpus has no "
+    "punctuation or newlines, so testdata rows are all-zero by "
+    "construction; tests/test_round11_growth.py proves the filter on a "
+    "planted multi-line fixture. C4's corpus-wide three-sentence-span "
+    "dedup is the dedup family's job. 100 TB shape: pure per-row column "
+    "expressions, map-only at any scale",
+    tags=("text", "curation", "quality"),
+)
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_filters_impl(load_table(spark, sf_dir, "documents"))
+
+
 # -- C4 three-sentence-span corpus dedup (round 12) -----------------------------
 #
 # VERDICT r11 #3 / SURVEY r12 candidate (d): the corpus-wide half of the
@@ -1586,8 +1599,15 @@ def c4_sentence_span_dedup_impl(docs: DataFrame) -> DataFrame:
             lambda s: s != F.lit(""),
         ).alias("sl"),
     )
-    base = sents.select(
-        "doc_id", F.size("sl").cast("bigint").alias("n_sentences"), "sl"
+    # checkpoint the sentence table: it feeds the span explode AND the
+    # final per-doc join, and the barrier keeps posexplode's generator
+    # pre-filter (size > 0 / not-null) on the materialized column instead
+    # of inlining the split+trim tree twice into the Filter condition
+    # (the filter-blowup plan gate's exact hazard)
+    base = reliable_checkpoint(
+        sents.select(
+            "doc_id", F.size("sl").cast("bigint").alias("n_sentences"), "sl"
+        )
     )
     sent_rows = base.select(
         "doc_id", F.posexplode("sl").alias("pos", "sent")
@@ -1944,33 +1964,17 @@ def curation_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         return flags
 
 
-def _ablation_oracle() -> str:
+def _flags_oracle_ctes() -> str:
+    """The WITH-chain ending in the per-doc five-flag table ``flags`` —
+    shared VERBATIM by curation_flags_table (which selects it directly)
+    and curation_filter_ablation (which aggregates it), so the oracle
+    the artifact hashes against is the same SQL the ablation runs."""
     from .dedup import span_coverage_impl  # noqa: F401  (ensures registration)
     from ..plans.catalog import CATALOG
 
     cov = CATALOG["dup_span_coverage_exact"].oracle
     dec = CATALOG["decontam_eval_overlap"].oracle
-    others = {
-        "dedup": "NOT x_rep AND NOT x_qual AND NOT x_span AND NOT x_dec",
-        "rep": "NOT x_dedup AND NOT x_qual AND NOT x_span AND NOT x_dec",
-        "qual": "NOT x_dedup AND NOT x_rep AND NOT x_span AND NOT x_dec",
-        "span": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_dec",
-        "dec": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_span",
-    }
-    names = {
-        "dedup": "exact_dedup",
-        "rep": "gopher_repetition",
-        "qual": "gopher_quality",
-        "span": "span_coverage",
-        "dec": "decontam_overlap",
-    }
-    branches = " UNION ALL ".join(
-        f"SELECT '{names[k]}' AS filter_name, x_{k} AS fail, "
-        f"x_{k} AND {others[k]} AS marginal, ntok FROM flags"
-        for k in names
-    )
-    return f"""
-        WITH {_FUNNEL_REP_CTES},
+    return f"""WITH {_FUNNEL_REP_CTES},
         grep AS ({_FUNNEL_REP_SELECT}),
         gqstat AS ({_GQ_STAT_SQL}),
         gqual AS (SELECT doc_id, {_GQ_PASS_SQL} AS ok FROM gqstat),
@@ -1997,7 +2001,31 @@ def _ablation_oracle() -> str:
             JOIN gqual q ON q.doc_id = c.doc_id
             LEFT JOIN cov v ON v.doc_id = c.doc_id
             LEFT JOIN dec d ON d.doc_id = c.doc_id
-        ),
+        )"""
+
+
+def _ablation_oracle() -> str:
+    others = {
+        "dedup": "NOT x_rep AND NOT x_qual AND NOT x_span AND NOT x_dec",
+        "rep": "NOT x_dedup AND NOT x_qual AND NOT x_span AND NOT x_dec",
+        "qual": "NOT x_dedup AND NOT x_rep AND NOT x_span AND NOT x_dec",
+        "span": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_dec",
+        "dec": "NOT x_dedup AND NOT x_rep AND NOT x_qual AND NOT x_span",
+    }
+    names = {
+        "dedup": "exact_dedup",
+        "rep": "gopher_repetition",
+        "qual": "gopher_quality",
+        "span": "span_coverage",
+        "dec": "decontam_overlap",
+    }
+    branches = " UNION ALL ".join(
+        f"SELECT '{names[k]}' AS filter_name, x_{k} AS fail, "
+        f"x_{k} AND {others[k]} AS marginal, ntok FROM flags"
+        for k in names
+    )
+    return f"""
+        {_flags_oracle_ctes()},
         st AS ({branches})
         SELECT filter_name,
                CAST(coalesce(sum(CASE WHEN fail THEN 1 END), 0) AS BIGINT)
@@ -2072,3 +2100,31 @@ def q_curation_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("marginal_tokens"),
     )
+
+
+@register(
+    "curation_flags_table",
+    oracle=f"""
+        {_flags_oracle_ctes()}
+        SELECT doc_id, ntok, x_dedup, x_rep, x_qual, x_span, x_dec
+        FROM flags
+    """,
+    doc="The materialized per-doc curation flag table ITSELF (VERDICT r11 "
+    "#4's production artifact, oracle-checked directly): for every "
+    "document, its whitespace token count and the five filter "
+    "fail-flags — exact-dedup canonicality, Gopher repetition, Gopher "
+    "quality, exact-span duplicate coverage > "
+    f"{ABLATION_MAX_DUP_FRACTION}, eval-overlap decontamination — "
+    "computed once per (session, sf_dir), checkpointed, and shared by "
+    "curation_funnel_stats and curation_filter_ablation (both are "
+    "trivial aggregations over this table; its oracle is the VERBATIM "
+    "WITH-chain theirs nest). At 100 TB this is the table a deployment "
+    "writes to the warehouse after each curation pass: every funnel, "
+    "ablation, and audit report reads it instead of re-running the "
+    "filter machinery. 100 TB shape: the union of the constituent "
+    "filters' doc-local shapes plus narrow shuffle-hash-pinned doc_id "
+    "joins; one evaluation feeds every consumer",
+    tags=("curation", "dedup", "text", "quality"),
+)
+def q_curation_flags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_doc_flags(spark, sf_dir)

@@ -3064,3 +3064,184 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_neg",
         F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
     )
+
+
+# -- SemDeDup: semantic dedup over embedding cells (round 12) -----------------
+#
+# Abbas et al. 2023 "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication": cluster the embedding space, then
+# within each cluster drop all but one of every group of semantic
+# duplicates (pairwise cosine above a threshold). Pinned conventions
+# (both engines mirror them): cells = nearest per-label centroid, the
+# EXACT assignment rule ivf_search uses (6dp-rounded centroids,
+# tie -> lowest cell); prototypicality order within a cell = 6dp
+# cosine-to-own-centroid DESC, vec_id ASC; a vector is REMOVED iff some
+# EARLIER vector in that order has 6dp pairwise cosine >= the threshold
+# (one-pass keep-first — the kept set is pairwise sub-threshold, and
+# every removed vector has an over-threshold earlier witness). Threshold
+# note: published SemDeDup operates at ~0.95 on real encoder embeddings;
+# the synthetic embeddings are near-isotropic (within-label max cosine
+# ~0.47 at sf0.01), so the catalog pins 0.2 to exercise a non-degenerate
+# removal set on testdata — tests/test_round12_growth.py proves the rule
+# at a realistic threshold on planted near-duplicate vectors.
+
+SEMDEDUP_COS_THRESHOLD = 0.2
+
+
+def semdedup_prune_impl(
+    emb: DataFrame, threshold: float = SEMDEDUP_COS_THRESHOLD
+) -> DataFrame:
+    """(vec_id, cell, ccos, removed) per vector. 100 TB shape: centroids
+    are k tiny rows (broadcast argmin assignment — the embedding column
+    never shuffles for assignment); the within-cell pairwise stage is
+    bounded-quadratic PER CELL, the published SemDeDup shape (the paper
+    sizes k so clusters stay small — 50k clusters for LAION; here k =
+    the 10 label centroids), and rides one narrow shuffle on the cell
+    id."""
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    centroids = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+    scored_cells = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine_similarity("embedding", "ce").alias("ccos"),
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    from ..functions.vectors import dot_product, l2_norm
+
+    assigned = (
+        scored_cells.withColumn("rc", F.row_number().over(wc))
+        .where(F.col("rc") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            # per-vector norm precomputed ONCE so the pairwise filter
+            # below stays a scalar comparison (the dedup_embedding_cosine
+            # staging fix — a cos expression in the Filter would inline
+            # the 64-element folds per pair, 3x the flops, and trip the
+            # filter-blowup plan gate)
+            l2_norm("embedding").alias("nrm"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.round("ccos", 6).alias("ccos"),
+        )
+    )
+    # prototypicality rank within each cell; checkpoint: the ranked table
+    # feeds BOTH sides of the pairwise join and the final projection
+    wr = W.partitionBy("cell").orderBy(
+        F.coalesce(F.col("ccos"), F.lit(-2.0)).desc(), F.col("vec_id")
+    )
+    ranked = reliable_checkpoint(
+        assigned.withColumn("rn", F.row_number().over(wr))
+    )
+    a = ranked.select(
+        F.col("cell").alias("a_cell"),
+        F.col("rn").alias("a_rn"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = ranked.select(
+        "vec_id", F.col("cell").alias("b_cell"), F.col("rn").alias("b_rn"),
+        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"),
+    )
+    pair_cos = F.col("_dot") / F.nullif(
+        F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_rn") < F.col("b_rn")),
+        )
+        .select(
+            "vec_id",
+            "a_nrm",
+            "b_nrm",
+            dot_product("a_emb", "b_emb").alias("_dot"),
+        )
+        .where(F.round(pair_cos, 6) >= F.lit(threshold))
+        .select("vec_id")
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        ranked.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce("_rm", F.lit(False)).alias("removed"),
+        )
+    )
+
+
+@register(
+    "semdedup_embedding_prune",
+    oracle=f"""
+        WITH dims AS (
+            SELECT label, i, round(avg(embedding[i]), 6) AS c
+            FROM embeddings, generate_series(1, {DIMS}) AS g(i)
+            GROUP BY label, i
+        ),
+        centroids AS (
+            SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC, c.cell
+                       ) AS rc
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rc = 1
+        ),
+        ranked AS (
+            SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.embedding,
+                   round({_COS_SQL.format(a='a.embedding', b='c.ce')}, 6)
+                       AS ccos,
+                   row_number() OVER (
+                       PARTITION BY a.cell
+                       ORDER BY coalesce(round(
+                           {_COS_SQL.format(a='a.embedding', b='c.ce')}, 6),
+                           -2.0) DESC, a.vec_id
+                   ) AS rn
+            FROM assigned a JOIN centroids c ON c.cell = a.cell
+        ),
+        removedv AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a
+            JOIN ranked b ON a.cell = b.cell AND a.rn < b.rn
+            WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+                  >= {SEMDEDUP_COS_THRESHOLD}
+        )
+        SELECT r.vec_id, r.cell, r.ccos,
+               (rm.vec_id IS NOT NULL) AS removed
+        FROM ranked r LEFT JOIN removedv rm ON rm.vec_id = r.vec_id
+    """,
+    doc="SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings "
+    "table: vectors are assigned to cells by ivf_search's exact "
+    "nearest-centroid rule, ranked within each cell by prototypicality "
+    "(6dp cosine to own centroid DESC, vec_id tiebreak), and a vector "
+    "is removed iff an earlier-ranked cellmate has 6dp pairwise cosine "
+    f">= {SEMDEDUP_COS_THRESHOLD} (one-pass keep-first: the kept set is "
+    "pairwise sub-threshold). Threshold pinned at 0.2 because the "
+    "synthetic embeddings are near-isotropic (~0.47 max within-label "
+    "cosine); published deployments use ~0.95 on real encoders — "
+    "tests/test_round12_growth.py proves the rule at 0.95 on planted "
+    "near-dup vectors. 100 TB shape: broadcast-argmin assignment (the "
+    "embedding column never shuffles for it), one narrow shuffle on the "
+    "cell id, and the pairwise stage bounded-quadratic PER CELL — the "
+    "published shape, sized by k (the paper uses 50k clusters; here the "
+    "10 label centroids)",
+    tags=("similarity", "dedup", "curation"),
+)
+def q_semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_prune_impl(load_table(spark, sf_dir, "embeddings"))

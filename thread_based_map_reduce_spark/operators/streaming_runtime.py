@@ -519,3 +519,33 @@ def q_streaming_quality_filter_runtime(
         "tbmr_streaming_quality_filter_runtime",
         "append",
     )
+
+
+@register(
+    "streaming_c4_filter_runtime",
+    # imported lazily below to avoid a curation<->streaming import cycle
+    oracle=__import__(
+        "thread_based_map_reduce_spark.operators.curation", fromlist=["_C4_ORACLE"]
+    )._C4_ORACLE,
+    doc="C4 cleaning filters executed IN-STREAM, end-to-end (the 13th "
+    "runtime entry): the identical per-row expression tree of "
+    "c4_filters (terminal-punctuation + min-words line retention, "
+    "sentence-count page gate, lorem-ipsum / brace / bad-word gates) "
+    "over a maxFilesPerTrigger=1 micro-batch stream of the documents "
+    "table, append mode. STATELESS like the quality-filter runtime — "
+    "no aggregation, no state store, no watermark (nothing can be late "
+    "for a map) — so the emitted rows are exactly the batch twin's: "
+    "production ingest runs C4 cleaning at arrival time. Oracle is the "
+    "SAME SQL the batch entry hashes against.",
+    tags=("streaming", "runtime", "text", "curation", "quality"),
+)
+def q_streaming_c4_filter_runtime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import c4_filter_stream
+
+    return run_stream_to_memory(
+        c4_filter_stream(spark, sf_dir),
+        "tbmr_streaming_c4_filter_runtime",
+        "append",
+    )

@@ -526,3 +526,24 @@ def quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     return gopher_quality_impl(raw)
+
+
+def c4_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page/line gates applied IN-STREAM (the 13th runtime): like the
+    Gopher quality filter stream above, the filter is pure per-row
+    column math (line array filter/transform, substring gates — zero
+    aggregation, zero state), so the identical `c4_filters_impl`
+    expression tree runs unchanged on the micro-batch stream and the
+    append-mode emission is exactly the batch result per arriving file.
+    No state store, no watermark: nothing can be late for a stateless
+    map."""
+    from ..operators.curation import c4_filters_impl
+
+    stage = _staging_dir(sf_dir, "documents")
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return c4_filters_impl(raw)
