@@ -253,81 +253,77 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Round-11 driver window, in priority order (VERDICT r10 #8): (1) ALL
-# ten new r11 catalog entries first (exact-substring decontamination,
-# the Gopher repetition + quality rule halves, the C4 filters, the
-# curation funnel, the linkage threshold sweep); (2) the
-# changed-after-green re-proves — dup_span_coverage_exact carries the
-# r11 interval-union DISTINCT fix (VERDICT r10 #1, the judge-caught tie
-# flake) and must re-earn its hash-green row; dedup_exact_substring_
-# spans was refactored onto the shared _extend_seed_batches helper and
-# promoted into the headline bench set; the record-linkage family
-# gained the EM-recommended-path decision and the customer entry's
-# docstring note; decontam_eval_overlap is both the decontam sibling
-# and an r3-stale green; (3) the rotation leads VERDICT r10 named
-# (dedup_incremental_pairs, dedup_simhash_hamming_pairs,
-# zorder_pruning_stats) plus hilbert_pruning_stats (the order-8 curve
-# work touched its machinery's neighborhood); (4) the oldest-green
-# rotation — every remaining name last proved in r2/r3. Exactly 50
-# names (the driver's sample size). Hash-green but not re-proved this
-# round (lead the r12 rotation): tpch_q20_dominant_suppliers,
-# tpch_q8_market_share,
-# tpch_q9_product_profit,
-# unpivot_part_metrics,
-# vector_arithmetic, vocab_oov_coverage,
-# and the r4-vintage relational tail (argmax_aggregates, array_setops,
-# basket_part_pairs, best_day_per_month, ...).
+# Round-12 driver window, in priority order (rotation hygiene, VERDICT
+# r11 #7): (1) ALL six new r12 catalog entries first — the
+# matched-budget dedup removal sweep, the C4 three-sentence-span corpus
+# dedup, the oracle-checked materialized curation flag table, SemDeDup
+# embedding pruning, the MinHash estimator-error eval, and the 13th
+# streaming runtime (in-stream C4 filters); (2) the changed-after-green
+# re-proves — curation_funnel_stats and curation_filter_ablation now
+# read the shared checkpointed flag table (VERDICT r11 #4), c4_filters
+# was split into impl + register (oracle string moved to the shared
+# _C4_ORACLE constant, byte-identical) and its span explode gained a
+# checkpoint barrier, gopher_repetition_rules was promoted into the
+# headline bench set (VERDICT r11 #5); (3) the rotation leads VERDICT
+# r11 named (tpch_q20/q8/q9, unpivot_part_metrics, vector_arithmetic,
+# vocab_oov_coverage — the last r3-vintage greens); (4) the oldest-green
+# rotation — the r4-vintage relational tail in last-green order.
+# Exactly 50 names (the driver's sample size).
 _PINNED_FIRST = (
-    "decontam_exact_substring",
-    "gopher_repetition_rules",
-    "gopher_quality_rules",
-    "c4_filters",
+    # (1) new r12 entries
+    "dedup_removal_sweep",
+    "c4_sentence_span_dedup",
+    "curation_flags_table",
+    "semdedup_embedding_prune",
+    "minhash_estimate_error",
+    "streaming_c4_filter_runtime",
+    # (2) changed after green
     "curation_funnel_stats",
-    "record_linkage_threshold_sweep",
     "curation_filter_ablation",
-    "decontam_scrub_text",
-    "dedup_scrub_spans",
-    "streaming_quality_filter_runtime",
-    "dup_span_coverage_exact",
-    "dedup_exact_substring_spans",
-    "record_linkage_customer",
-    "record_linkage_em_pairs",
-    "record_linkage_em_weights",
-    "decontam_eval_overlap",
-    "dedup_incremental_pairs",
-    "dedup_simhash_hamming_pairs",
-    "zorder_pruning_stats",
-    "hilbert_pruning_stats",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "agg_salted_skew",
-    "centroid_per_label",
-    "compaction_plan_stats",
-    "doc_char_entropy",
-    "domain_mix_weights",
-    "embedding_norm_stats",
-    "embeddings_dim_stats",
-    "funnel_signup_purchase",
-    "hapax_rate_per_lang",
-    "key_skew_report",
-    "mix_quota_sample",
-    "multimodal_decode_stats",
-    "multimodal_resize_thumbs",
-    "multimodal_wav_features",
-    "multimodal_y4m_motion",
-    "pack_sequences_stats",
-    "profile_documents",
-    "rag_chunk_stats",
-    "setop_all_variants",
-    "shard_assignment_stats",
-    "source_lang_quality_matrix",
-    "stratified_token_quantiles",
-    "token_regex_count",
-    "top_bigrams_per_lang",
-    "tpch_q11_value_concentration",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
+    "c4_filters",
+    "gopher_repetition_rules",
+    # (3) rotation leads named by VERDICT r11
+    "tpch_q20_dominant_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "unpivot_part_metrics",
+    "vector_arithmetic",
+    "vocab_oov_coverage",
+    # (4) oldest-green rotation (r4 vintage, last-green order)
+    "argmax_aggregates",
+    "array_setops",
+    "basket_part_pairs",
+    "best_day_per_month",
+    "bitwise_ops",
+    "conditional_aggregates",
+    "correlated_min_subquery",
+    "cross_join_bounded",
+    "cumulative_revenue_share",
+    "customer_ltv_deciles",
+    "date_interval_arithmetic",
+    "discount_effect_by_band",
+    "event_type_transitions",
+    "events_anomaly_trailing_z",
+    "events_dow_hour_heatmap",
+    "events_error_rate_hourly",
+    "events_interarrival_stats",
+    "events_rollup_day_from_hour",
+    "explode_outer_rare_tokens",
+    "forward_fill_values",
+    "inline_struct_explode",
+    "ivf_kmeans_assignments",
+    "join_hint_shuffle_hash",
+    "join_right_outer",
+    "json_map_explode",
+    "json_struct_parse",
+    "lateral_topk_per_nation",
+    "limit_offset_page",
+    "median_by_status",
+    "mode_priority_per_status",
+    "nested_struct_ops",
+    "null_safe_join",
+    "null_scalar_functions",
+    "orders_first_vs_repeat",
 )
 _PINNED_RANK = {name: i for i, name in enumerate(_PINNED_FIRST)}
 
