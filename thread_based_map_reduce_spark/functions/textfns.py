@@ -83,3 +83,37 @@ def token_ngrams(text: Column | str, n: int) -> Column:
     Convenience form; prefer tokenize-once + :func:`ngrams_of_tokens` in
     hot paths (see that function's warning)."""
     return ngrams_of_tokens(tokens(text), n)
+
+
+# -- SQL-string twins (r12) ----------------------------------------------------
+#
+# Building large in-row HOF pipelines with pyspark Column calls costs one
+# py4j round-trip per node — measured ~2 s of pure driver time per call on
+# the gopher tree. These helpers emit Spark SQL strings for selectExpr so
+# a whole stage is one parse. Semantics are kept IDENTICAL to the Column
+# builders above (same guards, same empty-array behavior).
+
+EMPTY_INT_ARRAY_SQL = "CAST(array() AS ARRAY<INT>)"
+
+
+def tokens_sql(text: str = "text") -> str:
+    """SQL twin of :func:`tokens`."""
+    return f"filter(split({text}, ' '), t -> t <> '')"
+
+
+def seq1_sql(n_expr: str) -> str:
+    """SQL twin of ``_positions``: sequence(1, n) guarded against the
+    descending sequence(1, 0)."""
+    return (
+        f"CASE WHEN {n_expr} >= 1 THEN sequence(1, {n_expr}) "
+        f"ELSE {EMPTY_INT_ARRAY_SQL} END"
+    )
+
+
+def ngrams_sql(tk: str, n: int) -> str:
+    """SQL twin of :func:`ngrams_of_tokens` (space-joined n-token slices
+    from an already-projected token array column)."""
+    return (
+        f"transform({seq1_sql(f'size({tk}) - {n - 1}')}, "
+        f"i -> concat_ws(' ', slice({tk}, i, {n})))"
+    )

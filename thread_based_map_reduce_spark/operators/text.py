@@ -13,10 +13,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.textfns import char_ngrams_of_chars, ngrams_of_tokens, tokens
+from ..functions.textfns import (
+    EMPTY_INT_ARRAY_SQL as _EMPTY_INT_ARR,
+    char_ngrams_of_chars,
+    ngrams_of_tokens,
+    ngrams_sql as _ngrams_sql,
+    tokens,
+)
 from ..plans.catalog import register
 from ..session import reliable_checkpoint
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread_small_scan
 
 # deterministic English-marker stopword list (subset of the corpus vocab)
 EN_MARKERS = ("the", "a", "is", "of")
@@ -2571,155 +2577,156 @@ GOPHER_DUP_LINE_CHAR_FRAC_MAX = 0.20
 GOPHER_DUP_PARA_CHAR_FRAC_MAX = 0.20
 
 
-def _dup_unit_stats(docs: DataFrame, sep: str, prefix: str) -> DataFrame:
-    """Per-doc duplicate-unit stats for lines (sep='\\n') or paragraphs
-    (sep='\\n\\n'): (doc_id, {prefix}_frac, {prefix}_char_frac). Empty
-    units are dropped; a doc with <= 1 unit scores 0 on both."""
-    units = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split("text", sep), lambda u: u != F.lit(""))
-        ).alias("u"),
-    )
-    grp = units.groupBy("doc_id", "u").agg(
-        F.count("*").alias("cnt"), F.length("u").alias("ln")
-    )
-    frac = (F.col("n_units") - F.col("n_distinct")) / F.nullif(
-        F.col("n_units").cast("double"), F.lit(0.0)
-    )
-    cfrac = F.col("dup_chars") / F.nullif(
-        F.col("tot_chars").cast("double"), F.lit(0.0)
-    )
+def _rep_idx_sql(su: str) -> str:
+    """SQL: 1-based indices i >= 2 into a SORTED array ``su`` with
+    su[i] == su[i-1] — one entry per repeated occurrence beyond the
+    first (so size(result) == n_units - n_distinct)."""
     return (
-        grp.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_units"),
-            F.count("*").alias("n_distinct"),
-            F.sum(F.col("cnt") * F.col("ln")).alias("tot_chars"),
-            F.sum(
-                F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.col("ln"))
-                .otherwise(0)
-            ).alias("dup_chars"),
-        )
-        .select(
-            "doc_id",
-            F.coalesce(frac, F.lit(0.0)).alias(f"{prefix}_frac"),
-            F.coalesce(cfrac, F.lit(0.0)).alias(f"{prefix}_char_frac"),
-        )
+        f"filter(CASE WHEN size({su}) >= 2 THEN sequence(2, size({su})) "
+        f"ELSE {_EMPTY_INT_ARR} END, "
+        f"i -> element_at({su}, i) = element_at({su}, i - 1))"
+    )
+
+
+def _run_starts_sql(sg: str) -> str:
+    """SQL: 1-based run-start indices into a SORTED array ``sg`` (index 1
+    plus every i with sg[i] != sg[i-1]) — one entry per distinct value."""
+    return (
+        f"filter(CASE WHEN size({sg}) >= 1 THEN sequence(1, size({sg})) "
+        f"ELSE {_EMPTY_INT_ARR} END, "
+        f"i -> i = 1 OR element_at({sg}, i) <> element_at({sg}, i - 1))"
     )
 
 
 def gopher_repetition_impl(docs: DataFrame) -> DataFrame:
-    """All Gopher repetition statistics in one per-doc row. 100 TB shape:
-    every stage is doc_id-local (explode -> doc-keyed aggregate or
-    doc-partitioned window); the n-gram branches re-read one compact
-    checkpointed token table rather than re-scanning the corpus; the
-    final assembly is narrow doc_id equi-joins. No cross-doc work at all
-    — the filter streams over any corpus partitioning."""
-    toked = reliable_checkpoint(docs.select("doc_id", tokens("text").alias("tk")))
-    base = toked.select(
+    """All Gopher repetition statistics in one per-doc row. 100 TB shape
+    (r12): every statistic is doc-local, so the WHOLE filter is computed
+    in-row with higher-order functions over the token / line / gram
+    arrays — a single map-only pass, zero shuffles, zero joins (the r11
+    shape exploded into 11 doc-keyed aggregate/window branches and
+    reassembled them with 12 shuffle-hash joins; same numbers, ~20
+    exchanges removed). Sorted-array run-length scans replace the
+    groupBys; the duplicated-gram interval union is one forward sweep
+    over position-ordered intervals. Per-row cost is
+    O(tokens * log tokens + tokens * |duplicated grams|) — docs are
+    KB-scale, so this streams over any corpus partitioning.
+
+    Two implementation disciplines, both measured:
+    - staging: every array an HOF lambda reads is projected as its OWN
+      named column in an earlier select (a lambda-captured composite
+      expression is re-evaluated per ELEMENT — the 30x trap documented
+      in functions/textfns.py; measured here: 9.7 s -> 1.6 s at sf0.01);
+    - SQL-string construction via selectExpr: building this tree with
+      ~2000 pyspark Column calls costs ~2.3 s of py4j round-trips PER
+      CALL on the driver; parsing a handful of SQL strings is ms."""
+    top_ns, dup_ns = tuple(GOPHER_TOP_NGRAM_MAX), tuple(GOPHER_DUP_NGRAM_MAX)
+    all_ns = (*top_ns, *dup_ns)
+    zero = "CAST(0 AS BIGINT)"
+
+    # s1: raw arrays off the scan
+    d = docs.selectExpr(
         "doc_id",
-        F.length(F.array_join("tk", " ")).cast("bigint").alias("total_chars"),
+        "filter(split(text, ' '), t -> t <> '') AS tk",
+        "filter(split(text, '\n'), u -> u <> '') AS lines",
+        "filter(split(text, '\n\n'), u -> u <> '') AS paras",
     )
-    lstat = _dup_unit_stats(docs, "\n", "dup_line")
-    pstat = _dup_unit_stats(docs, "\n\n", "dup_para")
-
-    # top-{2,3,4}-gram char mass: count of the most frequent gram x its
-    # char length (ties on count -> longest gram, deterministic)
-    tops = []
-    for n in GOPHER_TOP_NGRAM_MAX:
-        g = (
-            toked.select(
-                "doc_id", F.explode(ngrams_of_tokens(F.col("tk"), n)).alias("g")
-            )
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("cnt"))
-        )
-        mc = g.groupBy("doc_id").agg(F.max("cnt").alias("mc"))
-        tops.append(
-            g.join(mc, "doc_id")
-            .where(F.col("cnt") == F.col("mc"))
-            .groupBy("doc_id", "mc")
-            .agg(F.max(F.length("g")).alias("toplen"))
-            .select(
-                "doc_id",
-                (F.col("mc") * F.col("toplen"))
-                .cast("bigint")
-                .alias(f"top{n}_chars"),
-            )
-        )
-
-    # duplicated-{5..10}-gram coverage: char intervals of every occurrence
-    # of a within-doc duplicated gram, unioned so overlaps count once
-    tokp = toked.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
-    w_doc = W.partitionBy("doc_id").orderBy("pos")
-    tokoff = tokp.select(
+    # s2: sorted twins, char offsets, gram arrays (all from tk).
+    # offs[p] (1-based) = char offset of token p-1 in the space-joined
+    # doc; offs has size(tk)+1 entries.
+    d = d.selectExpr(
         "doc_id",
-        "pos",
-        F.coalesce(
-            F.sum(F.length("tok") + 1).over(
-                w_doc.rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("off"),
-        F.length("tok").alias("ln"),
-    ).select(
-        "doc_id", "pos", "off", (F.col("off") + F.col("ln")).alias("end_off")
+        "lines",
+        "paras",
+        "array_sort(lines) AS su_line",
+        "array_sort(paras) AS su_para",
+        "CAST(length(array_join(tk, ' ')) AS BIGINT) AS total_chars",
+        f"aggregate(tk, array({zero}), (acc, x) -> "
+        "concat(acc, array(element_at(acc, -1) + length(x) + 1))) AS offs",
+        *[f"{_ngrams_sql('tk', n)} AS g{n}" for n in all_ns],
     )
-    dup_ivals = None
-    for n in GOPHER_DUP_NGRAM_MAX:
-        gp = toked.select(
-            "doc_id",
-            F.posexplode(ngrams_of_tokens(F.col("tk"), n)).alias("pos", "g"),
-        )
-        dup = (
-            gp.select(
-                "doc_id",
-                "pos",
-                F.count("*").over(W.partitionBy("doc_id", "g")).alias("cnt"),
-            )
-            .where(F.col("cnt") >= 2)
-            .select("doc_id", "pos", F.lit(n).alias("n"))
-        )
-        iv = (
-            dup.join(tokoff.select("doc_id", "pos", "off"), ["doc_id", "pos"])
-            .join(
-                tokoff.select(
-                    "doc_id",
-                    (F.col("pos") - (n - 1)).alias("pos"),
-                    F.col("end_off").alias("e"),
-                ),
-                ["doc_id", "pos"],
-            )
-            .select("doc_id", "n", F.col("off").alias("s"), "e")
-        )
-        dup_ivals = iv if dup_ivals is None else dup_ivals.unionAll(iv)
-    from .dedup import _interval_union_coverage
-
-    dcov = _interval_union_coverage(
-        dup_ivals.distinct(), keys=("doc_id", "n")
+    # s3: sorted gram arrays + repeated-occurrence index arrays
+    d = d.selectExpr(
+        "*",
+        *[f"array_sort(g{n}) AS sg{n}" for n in all_ns],
+        f"{_rep_idx_sql('su_line')} AS rep_line",
+        f"{_rep_idx_sql('su_para')} AS rep_para",
     )
-    dpiv = dcov.groupBy("doc_id").agg(
+    # s4: run starts (top ns) and duplicated-gram sets (dup ns)
+    d = d.selectExpr(
+        "*",
+        *[f"{_run_starts_sql(f'sg{n}')} AS starts{n}" for n in top_ns],
         *[
-            F.sum(F.when(F.col("n") == n, F.col("covered_tokens")))
-            .cast("bigint")
-            .alias(f"dup{n}_chars")
-            for n in GOPHER_DUP_NGRAM_MAX
-        ]
+            f"array_distinct(transform({_rep_idx_sql(f'sg{n}')}, "
+            f"i -> element_at(sg{n}, i))) AS dupset{n}"
+            for n in dup_ns
+        ],
     )
-
-    # every assembly input is a CORPUS-SIZED per-doc table — pin the
-    # joins SHUFFLE_HASH so no flag/stat table ever becomes a broadcast
-    # build (measured r11: the unpinned funnel composition OOMed the
-    # 24g local JVM at the 500k-doc fixture when AQE broadcast several
-    # of these at once; doc_id-bucketed shuffle joins are the scale
-    # shape anyway)
-    out = base.join(lstat.hint("shuffle_hash"), "doc_id", "left").join(
-        pstat.hint("shuffle_hash"), "doc_id", "left"
+    # s5: the best (count, gram length) run per top-n (get() is 0-based,
+    # so get(starts, j) with 1-based j IS the next run start, NULL past
+    # the end -> end+1), and the positions of duplicated-gram occurrences
+    # per dup-n (ascending, so interval starts are sorted for the s6
+    # union sweep; nonempty dupset implies size(g) >= 2, so sequence
+    # never takes the descending sequence(1, 0) branch)
+    d = d.selectExpr(
+        "*",
+        *[
+            f"CASE WHEN size(starts{n}) >= 1 THEN "
+            f"array_max(transform(sequence(1, size(starts{n})), j -> "
+            f"named_struct("
+            f"'cnt', coalesce(get(starts{n}, j), size(sg{n}) + 1) "
+            f"- element_at(starts{n}, j), "
+            f"'ln', length(element_at(sg{n}, element_at(starts{n}, j)))"
+            f"))) END AS best{n}"
+            for n in top_ns
+        ],
+        *[
+            f"CASE WHEN size(dupset{n}) > 0 THEN "
+            f"filter(sequence(1, size(g{n})), "
+            f"p -> array_contains(dupset{n}, element_at(g{n}, p))) "
+            f"ELSE {_EMPTY_INT_ARR} END AS ps{n}"
+            for n in dup_ns
+        ],
     )
-    for t in tops:
-        out = out.join(t.hint("shuffle_hash"), "doc_id", "left")
-    out = out.join(dpiv.hint("shuffle_hash"), "doc_id", "left")
+    # s6: the per-doc stat row (same values the r11 join assembly built).
+    # Duplicated-gram coverage: forward sweep = gaps-and-islands interval
+    # union (starts ascending); the interval for 1-based gram position p
+    # is [offs[p], offs[p+n] - 1).
+    unit_stats = []
+    for prefix, units, su, rep in (
+        ("dup_line", "lines", "su_line", "rep_line"),
+        ("dup_para", "paras", "su_para", "rep_para"),
+    ):
+        tot = f"aggregate({units}, {zero}, (a, x) -> a + length(x))"
+        dupc = f"aggregate({rep}, {zero}, (a, i) -> a + length(element_at({su}, i)))"
+        unit_stats.append(
+            f"CASE WHEN size({units}) > 0 THEN "
+            f"size({rep}) / CAST(size({units}) AS DOUBLE) "
+            f"ELSE 0.0D END AS {prefix}_frac"
+        )
+        unit_stats.append(
+            f"CASE WHEN {tot} > 0 THEN {dupc} / CAST({tot} AS DOUBLE) "
+            f"ELSE 0.0D END AS {prefix}_char_frac"
+        )
+    out = d.selectExpr(
+        "doc_id",
+        "total_chars",
+        *unit_stats,
+        *[
+            f"CASE WHEN size(sg{n}) > 0 THEN "
+            f"CAST(best{n}.cnt AS BIGINT) * CAST(best{n}.ln AS BIGINT) "
+            f"END AS top{n}_chars"
+            for n in top_ns
+        ],
+        *[
+            f"aggregate(ps{n}, named_struct('cov', {zero}, 'cur', {zero}), "
+            f"(acc, p) -> named_struct("
+            f"'cov', acc.cov + greatest((element_at(offs, p + {n}) - 1) "
+            f"- greatest(acc.cur, element_at(offs, p)), {zero}), "
+            f"'cur', greatest(acc.cur, element_at(offs, p + {n}) - 1)), "
+            f"acc -> acc.cov) AS dup{n}_chars"
+            for n in dup_ns
+        ],
+    )
 
     tc = F.nullif(F.col("total_chars").cast("double"), F.lit(0.0))
     cols = [F.col("doc_id")]
@@ -2894,13 +2901,13 @@ def _gopher_oracle_sql() -> str:
     "Table A1 — the most-cited repetition filter in LLM-data papers): "
     "per-doc duplicate line/paragraph fractions and char fractions, "
     "top-{2,3,4}-gram char fractions, duplicated-{5..10}-gram char "
-    "fractions (overlaps counted ONCE via the interval-union machinery "
-    "shared with the exact-substring dedup family), each against its "
-    "published threshold; passes_gopher_repetition = all gates hold. "
-    "100 TB shape: entirely doc_id-local — explodes, doc-keyed "
-    "aggregates, and doc-partitioned windows over one compact "
-    "checkpointed token table; the filter streams over any corpus "
-    "partitioning with no cross-doc shuffle",
+    "fractions (overlaps counted ONCE via a position-ordered interval-"
+    "union sweep — the same union semantics as the exact-substring dedup "
+    "family), each against its published threshold; "
+    "passes_gopher_repetition = all gates hold. 100 TB shape (r12): "
+    "every statistic is doc-local, so the whole filter is ONE map-only "
+    "pass of higher-order functions over the token/line/gram arrays — "
+    "zero shuffles, zero joins; streams over any corpus partitioning",
     tags=("text", "curation"),
     # VERDICT r11 #5: at ~8 s (sf0.1) this is the heaviest recommended-path
     # operator — promoted into the headline set so the driver's bench
@@ -2908,7 +2915,11 @@ def _gopher_oracle_sql() -> str:
     bench=True,
 )
 def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_repetition_impl(load_table(spark, sf_dir, "documents"))
+    # the whole filter is map-only, so a KB-scale single-row-group scan
+    # would serialize it on one task; no-op at real scale (guide §2.5)
+    return gopher_repetition_impl(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 # -- Gopher quality rules: the non-repetition half (round 11) ------------------

@@ -102,6 +102,49 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[path]
 
 
+# One scan task per SPREAD_SMALL_MAX_BYTES of input decides "under-
+# parallel": a single-row-group KB-scale parquet file yields a ONE-task
+# scan no conf can split (row groups are the parallelism floor), which
+# serializes every downstream map-only operator. Overridable for
+# experiments; 0 disables spreading entirely.
+SPREAD_SMALL_MAX_BYTES = int(
+    os.environ.get("TBMR_SPREAD_SMALL_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to full core parallelism — ONLY when
+    the entire input is tiny (guide §2.5/§6: a one-row-group KB-scale file
+    scans as ONE task, serializing map-only pipelines; at 100 TB the scan
+    has thousands of splits and this helper is a no-op, so no corpus-sized
+    shuffle is ever introduced). The repartition cost is bounded by the
+    smallness test itself: it fires only when total input bytes <
+    SPREAD_SMALL_MAX_BYTES (64 MB default) AND the scan is already
+    single-digit-task. Deterministic output (round-robin sorts locally
+    before assigning, SPARK-23207), row-identical — safe for every
+    oracle-checked consumer."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 1 or SPREAD_SMALL_MAX_BYTES <= 0:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:  # synthetic frames (tests) are already parallelized
+        return df
+    total = 0
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df  # non-local storage: stay out of the way
+    if total >= SPREAD_SMALL_MAX_BYTES or len(files) >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
     return {name: load_table(spark, sf_dir, name) for name in names or TABLE_NAMES}
