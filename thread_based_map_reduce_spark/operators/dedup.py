@@ -37,11 +37,22 @@ from ..functions.hashing import (
     portable_hash64,
     portable_hash64_sql,
 )
-from ..functions.textfns import ngrams_of_tokens, tokens
+from ..functions.textfns import (
+    EMPTY_INT_ARRAY_SQL,
+    ngrams_of_tokens,
+    ngrams_sql,
+    tokens,
+    tokens_sql,
+)
 from ..session import reliable_checkpoint
 from ..functions.vectors import dot_product, l2_norm
 from ..plans.catalog import register
-from ..sources.registry import load_table, table_row_count, write_sink
+from ..sources.registry import (
+    load_table,
+    spread_small_scan,
+    table_row_count,
+    write_sink,
+)
 
 N_PERMS = 8
 N_BANDS = 4  # bands of 2 perms each: (mh0,mh1) (mh2,mh3) (mh4,mh5) (mh6,mh7)
@@ -4026,53 +4037,72 @@ _WIN_POSENC = 4096  # max in-doc gram positions; fp31 * 4096 + pos stays < 2^43
 _WIN_DF_CAP = 64  # pair join skips fingerprints selected in more docs (no dedup signal)
 
 
-def _winnow_keyed(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, gram, key) for every complete k-gram; key is the
-    tie-free winnowing order key. One scan, per-row transforms only.
-    Takes the documents frame directly so planted-fixture tests can
-    drive the whole winnow/extend pipeline on synthetic corpora."""
-    toked = docs.select("doc_id", tokens("text").alias("tk"))
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(ngrams_of_tokens(F.col("tk"), _WIN_K)).alias("pos", "gram"),
-    )
-    fp = portable_hash64(F.col("gram")) % F.lit(MINHASH_PRIME)
-    return grams.select(
-        "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
-        "gram",
-        (fp * _WIN_POSENC + (F.lit(_WIN_POSENC - 1) - F.col("pos"))).alias("key"),
-    )
-
-
 def _winnow_selected(docs: DataFrame) -> DataFrame:
-    """Selected fingerprints: distinct window-min keys joined back to the
-    gram rows — (doc_id, pos, gram, fp). The window pass and the decode
-    join are both doc_id-local (one hash partition by doc_id, reused);
-    the selected set is ~2/(W+1) ≈ 40% of grams."""
-    keyed = _winnow_keyed(docs)
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    part = W.partitionBy("doc_id")
-    sel = (
-        keyed.select(
-            "doc_id",
-            "pos",
-            F.min("key").over(win).alias("mkey"),
-            F.count("*").over(part).alias("n_grams"),
-        )
-        # complete windows only (canonical winnowing: a doc with fewer
-        # than W grams, i.e. < W+K-1 tokens, selects nothing). Filter
-        # AFTER the window projection so frames saw every row.
-        .where(F.col("pos") <= F.col("n_grams") - _WIN_W)
-        .select("doc_id", F.col("mkey").alias("key"))
-        .distinct()
-    )
-    return sel.join(keyed, ["doc_id", "key"]).select(
+    """Selected fingerprints: (doc_id, pos, gram, fp) — one row per
+    window-min key occurrence, ~2/(W+1) ≈ 40% of grams.
+
+    r12 map-only shape: winnowing is doc-local, so the old shape's
+    doc_id window pass + distinct + decode join-back (3 exchanges) are
+    computed in-row instead — the (gram, key) array, per-window mins via
+    least() over the W shifted reads (complete windows only, canonical
+    winnowing), a distinct min-key set, and a membership-filter decode;
+    one explode at the end. The BIGINT key is a tie-free total order
+    (fp31 * POSENC + POSENC-1-pos), so set-membership decode is row-for-
+    row the old (doc_id, key) join. Zero exchanges; streams over any
+    corpus partitioning. Takes the documents frame directly so planted-
+    fixture tests can drive the whole winnow/extend pipeline.
+
+    Staging discipline (see gopher_repetition_impl): every composite
+    array an HOF lambda reads is its own named column with >= 2 genuine
+    references, or referenced only outside lambdas — a lambda-captured
+    composite is re-evaluated per element."""
+    enc, w, prime = _WIN_POSENC, _WIN_W, MINHASH_PRIME
+    d = docs.selectExpr("doc_id", f"{tokens_sql('text')} AS tk")
+    d = d.selectExpr("doc_id", f"{ngrams_sql('tk', _WIN_K)} AS g")
+    hash_i = "CAST(conv(substr(md5(element_at(g, i)), 1, 15), 16, 10) AS BIGINT)"
+    d = d.selectExpr(
         "doc_id",
-        "pos",
-        "gram",
-        F.expr(f"key div {_WIN_POSENC}").cast("bigint").alias("fp"),
+        f"CASE WHEN size(g) >= 1 THEN transform(sequence(1, size(g)), "
+        f"i -> named_struct('gram', element_at(g, i), "
+        f"'key', ({hash_i} % {prime}) * {enc} + ({enc - 1} - (i - 1)))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<gram: STRING, key: BIGINT>>) "
+        f"END AS gk",
     )
+    least_args = ", ".join(f"element_at(gk, p + {j}).key" for j in range(w))
+    d = d.selectExpr(
+        "doc_id",
+        "gk",
+        f"CASE WHEN size(gk) >= {w} THEN array_distinct(transform("
+        f"sequence(1, size(gk) - {w - 1}), p -> least({least_args}))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END AS selkeys",
+    )
+    d = d.selectExpr(
+        "doc_id",
+        "gk",
+        f"CASE WHEN size(selkeys) > 0 THEN "
+        f"filter(sequence(1, size(gk)), "
+        f"i -> array_contains(selkeys, element_at(gk, i).key)) "
+        f"ELSE {EMPTY_INT_ARRAY_SQL} END AS selpos",
+    )
+    d = d.selectExpr(
+        "doc_id",
+        # gk is referenced twice inside this lambda (gram + fp), so
+        # CollapseProject cannot re-inline its construction
+        f"transform(selpos, i -> named_struct("
+        f"'pos', CAST(i - 1 AS BIGINT), "
+        f"'gram', element_at(gk, i).gram, "
+        f"'fp', element_at(gk, i).key div {enc})) AS warr",
+    )
+    # explode_OUTER, then drop the null rows of fingerprint-less docs:
+    # a plain explode triggers InferFiltersFromGenerate, whose inferred
+    # size(warr) > 0 filter is pushed below every staged projection and
+    # textually inlines the WHOLE winnow chain into one expression —
+    # measured exponential blowup (a 70 KB filter holding 32 copies of
+    # the gram-hash pass; the query stopped finishing). The rule skips
+    # outer generates, and the IS NOT NULL filter on the generate OUTPUT
+    # cannot be pushed below the Generate.
+    d = d.selectExpr("doc_id", "explode_outer(warr) AS s").where("s IS NOT NULL")
+    return d.selectExpr("doc_id", "s.pos AS pos", "s.gram AS gram", "s.fp AS fp")
 
 
 _WINNOW_SQL = f"""
@@ -4129,14 +4159,14 @@ _WINNOW_SQL = f"""
     "tie rule, encoded tie-free in a single BIGINT key so one window-min "
     "agrees across engines) — keeps ~2/(W+1) of grams while GUARANTEEING "
     f"any match of >= {_WIN_W + _WIN_K - 1} tokens shares a selected "
-    "fingerprint. 100 TB shape: one scan, per-row gram explode, one "
-    "doc_id-partitioned window pass and a doc_id-local decode join — no "
-    "cross-doc shuffle at all; the selected table is the compact "
-    "substring-dedup index dedup_winnow_pairs queries",
+    "fingerprint. 100 TB shape (r12): winnowing is doc-local, so the "
+    "whole pass is map-only in-row HOF work — key array, least()-window "
+    "mins, membership decode — zero shuffles; the selected table is the "
+    "compact substring-dedup index dedup_winnow_pairs queries",
     tags=("dedup", "text", "fingerprint"),
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return _winnow_selected(docs).select("doc_id", "pos", "fp")
 
 
@@ -4186,29 +4216,30 @@ _WINNOW_PAIRS_CTE_SQL = f"""wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfi
     tags=("dedup", "text", "fingerprint", "join"),
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = reliable_checkpoint(
-        _winnow_selected(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "fp", "gram")
-        .distinct()
+    # r12 shape: the old distinct -> df-count -> join-back -> fp-bucketed
+    # self-join (5 exchanges + a checkpoint) is one groupBy(fp, gram)
+    # with collect_set(doc_id) (the set IS the distinct), the df cap and
+    # cross-doc pair generation in-row over the capped bucket, and one
+    # pair groupBy — 2 exchanges, no checkpoint, never a broadcast. The
+    # winnow pass itself is map-only (_winnow_selected).
+    grp = (
+        _winnow_selected(
+            spread_small_scan(load_table(spark, sf_dir, "documents"))
+        )
+        .groupBy("fp", "gram")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .where(f"size(ds) >= 2 AND size(ds) <= {_WIN_DF_CAP}")
+        .selectExpr("array_sort(ds) AS so")
     )
-    df = sel.groupBy("fp", "gram").agg(F.count("*").alias("df"))
-    rare = sel.join(df.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
-        "doc_id", "fp", "gram"
+    pair_sql = (
+        "flatten(transform(sequence(1, size(so)), i -> "
+        "transform(filter(sequence(1, size(so)), j -> j > i), "
+        "j -> named_struct('doc_a', element_at(so, i), "
+        "'doc_b', element_at(so, j)))))"
     )
-    # shuffle-hash for the fingerprint self-join — rare is corpus-sized
-    # and checkpoint-derived (same static-broadcast hazard as the LSH
-    # verify join); the pair join must bucket by fp, never broadcast
-    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grp.selectExpr(f"explode({pair_sql}) AS p")
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
@@ -4308,26 +4339,37 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     checkpoint-backed — the r9 static-broadcast hazard); per-seed work is
     O(span length) array probing, embarrassingly parallel. Seed volume is
     bounded by winnow density (~2/(W+1) of grams) x the df cap."""
-    sel = reliable_checkpoint(_winnow_selected(docs))
-    dfc = (
-        sel.select("doc_id", "fp", "gram")
-        .distinct()
+    # r12 seed shape: ONE groupBy(fp, gram) replaces the old
+    # distinct -> df-count -> join-back -> fp-bucketed self-join chain
+    # (4 exchanges -> 1). Each fingerprint bucket collects its
+    # (doc_id, pos) occurrences; the df cap and the cross-doc pair
+    # generation run IN-ROW over the (df-capped, so bounded) bucket —
+    # the same pairs the self-join produced, doc_a < doc_b. The winnow
+    # pass itself is map-only (see _winnow_selected), so seeds now cost
+    # exactly one shuffle of the winnowed index.
+    grp = (
+        _winnow_selected(docs)
         .groupBy("fp", "gram")
-        .agg(F.count("*").alias("df"))
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
+        .selectExpr(
+            "occs",
+            "size(array_distinct(transform(occs, o -> o.doc_id))) AS df",
+        )
+        .where(f"df >= 2 AND df <= {_WIN_DF_CAP}")
+        .selectExpr("array_sort(occs) AS so")
     )
-    rare = sel.join(dfc.where(F.col("df") <= _WIN_DF_CAP), ["fp", "gram"]).select(
-        "doc_id", "pos", "fp", "gram"
+    pair_sql = (
+        "flatten(transform(sequence(1, size(so)), i -> "
+        "transform(filter(sequence(1, size(so)), "
+        "j -> element_at(so, j).doc_id > element_at(so, i).doc_id), "
+        "j -> named_struct("
+        "'doc_a', element_at(so, i).doc_id, "
+        "'doc_b', element_at(so, j).doc_id, "
+        "'pos_a', element_at(so, i).pos, "
+        "'pos_b', element_at(so, j).pos))))"
     )
-    a = rare.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp", "gram"
-    )
-    b = rare.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "fp", "gram"
-    ).hint("shuffle_hash")
-    seeds = (
-        a.join(b, ["fp", "gram"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    seeds = grp.selectExpr(f"explode({pair_sql}) AS p").selectExpr(
+        "p.doc_a AS doc_a", "p.doc_b AS doc_b", "p.pos_a AS pos_a", "p.pos_b AS pos_b"
     )
     # Collapse seeds per (doc_a, doc_b) BEFORE touching token arrays: a
     # near-dup pair shares most of its winnowed fingerprints, so the raw
@@ -4337,8 +4379,9 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     # the seed list ships each array exactly once; the per-seed extension
     # then runs inside a transform() lambda over that list — same total
     # probe work, 2-3 orders of magnitude less join traffic. DISTINCT
-    # positions: duplicate (pos_a, pos_b) seeds cannot arise (wfinger is
-    # key-distinct), but collect_set is the cheap belt anyway.
+    # positions: duplicate (pos_a, pos_b) seeds arise only when one pair
+    # shares several (fp, gram) buckets at the same positions —
+    # collect_set dedupes them exactly as it did for the self-join.
     seed_arr = seeds.groupBy("doc_a", "doc_b").agg(
         F.collect_set(F.struct("pos_a", "pos_b")).alias("sps")
     )
@@ -4429,7 +4472,9 @@ _SPAN_CTES_SQL = f"""wseed AS (
     bench=True,  # r11: heaviest recommended-path operator, guard its perf
 )
 def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_substring_spans_impl(load_table(spark, sf_dir, "documents"))
+    return exact_substring_spans_impl(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(
@@ -4501,7 +4546,9 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("dedup", "text", "fingerprint", "curation"),
 )
 def q_dup_span_coverage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return span_coverage_impl(load_table(spark, sf_dir, "documents"))
+    return span_coverage_impl(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def _interval_union_coverage(
