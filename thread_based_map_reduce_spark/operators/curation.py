@@ -33,7 +33,7 @@ from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..functions.textfns import ngrams_of_tokens, tokens
 from ..plans.catalog import register
 from ..session import reliable_checkpoint
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread_small_scan
 
 # Production decontamination uses 8-13-token grams; the synthetic corpus
 # draws ~100 tokens/doc from a ~30-word vocabulary, so 3-grams (27k-point
@@ -191,6 +191,9 @@ def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread_small_scan'd (r12 A/B: 2.2s plain vs 3.0s spread at
+    # sf0.1 — the gram front is too cheap to amortize the extra exchange;
+    # the first groupBy already distributes the heavy half)
     docs = load_table(spark, sf_dir, "documents")
     # tokenize once (see decontam above: inline tokens(text) re-splits the
     # text per gram position — this pass measured 3.3->2.4 s at sf0.1)
@@ -1915,7 +1918,10 @@ def curation_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             return cached
         from .dedup import span_coverage_impl
 
-        docs = load_table(spark, sf_dir, "documents")
+        # spread: every constituent below has a map-heavy doc-local front
+        # (winnow hashing, gopher HOFs) that a one-row-group scan would
+        # serialize; no-op at real scale
+        docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
         rep = gopher_repetition_impl(docs).select(
             "doc_id", (~F.col("passes_gopher_repetition")).alias("x_rep")
         )

@@ -763,9 +763,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nodes from the CHECKPOINTED edges (symmetric, so src covers both
     # endpoints) — deriving them from `pairs` would re-run the whole
-    # shingle→minhash→verify pipeline a second time
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = reliable_checkpoint(nodes.select("node", F.col("node").alias("label")))
+    # shingle→minhash→verify pipeline a second time.
+    # r12: initialize each label to the min of the node's CLOSED
+    # neighborhood (min(node, neighbors)) instead of the node itself —
+    # the same groupBy that used to produce the node list performs what
+    # was previously the whole first propagation round, so near-clique
+    # components (the common LSH case) converge at init and the loop
+    # runs once to confirm instead of twice. Fixpoint unchanged: this is
+    # exactly the label state after round 1 of min-label propagation.
+    labels = reliable_checkpoint(
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "_mn").alias("label"),
+        )
+    )
     # Convergence check: per-node labels are non-increasing under min-label
     # propagation, so the TOTAL label sum strictly decreases iff any label
     # changed — one cheap aggregate per round instead of a new-vs-old join.
@@ -1114,7 +1127,9 @@ def jaccard_blocked_oracle_sql(threshold: float = 0.8, max_block: int = JACCARD_
     bench=True,
 )
 def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_blocked_pairs(load_table(spark, sf_dir, "documents"))
+    return jaccard_blocked_pairs(
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 # -- embedding-cosine near-dup --------------------------------------------------

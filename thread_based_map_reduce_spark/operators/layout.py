@@ -102,6 +102,56 @@ def _global_rank(
     )
 
 
+def _global_rank_layouts(
+    df: DataFrame,
+    layouts: list,
+    tiebreak: str = "o_orderkey",
+) -> DataFrame:
+    """:func:`_global_rank` for SEVERAL layouts in one pass (r12).
+
+    ``layouts`` is a list of (name, sort Column, bucket Column). The old
+    shape ran one `_global_rank` per layout — each paying its own bucket
+    count aggregate, broadcast offsets build, rank window, and scan of
+    the checkpointed frame, then unioned the branches. One layout-
+    exploded frame shares all of them: a single count aggregate, one
+    (layout, _b)-keyed broadcast, one rank window — half the jobs for
+    the two-layout queries. Rank values per layout are identical (the
+    window partitions by layout, so each layout's prefix-sum and
+    within-bucket order are untouched)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("layout"), s.alias("_s"), b.alias("_b")
+            )
+            for name, s, b in layouts
+        ]
+    )
+    base = (
+        df.select("*", F.explode(structs).alias("_l"))
+        .select("*", "_l.layout", "_l._s", "_l._b")
+        .drop("_l")
+    )
+    counts = base.groupBy("layout", "_b").agg(F.count("*").alias("_bn"))
+    offsets = counts.select(
+        "layout",
+        "_b",
+        F.coalesce(
+            F.sum("_bn").over(
+                W.partitionBy("layout")
+                .orderBy("_b")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.row_number().over(
+        W.partitionBy("layout", "_b").orderBy("_s", tiebreak)
+    )
+    return base.join(F.broadcast(offsets), ["layout", "_b"]).withColumn(
+        "rn", F.col("_off") + within
+    )
+
+
 @register(
     "zorder_pruning_stats",
     oracle=f"""
@@ -222,25 +272,22 @@ def q_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         * float(RANK_BUCKETS)
         / (F.col("maxo") - F.col("mino") + 1)
     )
-    branches = []
-    for layout, sortcol, bucketcol in (
-        ("natural", F.col("o_orderkey"), nat_bucket),
-        ("zorder", F.col("zv"), F.col("zv")),
-    ):
-        ranked = _global_rank(z, sortcol, bucketcol)
-        branches.append(
-            ranked.select(
-                F.lit(layout).alias("layout"),
-                F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
-                .cast("bigint")
-                .alias("file_id"),
-                "xq",
-                "yq",
-            )
-        )
+    ranked = _global_rank_layouts(
+        z,
+        [
+            ("natural", F.col("o_orderkey"), nat_bucket),
+            ("zorder", F.col("zv"), F.col("zv")),
+        ],
+    )
     files = (
-        branches[0]
-        .unionAll(branches[1])
+        ranked.select(
+            "layout",
+            F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
+            .cast("bigint")
+            .alias("file_id"),
+            "xq",
+            "yq",
+        )
         .groupBy("layout", "file_id")
         .agg(
             ((F.max("xq") - F.min("xq") + 1) / float(ZQ_CELLS)).alias("sx"),
@@ -494,22 +541,19 @@ def q_hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yq",
         )
     )
-    branches = []
-    for layout, sortcol in (("zorder", F.col("zv")), ("hilbert", F.col("hv"))):
-        ranked = _global_rank(z, sortcol, sortcol)
-        branches.append(
-            ranked.select(
-                F.lit(layout).alias("layout"),
-                F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
-                .cast("bigint")
-                .alias("file_id"),
-                "xq",
-                "yq",
-            )
-        )
+    ranked = _global_rank_layouts(
+        z,
+        [("zorder", F.col("zv"), F.col("zv")), ("hilbert", F.col("hv"), F.col("hv"))],
+    )
     files = (
-        branches[0]
-        .unionAll(branches[1])
+        ranked.select(
+            "layout",
+            F.floor((F.col("rn") - 1) * float(N_FILES) / F.col("n"))
+            .cast("bigint")
+            .alias("file_id"),
+            "xq",
+            "yq",
+        )
         .groupBy("layout", "file_id")
         .agg(
             ((F.max("xq") - F.min("xq") + 1) / float(ZQ_CELLS)).alias("sx"),
