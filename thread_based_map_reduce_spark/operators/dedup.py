@@ -3378,12 +3378,36 @@ _RL_CAND_SQL = f"""norm AS (
         cand AS (SELECT * FROM tcand UNION SELECT * FROM ncand)"""
 
 
+_RL_CAND_LOCK = threading.Lock()
+_RL_CAND_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
 def _rl_blocked_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(norm, tri, cand): normalized customer fields, the distinct name
     trigrams, and the multi-pass-blocked candidate pair set — the shared
-    front half of record_linkage_customer and its EM-weight twin."""
+    front half of ALL FOUR record-linkage entries (fixed-weight scoring,
+    EM weights, EM pairs, threshold sweep). r12: checkpointed ONCE per
+    (session, sf_dir) and shared — the curation_doc_flags precedent
+    (VERDICT r11 #4) — instead of each entry re-running the normalize +
+    trigram + two-pass blocking pipeline (3 checkpoints each). Results
+    are frames over eagerly-materialized checkpoints, so sharing them
+    changes no values; a fresh process (every bench/oracle invocation)
+    always recomputes from parquet."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _RL_CAND_LOCK:
+        cached = _RL_CAND_CACHE.get(key)
+        if cached is not None:
+            return cached
+        result = _rl_blocked_candidates_uncached(spark, sf_dir)
+        _RL_CAND_CACHE[key] = result
+        return result
+
+
+def _rl_blocked_candidates_uncached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     cust = load_table(spark, sf_dir, "customer")
     norm = reliable_checkpoint(
         cust.select(
