@@ -4386,13 +4386,18 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     # the same pairs the self-join produced, doc_a < doc_b. The winnow
     # pass itself is map-only (see _winnow_selected), so seeds now cost
     # exactly one shuffle of the winnowed index.
+    # df as an AGGREGATE output, not a projection over occs: the two-
+    # sided cap filter would otherwise substitute the projected
+    # array_distinct(transform(...)) expression into the pushed Filter
+    # TWICE (the filter-blowup plan gate catches exactly this); an agg
+    # attribute is referenced cheaply however many times the filter
+    # mentions it.
     grp = (
         _winnow_selected(docs)
         .groupBy("fp", "gram")
-        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
-        .selectExpr(
-            "occs",
-            "size(array_distinct(transform(occs, o -> o.doc_id))) AS df",
+        .agg(
+            F.collect_list(F.struct("doc_id", "pos")).alias("occs"),
+            F.countDistinct("doc_id").alias("df"),
         )
         .where(f"df >= 2 AND df <= {_WIN_DF_CAP}")
         .selectExpr("array_sort(occs) AS so")
