@@ -29,30 +29,25 @@ QUERIES = [
 
 
 def time_query(fn, spark, sf_dir: str, reps: int = 3) -> tuple[float, int]:
-    # Full evaluation, not count(): a bare count() lets Catalyst prune
-    # every projected column, so expensive output expressions (payload
-    # synthesis, array building) would be skipped and the upward ratio
-    # understated for arbitrary argv-passed queries (ADVICE r5). Hashing
-    # every column to one aggregate row forces each output expression to
-    # evaluate while keeping the driver-side result tiny.
-    from pyspark.sql import functions as F
-
-    best, rows = float("inf"), 0
+    # Time with the NOOP SINK (optimization guide §1.4): it eagerly
+    # computes every column of every row and discards the result. The
+    # previous form — count(xxhash64(*cols)) — turned out to measure
+    # NOTHING for map-only queries on Spark 4.1: xxhash64 is
+    # non-nullable, so Catalyst folds count(h) to a row count and prunes
+    # the scan to ReadSchema struct<> (verified r12: the probe plan reads
+    # zero columns; a 500k-doc map-only query "measured" 0.86 s while its
+    # noop materialization ran 600+ s). Shuffle/aggregate-bearing queries
+    # still executed their exchanges, which is why the old numbers looked
+    # plausible for the join families. Row count comes from ONE extra
+    # count() AFTER the timed reps (cheap, pruned — that is fine for a
+    # row count).
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        try:
-            h = F.xxhash64(*df.columns)
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n"), F.count(h).alias("h")
-            ).collect()[0]
-        except Exception:  # xxhash64 rejects some types (maps) — serialize
-            h = F.xxhash64(F.to_json(F.struct(*df.columns)))
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n"), F.count(h).alias("h")
-            ).collect()[0]
-        rows = agg["n"]
+        df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+    rows = fn(spark, sf_dir).count()
     return best, rows
 
 

@@ -4255,20 +4255,30 @@ _WINNOW_PAIRS_CTE_SQL = f"""wdocfp AS (SELECT DISTINCT doc_id, fp, gram FROM wfi
     tags=("dedup", "text", "fingerprint", "join"),
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r12 shape: the old distinct -> df-count -> join-back -> fp-bucketed
-    # self-join (5 exchanges + a checkpoint) is one groupBy(fp, gram)
-    # with collect_set(doc_id) (the set IS the distinct), the df cap and
-    # cross-doc pair generation in-row over the capped bucket, and one
-    # pair groupBy — 2 exchanges, no checkpoint, never a broadcast. The
+    # r12 shape: the old fp-bucketed SELF-JOIN (5 exchanges) becomes a
+    # df band filter + one groupBy whose bucket generates its doc pairs
+    # in-row. As in exact_substring_spans_impl, the df semi-join runs
+    # BEFORE the collect (collecting an uncapped hot bucket would build
+    # one giant array on a single reducer — the old streamed join's
+    # hazardless case) and also drops every df=1 singleton bucket. The
     # winnow pass itself is map-only (_winnow_selected).
-    grp = (
+    wfd = reliable_checkpoint(
         _winnow_selected(
             spread_small_scan(load_table(spark, sf_dir, "documents"))
         )
+        .select("doc_id", "fp", "gram")
+        .distinct()
+    )
+    keep = (
+        wfd.groupBy("fp", "gram")
+        .agg(F.count("*").alias("df"))
+        .where(f"df >= 2 AND df <= {_WIN_DF_CAP}")
+        .select("fp", "gram")
+    )
+    grp = (
+        wfd.join(keep.hint("shuffle_hash"), ["fp", "gram"], "left_semi")
         .groupBy("fp", "gram")
-        .agg(F.collect_set("doc_id").alias("ds"))
-        .where(f"size(ds) >= 2 AND size(ds) <= {_WIN_DF_CAP}")
-        .selectExpr("array_sort(ds) AS so")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("so"))
     )
     pair_sql = (
         "flatten(transform(sequence(1, size(so)), i -> "
@@ -4378,28 +4388,32 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
     checkpoint-backed — the r9 static-broadcast hazard); per-seed work is
     O(span length) array probing, embarrassingly parallel. Seed volume is
     bounded by winnow density (~2/(W+1) of grams) x the df cap."""
-    # r12 seed shape: ONE groupBy(fp, gram) replaces the old
-    # distinct -> df-count -> join-back -> fp-bucketed self-join chain
-    # (4 exchanges -> 1). Each fingerprint bucket collects its
-    # (doc_id, pos) occurrences; the df cap and the cross-doc pair
-    # generation run IN-ROW over the (df-capped, so bounded) bucket —
-    # the same pairs the self-join produced, doc_a < doc_b. The winnow
-    # pass itself is map-only (see _winnow_selected), so seeds now cost
-    # exactly one shuffle of the winnowed index.
-    # df as an AGGREGATE output, not a projection over occs: the two-
-    # sided cap filter would otherwise substitute the projected
-    # array_distinct(transform(...)) expression into the pushed Filter
-    # TWICE (the filter-blowup plan gate catches exactly this); an agg
-    # attribute is referenced cheaply however many times the filter
-    # mentions it.
-    grp = (
-        _winnow_selected(docs)
-        .groupBy("fp", "gram")
-        .agg(
-            F.collect_list(F.struct("doc_id", "pos")).alias("occs"),
-            F.countDistinct("doc_id").alias("df"),
-        )
+    # r12 seed shape: the old distinct -> df-count -> join-back ->
+    # fp-bucketed SELF-JOIN chain (4-5 exchanges) becomes df-filter +
+    # ONE groupBy(fp, gram) whose bucket generates its cross-doc pairs
+    # IN-ROW. The df semi-join BEFORE the collect is load-bearing for
+    # scale, not a nicety: collecting an uncapped hot bucket (a corpus-
+    # common phrase's fingerprint) would build one giant array on a
+    # single reducer — an OOM/straggler hazard the old streamed join
+    # never had — and the [2, cap] band also drops every df=1 singleton
+    # bucket (most of the index) before any collect. ``keep`` is bounded
+    # by the corpus's actual shared-fingerprint mass and stays a shuffle
+    # join (never a broadcast — its size is corpus-dependent); the
+    # semi-join output and the groupBy share one (fp, gram) hash
+    # partitioning. df is an AGGREGATE output, so the two-sided cap
+    # filter references a cheap attribute (the filter-blowup plan gate
+    # catches projected-expression substitution).
+    wf = reliable_checkpoint(_winnow_selected(docs))
+    keep = (
+        wf.groupBy("fp", "gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
         .where(f"df >= 2 AND df <= {_WIN_DF_CAP}")
+        .select("fp", "gram")
+    )
+    grp = (
+        wf.join(keep.hint("shuffle_hash"), ["fp", "gram"], "left_semi")
+        .groupBy("fp", "gram")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
         .selectExpr("array_sort(occs) AS so")
     )
     pair_sql = (

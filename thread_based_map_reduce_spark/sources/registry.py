@@ -102,13 +102,16 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[path]
 
 
-# One scan task per SPREAD_SMALL_MAX_BYTES of input decides "under-
-# parallel": a single-row-group KB-scale parquet file yields a ONE-task
-# scan no conf can split (row groups are the parallelism floor), which
-# serializes every downstream map-only operator. Overridable for
-# experiments; 0 disables spreading entirely.
+# Inputs below this byte total can be under-parallel: a scan yields at
+# most ~one task per 128 MB split (and a single-row-group file yields ONE
+# task no conf can split — row groups are the parallelism floor), which
+# serializes every downstream map-only operator. 4 GB = 32 cores x the
+# default 128 MB split: below it a scan cannot reach full local
+# parallelism from splits alone (measured r12: a 120 MB one-file corpus
+# ran a map-only filter serially for 600+ s; spread, ~25 s). Overridable
+# for experiments; 0 disables spreading entirely.
 SPREAD_SMALL_MAX_BYTES = int(
-    os.environ.get("TBMR_SPREAD_SMALL_MAX_BYTES", str(64 * 1024 * 1024))
+    os.environ.get("TBMR_SPREAD_SMALL_MAX_BYTES", str(4 * 1024**3))
 )
 
 
@@ -119,10 +122,11 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     has thousands of splits and this helper is a no-op, so no corpus-sized
     shuffle is ever introduced). The repartition cost is bounded by the
     smallness test itself: it fires only when total input bytes <
-    SPREAD_SMALL_MAX_BYTES (64 MB default) AND the scan is already
-    single-digit-task. Deterministic output (round-robin sorts locally
-    before assigning, SPARK-23207), row-identical — safe for every
-    oracle-checked consumer."""
+    SPREAD_SMALL_MAX_BYTES (4 GB default — cores x the 128 MB split
+    size; one round of the cluster's scan bandwidth) AND the scan is
+    under core-parallel from splits alone. Deterministic output
+    (round-robin sorts locally before assigning, SPARK-23207),
+    row-identical — safe for every oracle-checked consumer."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if cores <= 1 or SPREAD_SMALL_MAX_BYTES <= 0:
