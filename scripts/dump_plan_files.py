@@ -33,7 +33,10 @@ def main() -> int:
     allq = queries()
     for name in names:
         df = allq[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        # Execute the Dataset's OWN QueryExecution so its AQE plan finalizes
+        # (a noop write is a separate QueryExecution and leaves df.explain
+        # showing isFinalPlan=false). Catalog results are small at sf0.01.
+        df.collect()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

@@ -723,8 +723,9 @@ def test_join_degradation_sweep_all_plans(spark, sf_dir):
 
 def test_grouped_python_shuffles_are_coalesce_exempt(spark, sf_dir):
     # Companion sweep to the cogroup gate above, generalized: every per-key
-    # grouped-Python node (FlatMapGroupsInPandas / FlatMapCoGroupsInPandas —
-    # one Python call per key) must be fed by explicit REPARTITION_BY_NUM
+    # grouped-Python node (FlatMapGroupsInPandas / FlatMapCoGroupsInPandas,
+    # and their r13 Arrow twins FlatMapGroupsInArrow / FlatMapCoGroupsInArrow
+    # — one Python call per key) must be fed by explicit REPARTITION_BY_NUM
     # exchanges. A plain ENSURE_REQUIREMENTS shuffle under these nodes is
     # eligible for AQE byte-based coalescing, which collapses a small-bytes
     # / many-keys stage to one partition and serializes the Python lane.
@@ -732,8 +733,11 @@ def test_grouped_python_shuffles_are_coalesce_exempt(spark, sf_dir):
     offenders = {}
     for name, fn in qs.items():
         plan = plan_of(spark, sf_dir, name)
-        need = count_nodes(plan, "FlatMapGroupsInPandas") + 2 * count_nodes(
-            plan, "FlatMapCoGroupsInPandas"
+        need = (
+            count_nodes(plan, "FlatMapGroupsInPandas")
+            + count_nodes(plan, "FlatMapGroupsInArrow")
+            + 2 * count_nodes(plan, "FlatMapCoGroupsInPandas")
+            + 2 * count_nodes(plan, "FlatMapCoGroupsInArrow")
         )
         if need and plan.count("REPARTITION_BY_NUM") < need:
             offenders[name] = (need, plan.count("REPARTITION_BY_NUM"))

@@ -4074,6 +4074,17 @@ _WIN_K = 4  # tokens per k-gram (noise threshold: matches < _WIN_K tokens never 
 _WIN_W = 4  # window width in grams (guarantee threshold: >= _WIN_W+_WIN_K-1 tokens always detected)
 _WIN_POSENC = 4096  # max in-doc gram positions; fp31 * 4096 + pos stays < 2^43
 _WIN_DF_CAP = 64  # pair join skips fingerprints selected in more docs (no dedup signal)
+# Seed-side occurrence cap (ADVICE r12): the df cap bounds DISTINCT DOCS per
+# (fp, gram) bucket but not per-doc occurrence MULTIPLICITY — a degenerate
+# repetitive doc can select one fingerprint at ~4096 positions, and 64 such
+# docs make a ~260k-occurrence bucket whose in-row pair expansion builds
+# ~3e10 structs on one reducer. Cap positions kept per (doc_id, fp, gram)
+# to the FIRST 8 by pos (same discipline as the df cap: mirrored exactly by
+# the oracle, so Spark and DuckDB always agree). Measured on the testdata:
+# max multiplicity is 2 at every SF, so the cap never fires there and the
+# span outputs are bit-for-bit the uncapped r12 values; at scale it bounds
+# a bucket's expansion to (64*8)^2/2 ≈ 131k structs.
+_WIN_OCC_CAP = 8
 
 
 def _winnow_selected(docs: DataFrame) -> DataFrame:
@@ -4414,7 +4425,18 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
         wf.join(keep.hint("shuffle_hash"), ["fp", "gram"], "left_semi")
         .groupBy("fp", "gram")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
-        .selectExpr("array_sort(occs) AS so")
+        .selectExpr("array_sort(occs) AS so0")
+        # Occurrence cap (ADVICE r12; see _WIN_OCC_CAP): so0 is sorted by
+        # (doc_id, pos), so per-doc runs are contiguous — element i is the
+        # (>K)-th occurrence of its doc iff the element K positions before
+        # it has the same doc_id. One O(n) in-row filter, no new exchange;
+        # mirrored by the oracle's row_number() <= K in woccs. so0 is a
+        # named column referenced twice, so CollapseProject cannot
+        # re-inline the sort into the lambda.
+        .selectExpr(
+            f"filter(so0, (s, i) -> i < {_WIN_OCC_CAP} OR "
+            f"element_at(so0, i + 1 - {_WIN_OCC_CAP}).doc_id != s.doc_id) AS so"
+        )
     )
     pair_sql = (
         "flatten(transform(sequence(1, size(so)), i -> "
@@ -4460,13 +4482,23 @@ def exact_substring_spans_impl(docs: DataFrame) -> DataFrame:
 # start_b, span_len)``. Assumes _WINNOW_SQL's and _WINNOW_PAIRS_CTE_SQL's
 # CTEs (wfinger, wdf, toks) precede it in the same WITH — shared by the
 # dedup_exact_substring_spans oracle and dedup_blocking_recall_eval.
-_SPAN_CTES_SQL = f"""wseed AS (
+_SPAN_CTES_SQL = f"""woccs AS (
+            -- seed-side occurrence cap (_WIN_OCC_CAP): first K positions
+            -- per (doc_id, fp, gram), mirroring the Spark in-row filter
+            SELECT doc_id, pos, gram, fp FROM (
+                SELECT doc_id, pos, gram, fp,
+                       row_number() OVER (PARTITION BY doc_id, fp, gram
+                                          ORDER BY pos) AS rn
+                FROM wfinger)
+            WHERE rn <= {_WIN_OCC_CAP}
+        ),
+        wseed AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.pos AS pos_a, b.pos AS pos_b
-            FROM wfinger a
+            FROM woccs a
             JOIN wdf f ON f.fp = a.fp AND f.gram = a.gram
                        AND f.df <= {_WIN_DF_CAP}
-            JOIN wfinger b ON b.fp = a.fp AND b.gram = a.gram
+            JOIN woccs b ON b.fp = a.fp AND b.gram = a.gram
                            AND b.doc_id > a.doc_id
         ),
         wext AS (
@@ -5102,7 +5134,8 @@ def _exact_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and report the skipped mass)."""
     docs = load_table(spark, sf_dir, "documents")
     hd = reliable_checkpoint(
-        docs.select("doc_id", tokens("text").alias("toks"))
+        spread_small_scan(docs)
+        .select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), 3))).alias(
@@ -5112,13 +5145,23 @@ def _exact_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", portable_hash64("s").alias("h60"))
         .distinct()
     )
-    tsets = hd.groupBy("doc_id").agg(F.collect_set("h60").alias("ts"))
+    # r13 (guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    # old shape collected the FULL distinct-hash set per doc (tsets) and
+    # shipped BOTH arrays to every candidate pair for array_intersect —
+    # measured as the dominant cost of the 66 s eval. But hd is DISTINCT
+    # (doc_id, h60), so |A ∩ B| over the hash sets is exactly the number
+    # of inverted-index buckets containing both docs: count the bucket-
+    # expanded pair occurrences per (doc_a, doc_b) and never move an
+    # array. |A| / |B| join in as two narrow per-doc counts. Same hash-set
+    # Jaccard, same threshold, same pair set — cross-checked by the
+    # oracle, which still computes list_intersect over full hash lists.
+    sizes = hd.groupBy("doc_id").agg(F.count("*").alias("n"))
     buckets = (
         hd.groupBy("h60")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    cand = (
+    inter = (
         buckets.select(
             F.explode(
                 F.expr(
@@ -5129,21 +5172,15 @@ def _exact_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("double").alias("_inter"))
     )
-    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
-    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    ta = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na"))
+    tb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
-        cand.join(ta, "doc_a")
+        inter.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("ts_a", "ts_b")).cast("double").alias("_inter"),
-            F.size("ts_a").alias("_na"),
-            F.size("ts_b").alias("_nb"),
-        )
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )

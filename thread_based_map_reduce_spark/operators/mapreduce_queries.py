@@ -187,8 +187,8 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(ord_total, 0.0) AS ord_total
         FROM e FULL JOIN o ON e.user_id = o.user_id
     """,
-    doc="Cogrouped applyInPandas: events and orders grouped on the same key "
-    "arrive as two aligned pandas frames per key (either may be empty — the "
+    doc="Cogrouped applyInArrow: events and orders grouped on the same key "
+    "arrive as two aligned Arrow tables per key (either may be empty — the "
     "full-outer contract). The declarative twin is the two-agg full join in "
     "the oracle; the cogroup form is for merge logic SQL can't express. "
     "Scale: the per-key Python call is the cost model — time scales with "
@@ -197,7 +197,12 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a few MB, collapse to one partition, and serialize every per-key call "
     "on one core (measured 14.3 s vs 2.5 s at sf0.1's 15k keys). "
     "REPARTITION_BY_NUM is exempt from coalescing, keeping the Python lane "
-    "cluster-wide; plan-gated in test_plans.py.",
+    "cluster-wide; plan-gated in test_plans.py. r13: the per-key merge is "
+    "applyInArrow, not applyInPandas — each key's result is one "
+    "pa.Table.from_arrays over 5 scalars (~40 us) instead of a pandas "
+    "block-manager DataFrame (~150 us), and the per-group INPUTS skip the "
+    "Arrow→pandas conversion too; sums still run through the identical "
+    "numpy float64 reduction, so values are bit-for-bit the pandas lane's.",
     tags=("parity", "mapreduce", "cogroup"),
 )
 def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,31 +220,63 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part, "user_id")
     )
 
-    def merge(key, ev_pdf, od_pdf):
-        import pandas as pd
+    import pyarrow as pa
 
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [len(ev_pdf)],
-                "n_orders": [len(od_pdf)],
-                "ev_total": [
-                    round(float(ev_pdf["value"].to_numpy().sum()), 2)
-                    if len(ev_pdf)
-                    else 0.0
-                ],
-                "ord_total": [
-                    round(float(od_pdf["o_totalprice"].to_numpy().sum()), 2)
-                    if len(od_pdf)
-                    else 0.0
-                ],
-            }
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("ev_total", pa.float64()),
+            ("ord_total", pa.float64()),
+        ]
+    )
+
+    def merge(key, ev_t, od_t):
+        ne, no = ev_t.num_rows, od_t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array([key[0].as_py()], pa.int64()),
+                pa.array([ne], pa.int64()),
+                pa.array([no], pa.int64()),
+                pa.array(
+                    [
+                        round(
+                            float(
+                                ev_t.column("value")
+                                .to_numpy(zero_copy_only=False)
+                                .sum()
+                            ),
+                            2,
+                        )
+                        if ne
+                        else 0.0
+                    ],
+                    pa.float64(),
+                ),
+                pa.array(
+                    [
+                        round(
+                            float(
+                                od_t.column("o_totalprice")
+                                .to_numpy(zero_copy_only=False)
+                                .sum()
+                            ),
+                            2,
+                        )
+                        if no
+                        else 0.0
+                    ],
+                    pa.float64(),
+                ),
+            ],
+            schema=out_schema,
         )
 
     return (
         ev.groupBy("user_id")
         .cogroup(od.groupBy("user_id"))
-        .applyInPandas(
+        .applyInArrow(
             merge,
             schema="user_id long, n_events long, n_orders long, ev_total double, ord_total double",
         )

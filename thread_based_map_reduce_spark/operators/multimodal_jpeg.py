@@ -57,7 +57,9 @@ shape a real media-decode pipeline wants.
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -138,6 +140,9 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 _ZIGZAG = _zigzag_order()
+# flat (row*8+col) index of each zigzag position: one vectorized gather /
+# scatter replaces the 64-iteration Python loops in the per-block paths.
+_ZIG_TO_FLAT = np.array([r * 8 + c for (r, c) in _ZIGZAG], dtype=np.int64)
 
 
 def _dct_matrix() -> np.ndarray:
@@ -187,6 +192,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
 
+@lru_cache(maxsize=64)
+def _huff_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    return _huff_codes(list(bits), list(vals))
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length), canonical Huffman per T.81 Annex C."""
     codes: dict[int, tuple[int, int]] = {}
@@ -213,9 +225,16 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def _dezigzag_table(qtable: list[int]) -> np.ndarray:
     """64-entry DQT list (stored in zigzag order) → 8×8 (row, col) array."""
+    return _dezigzag_cached(tuple(qtable))
+
+
+@lru_cache(maxsize=16)
+def _dezigzag_cached(qtable: tuple[int, ...]) -> np.ndarray:
+    # rebuilt per BLOCK before r13 (measured 25% of encode time); the
+    # table is a function of the 64 DQT ints, so memoize on them.
     out = np.zeros((8, 8), dtype=np.float64)
-    for i, (r, c) in enumerate(_ZIGZAG):
-        out[r, c] = qtable[i]
+    out.reshape(-1)[_ZIG_TO_FLAT] = np.asarray(qtable, dtype=np.float64)
+    out.flags.writeable = False
     return out
 
 
@@ -250,9 +269,10 @@ def _encode_block(
     w.write(code, ln)
     if cat:
         w.write(bits, cat)
-    zz = [int(qcoef[r, c]) for (r, c) in _ZIGZAG][1:]
+    zz = qcoef.reshape(-1)[_ZIG_TO_FLAT][1:].tolist()
     run = 0
-    last_nonzero = max((i for i, v in enumerate(zz) if v), default=-1)
+    nz = [i for i, v in enumerate(zz) if v]
+    last_nonzero = nz[-1] if nz else -1
     for i in range(last_nonzero + 1):
         v = zz[i]
         if v == 0:
@@ -306,10 +326,10 @@ def encode_baseline_jpeg(
     out += _marker(0xC4, _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
     out += _marker(0xC4, _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
     out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_l = _huff_codes_cached(tuple(_DC_LUMA_BITS), tuple(_DC_LUMA_VALS))
+    ac_l = _huff_codes_cached(tuple(_AC_LUMA_BITS), tuple(_AC_LUMA_VALS))
+    dc_c = _huff_codes_cached(tuple(_DC_CHROMA_BITS), tuple(_DC_CHROMA_VALS))
+    ac_c = _huff_codes_cached(tuple(_AC_CHROMA_BITS), tuple(_AC_CHROMA_VALS))
     bw = _BitWriter()
     preds = [0, 0, 0]
     for my in range(h // 16):
@@ -403,6 +423,122 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
+# r13 entropy-decode fast path: the per-bit dict-probe reader above costs
+# ~25 Python ops per bit (tuple hash per probe). The scan decoder below
+# (a) pre-extracts and unstuffs the whole entropy segment once, and
+# (b) decodes each Huffman symbol with ONE lookup in a 16-bit-prefix LUT
+# (canonical codes are <= 16 bits, T.81 C.2). Error contract is kept
+# bit-for-bit: every input that made the per-bit reader raise raises the
+# SAME ValueError here, at the same consumed-bit position — the reader
+# only raises lazily when a needed bit is missing, exactly like read_bit.
+# (_BitReader/_read_huff stay: tests pin the stuffing mechanism on them.)
+
+
+def _zz_i64(v: int) -> int:
+    """Mirror the pre-r13 numpy-int64 zz buffer's assignment contract: a
+    corrupt entropy stream can produce DC predictions / AC magnitudes past
+    int64, which the old ``zz[k] = v`` raised on at the assignment point."""
+    if -9223372036854775808 <= v <= 9223372036854775807:
+        return v
+    raise OverflowError("Python int too large to convert to C long")
+
+_MARKER_RE = re.compile(rb"\xff[^\x00]")
+
+
+@lru_cache(maxsize=64)
+def _decode_lut(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[list[int], list[int]]:
+    """16-bit-prefix LUT: peek -> (value, code length); length 0 = no code
+    matches any prefix (the per-bit reader's "invalid Huffman code").
+    Filled LONGEST length first so a (malformed, non-prefix-free) table
+    resolves to the SHORTEST matching code — the probe order read_bit
+    used."""
+    lens = np.zeros(65536, dtype=np.int64)
+    value = np.zeros(65536, dtype=np.int64)
+    entries = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            entries.append((length, code, vals[k]))
+            code += 1
+            k += 1
+        code <<= 1
+    for length, code, val in sorted(entries, key=lambda e: -e[0]):
+        lo = code << (16 - length)
+        if lo >= 65536:  # unreachable entry of a malformed table
+            continue
+        hi = lo + (1 << (16 - length))
+        lens[lo:hi] = length
+        value[lo:hi] = val
+    return value.tolist(), lens.tolist()
+
+
+class _ScanBits:
+    """LUT bit reader over the pre-unstuffed entropy segment."""
+
+    __slots__ = ("data", "end", "pos", "acc", "n", "underflow_msg")
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        tail = payload[pos:]
+        m = _MARKER_RE.search(tail)
+        if m is not None:
+            seg = tail[: m.start()]
+            self.underflow_msg = (
+                f"unexpected marker FF{tail[m.start() + 1]:02X} in scan"
+            )
+        elif tail.endswith(b"\xff"):
+            seg = tail[:-1]
+            self.underflow_msg = "entropy stream truncated at FF"
+        else:
+            seg = tail
+            self.underflow_msg = "entropy stream truncated"
+        self.data = seg.replace(b"\xff\x00", b"\xff")
+        self.end = len(self.data)
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        p = self.pos
+        take = min(4, self.end - p)
+        self.acc = (self.acc << (8 * take)) | int.from_bytes(
+            self.data[p : p + take], "big"
+        )
+        self.n += 8 * take
+        self.pos = p + take
+
+    def receive(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= self.end:
+                raise ValueError(self.underflow_msg)
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_code(self, lut_val: list[int], lut_len: list[int]) -> int:
+        while self.n < 16 and self.pos < self.end:
+            self._fill()
+        n = self.n
+        if n >= 16:
+            peek = (self.acc >> (n - 16)) & 0xFFFF
+        else:
+            peek = (self.acc << (16 - n)) & 0xFFFF
+        ln = lut_len[peek]
+        if ln == 0:
+            if n >= 16:
+                raise ValueError("invalid Huffman code in scan")
+            raise ValueError(self.underflow_msg)  # ran dry mid-probe
+        if ln > n:
+            raise ValueError(self.underflow_msg)  # code needs missing bits
+        self.n = n - ln
+        self.acc &= (1 << self.n) - 1
+        return lut_val[peek]
+
+
 def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
     """Parse + fully decode a baseline-sequential JFIF payload.
 
@@ -459,7 +595,7 @@ def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
                 vals = list(seg[p + 17 : p + 17 + n])
                 if len(bits) != 16 or len(vals) != n:
                     raise ValueError("short Huffman table")
-                htables[(cls, ident)] = _build_decode_table(bits, vals)
+                htables[(cls, ident)] = (tuple(bits), tuple(vals))
                 p += 17 + n
         elif tag == 0xC0:  # SOF0 baseline
             if seg[0] != 8:
@@ -495,7 +631,7 @@ def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    br = _BitReader(payload, pos)
+    br = _ScanBits(payload, pos)
     preds = {cid: 0 for cid, _, _, _ in comps}
     # per-component block planes at that component's resolution
     blocks: dict[int, np.ndarray] = {}
@@ -504,27 +640,40 @@ def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
         blocks[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
     scan_tables = {cid: (dc_id, ac_id) for cid, dc_id, ac_id in scan}
     dezig = {qid: _dezigzag_table(qt) for qid, qt in qtables.items()}
+    # LUTs built lazily at each component's FIRST use — the same program
+    # point where the per-block reader ran its presence checks — so a
+    # payload that is missing a table AND corrupt in the entropy stream
+    # raises the same error the per-bit reader raised (checks are
+    # deterministic, so first-use checking is equivalent to every-block
+    # checking).
+    luts: dict[int, tuple] = {}
     n_blocks = 0
+    ext = _extend
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for cid, ch, cv, qid in comps:
-                if qid not in dezig:
-                    raise ValueError(f"missing quant table {qid}")
-                dc_id, ac_id = scan_tables[cid]
-                dc_tab = htables.get((0, dc_id))
-                ac_tab = htables.get((1, ac_id))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("missing Huffman table for scan")
+                lt = luts.get(cid)
+                if lt is None:
+                    if qid not in dezig:
+                        raise ValueError(f"missing quant table {qid}")
+                    dc_id, ac_id = scan_tables[cid]
+                    dc_tab = htables.get((0, dc_id))
+                    ac_tab = htables.get((1, ac_id))
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("missing Huffman table for scan")
+                    lt = (_decode_lut(*dc_tab), _decode_lut(*ac_tab))
+                    luts[cid] = lt
+                (dc_val, dc_len), (ac_val, ac_len) = lt
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        cat = _read_huff(br, dc_tab)
-                        diff = _extend(br.receive(cat), cat)
+                        zz = [0] * 64
+                        cat = br.read_code(dc_val, dc_len)
+                        diff = ext(br.receive(cat), cat)
                         preds[cid] += diff
-                        zz[0] = preds[cid]
+                        zz[0] = _zz_i64(preds[cid])
                         k = 1
                         while k < 64:
-                            sym = _read_huff(br, ac_tab)
+                            sym = br.read_code(ac_val, ac_len)
                             if sym == 0x00:  # EOB
                                 break
                             run, size = sym >> 4, sym & 0x0F
@@ -536,11 +685,11 @@ def decode_baseline_jpeg(payload: bytes, want_coeffs: bool = False) -> dict:
                             k += run
                             if k >= 64:
                                 raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.receive(size), size)
+                            zz[k] = _zz_i64(ext(br.receive(size), size))
                             k += 1
-                        qblk = np.zeros((8, 8), dtype=np.int64)
-                        for i, (r, c) in enumerate(_ZIGZAG):
-                            qblk[r, c] = zz[i]
+                        qblk = np.zeros(64, dtype=np.int64)
+                        qblk[_ZIG_TO_FLAT] = zz
+                        qblk = qblk.reshape(8, 8)
                         if want_coeffs:
                             coeffs[cid].append(qblk.copy())
                         deq = qblk.astype(np.float64) * dezig[qid]
