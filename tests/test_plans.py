@@ -19,10 +19,19 @@ import pytest
 from thread_based_map_reduce_spark.plans.catalog import queries
 
 _QS = None
+# (name, execute) -> plan text. Five all-catalog sweeps walk every plan;
+# without this cache each sweep re-built all ~350 DataFrames (py4j plan
+# construction alone is ~0.3-0.7 s per query), which was ~21 minutes of
+# the suite wall-clock (r13 --durations profile). The session, sf_dir and
+# catalog are fixed for a pytest run, so the plan text is too.
+_PLAN_CACHE: dict[tuple[str, bool], str] = {}
 
 
 def plan_of(spark, sf_dir: str, name: str, execute: bool = False) -> str:
     global _QS
+    cached = _PLAN_CACHE.get((name, execute))
+    if cached is not None:
+        return cached
     if _QS is None:
         _QS = queries()
     df = _QS[name](spark, sf_dir)
@@ -34,7 +43,9 @@ def plan_of(spark, sf_dir: str, name: str, execute: bool = False) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    plan = buf.getvalue()
+    _PLAN_CACHE[(name, execute)] = plan
+    return plan
 
 
 def count_nodes(plan: str, node: str) -> int:

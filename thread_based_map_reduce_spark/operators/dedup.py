@@ -3409,14 +3409,22 @@ def _rl_blocked_candidates_uncached(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     cust = load_table(spark, sf_dir, "customer")
-    norm = reliable_checkpoint(
-        cust.select(
-            "c_custkey",
-            F.lower("c_name").alias("nm"),
-            "c_nationkey",
-            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
-            "c_mktsegment",
-        )
+    # r13: norm is NOT checkpointed — it is a pure narrow projection of
+    # the (small) customer scan, so each consumer re-reading it costs a
+    # sub-second parallel scan, while the eager checkpoint was a serial
+    # job barrier (measured at sf0.1: the first-entry candidate build
+    # drops 12.5 s -> 3.2 s cold / 1.9 -> 1.6 s warm with it removed,
+    # identical candidate set). Determinism is unchanged: norm is a
+    # deterministic projection of parquet, so the four entries sharing
+    # these frames still see identical values. tri and cand stay
+    # checkpointed — they bear a shuffle/explode and feed 3-5 consumers
+    # across all four linkage entries.
+    norm = cust.select(
+        "c_custkey",
+        F.lower("c_name").alias("nm"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        "c_mktsegment",
     )
     # positions 1..len-2; the filter-over-greatest form is empty for
     # len < 3 and null names in BOTH engines (greatest ignores nulls,
@@ -5313,38 +5321,64 @@ def _recall_eval_oracle() -> str:
     tags=("dedup", "minhash", "lsh", "simhash", "eval"),
 )
 def q_dedup_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = reliable_checkpoint(_exact_jaccard_truth(spark, sf_dir))
-    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     norm = lambda df, score: df.select(  # noqa: E731
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
         score.cast("double").alias("score"),
     )
-    methods = (
-        ("minhash_lsh", norm(_lsh_verified_pairs(spark, sf_dir), F.col("jaccard"))),
+    builders: tuple[tuple[str, object], ...] = (
+        (
+            "minhash_lsh",
+            lambda: norm(_lsh_verified_pairs(spark, sf_dir), F.col("jaccard")),
+        ),
         (
             "simhash_ham3",
-            norm(q_dedup_simhash_hamming_pairs(spark, sf_dir), -F.col("hamming")),
+            lambda: norm(
+                q_dedup_simhash_hamming_pairs(spark, sf_dir), -F.col("hamming")
+            ),
         ),
         (
             "sorted_neighborhood",
-            norm(q_dedup_sorted_neighborhood(spark, sf_dir), -F.col("lev")),
+            lambda: norm(q_dedup_sorted_neighborhood(spark, sf_dir), -F.col("lev")),
         ),
-        ("winnowing", norm(q_dedup_winnow_pairs(spark, sf_dir), F.col("shared_fps"))),
+        (
+            "winnowing",
+            lambda: norm(q_dedup_winnow_pairs(spark, sf_dir), F.col("shared_fps")),
+        ),
         (
             "exact_substring",
-            q_dedup_exact_substring_spans(spark, sf_dir)
+            lambda: q_dedup_exact_substring_spans(spark, sf_dir)
             .groupBy("doc_a", "doc_b")
             .agg(F.max("span_len").cast("double").alias("score")),
         ),
     )
+    # r13 (guide §2.6 "overlap independent jobs"): truth and the five
+    # family pipelines are INDEPENDENT job chains whose eager checkpoints
+    # serialized at build time — at eval SFs each underfills the cluster,
+    # so building them from driver threads overlaps their stages (Spark
+    # schedules concurrent jobs FIFO with back-fill). Frames land on the
+    # same eagerly-materialized checkpoints as the sequential build, so
+    # values are bit-identical; measured at sf0.01 the cold build drops
+    # ~30 s -> ~12 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        fut_truth = pool.submit(
+            lambda: reliable_checkpoint(_exact_jaccard_truth(spark, sf_dir))
+        )
+        # each family's pair set feeds the count, the truth join AND the
+        # budgeted ranking — without its checkpoint the whole pipeline
+        # (and its audited window sites) would execute three times
+        futs = [
+            (name, pool.submit(lambda b=build: reliable_checkpoint(b())))
+            for name, build in builders
+        ]
+        truth = fut_truth.result()
+        methods = tuple((name, f.result()) for name, f in futs)
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     stats = None
     allp = None
-    for name, pairs in methods:
-        # checkpoint: the pair set feeds the count, the truth join AND the
-        # budgeted ranking — without it every family's whole pipeline (and
-        # its audited window sites) would execute three times in one plan
-        p = reliable_checkpoint(pairs)
+    for name, p in methods:
         n_pairs = p.agg(F.count("*").cast("bigint").alias("n_pairs"))
         n_hit = p.join(truth, ["doc_a", "doc_b"]).agg(
             F.count("*").cast("bigint").alias("n_hit")
@@ -5558,27 +5592,40 @@ def q_dedup_removal_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ntok").cast("double").alias("score"),
         )
     )
-    pxs = (
-        q_dedup_exact_substring_spans(spark, sf_dir)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("span_len").cast("double").alias("score"))
-    )
-    pmh = _lsh_verified_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.col("jaccard").alias("score")
-    )
-    methods = (
-        ("exact_hash", pex),
-        ("exact_substring", pxs),
-        ("minhash_lsh", pmh),
-    )
+    # r13 (guide §2.6, the dedup_blocking_recall_eval shape): the two
+    # heavy production pipelines are independent job chains — build (and
+    # checkpoint) them from driver threads so their eager checkpoint
+    # stages overlap instead of serializing. Same materialized frames,
+    # bit-identical values. Each pair set is checkpointed because it
+    # feeds the count, the full-removal set AND the budgeted ranking —
+    # without it the whole production pipeline executes three times in
+    # one plan.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_pex = pool.submit(lambda: reliable_checkpoint(pex))
+        fut_pxs = pool.submit(
+            lambda: reliable_checkpoint(
+                q_dedup_exact_substring_spans(spark, sf_dir)
+                .groupBy("doc_a", "doc_b")
+                .agg(F.max("span_len").cast("double").alias("score"))
+            )
+        )
+        fut_pmh = pool.submit(
+            lambda: reliable_checkpoint(
+                _lsh_verified_pairs(spark, sf_dir).select(
+                    "doc_a", "doc_b", F.col("jaccard").alias("score")
+                )
+            )
+        )
+        methods = (
+            ("exact_hash", fut_pex.result()),
+            ("exact_substring", fut_pxs.result()),
+            ("minhash_lsh", fut_pmh.result()),
+        )
     stats = None
     allp = None
-    for name, pairs in methods:
-        # checkpoint: each pair set feeds the count, the full-removal set
-        # AND the budgeted ranking — without it the whole production
-        # pipeline executes three times in one plan (the
-        # dedup_blocking_recall_eval discipline)
-        p = reliable_checkpoint(pairs)
+    for name, p in methods:
         row = p.agg(F.count("*").cast("bigint").alias("n_pairs")).select(
             F.lit(name).alias("method"), "n_pairs"
         )

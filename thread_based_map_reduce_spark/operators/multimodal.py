@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.catalog import register
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread_small_scan
 
 try:  # real decoder if ever available in the runtime image
     import PIL.Image  # noqa: F401
@@ -1288,7 +1288,9 @@ def decode_png_images(df: DataFrame) -> DataFrame:
     tags=("multimodal",),
 )
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: one-file corpus scans as ONE task, serializing the Python
+    # decode lane (guide §2.5/§6) — spread to core parallelism first
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     decoded = decode_png_images(with_png_payload(docs))
     return decoded.select(
         "doc_id", "width", "height", "n_pixels",

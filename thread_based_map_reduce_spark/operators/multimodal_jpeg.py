@@ -66,7 +66,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.catalog import register
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread_small_scan
 
 # ---------------------------------------------------------------------------
 # Constant tables (public JPEG spec, ITU-T T.81)
@@ -865,7 +865,9 @@ def decode_jpeg_images(df: DataFrame) -> DataFrame:
     tags=("multimodal",),
 )
 def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: one-file corpus scans as ONE task, serializing the encode and
+    # decode Python lanes (guide §2.5/§6) — spread to core parallelism
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     decoded = decode_jpeg_images(encode_jpeg_payloads(with_jpeg_source(docs)))
     return decoded.select(
         "doc_id", "width", "height", "n_pixels", "n_mcus", "n_blocks",
@@ -1068,7 +1070,8 @@ def decode_jpeg_ac_stats(df: DataFrame) -> DataFrame:
     tags=("multimodal",),
 )
 def q_multimodal_jpeg_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r13: same Python-lane spread as the flat-MCU entry above
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     decoded = decode_jpeg_ac_stats(
         encode_jpeg_ac_payloads(with_jpeg_ac_source(docs))
     )
